@@ -1,0 +1,111 @@
+"""Benchmark harness — headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "rows": ..., "seq_per_sec": ...}
+
+`--scaling` re-runs the headline job in fresh processes at num_cpus=8
+and num_cpus=32 on identical input and reports both throughputs plus
+scaling efficiency (the sandbox evidence for the north rule's
+N-vs-4N-nodes criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def run_bench() -> dict:
+    import ray
+    import ray.data
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from swarm_ray import fixtures
+    from swarm_ray.pipelines.flagship import run_job
+
+    label = fixtures.label_for_sf_dir(SF_DIR)
+    files = fixtures.sequences_files(label)
+
+    # warm the OS page cache (untimed) so we measure compute+shuffle,
+    # not the first cold read
+    for f in files:
+        with open(f, "rb") as fh:
+            while fh.read(1 << 24):
+                pass
+
+    out_dir = f"/tmp/swarm_ray_bench_out_{NUM_CPUS}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    t0 = time.time()
+    results = run_job(files, out_dir, files_per_partition=len(files) or 1)
+    headline = time.time() - t0
+    rows_in = sum(r["rows_in"] for r in results)
+    rows_routed = sum(r["rows_routed"] for r in results)
+
+    queries: dict[str, float] = {"flagship_job": round(headline, 3)}
+
+    # secondary: aggregate-only plan (no sink write) — isolates the
+    # parse/enrich/route compute + count shuffle
+    from swarm_ray.queries import q_route_counts
+    t0 = time.time()
+    q_route_counts(SF_DIR).to_pandas()
+    queries["route_counts_agg"] = round(time.time() - t0, 3)
+
+    try:
+        from swarm_ray import ops
+        queries.update(ops.bench_queries(SF_DIR))
+    except (ImportError, AttributeError):
+        pass
+
+    ray.shutdown()
+    return {
+        "metric": "flagship parse→enrich→route→write job wall time",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": label,
+        "num_cpus": NUM_CPUS,
+        "rows": rows_in,
+        "rows_routed": rows_routed,
+        "seq_per_sec": round(rows_in / headline, 1) if headline else None,
+    }
+
+
+def run_scaling() -> dict:
+    lo_cpus, hi_cpus = 8, 32
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, __file__], env=env,
+                             capture_output=True, text=True, check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo = run(lo_cpus)
+    hi = run(hi_cpus)
+    thr_lo, thr_hi = lo["seq_per_sec"], hi["seq_per_sec"]
+    eff = (thr_hi / thr_lo) / (hi_cpus / lo_cpus)
+    return {
+        "metric": "scaling efficiency (num_cpus 8 → 32, same input)",
+        "sf": lo["sf"], "rows": lo["rows"],
+        "sec_8": lo["value"], "sec_32": hi["value"],
+        "seq_per_sec_8": thr_lo, "seq_per_sec_32": thr_hi,
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

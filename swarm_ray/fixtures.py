@@ -1,0 +1,171 @@
+"""Deterministic synthetic fixtures (FIXTURES.md F1/F3).
+
+The engine's raw input is a Parquet table of pre-tokenized training
+sequences ``(doc_id: string, tokens: list<int32>, n_tok: int32,
+source: string)`` — the shape mandated by ``BASELINE.json``
+``input_hint``. The reference pipeline's inputs are GCS objects whose
+bucket/object names drive routing (reference:
+``pkg/usecase/testdata/policy/event.rego:7-9``); here the ``source``
+column plays the bucket role and ``doc_id`` the object-path role.
+
+Everything is synthesized deterministically (seeded numpy, fixed
+chunking) and cached as Parquet under ``/tmp/swarm_ray_fixtures`` so
+
+* the Ray pipeline and the DuckDB oracle read the *same* files, and
+* repeated runs (and the resume tests) see identical bytes.
+
+Generation is chunked at ``CHUNK_ROWS`` rows per file with a per-chunk
+seed, so the content of row *i* is independent of how many total rows
+a scale factor asks for — a prefix of a bigger corpus equals a smaller
+corpus.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SEED = 42
+CHUNK_ROWS = 100_000
+FIXTURE_ROOT = Path(os.environ.get("SWARM_RAY_FIXTURE_DIR", "/tmp/swarm_ray_fixtures"))
+
+#: deliberately skewed source mix (FIXTURES.md F1): the 55% head key is
+#: the salted-key / skew case the scale design must survive.
+SOURCES = ("github_audit", "cloudtrail", "access_log", "vpc_flow", "debug", "unknown_src")
+SOURCE_PROBS = (0.55, 0.25, 0.12, 0.05, 0.029, 0.001)
+
+VOCAB = 50257  # GPT-2-ish vocab bound for token values
+
+#: rows per scale label. tiny = unit tests, small = oracle correctness,
+#: bench = scaling runs (≥5M rows per FIXTURES.md F1).
+ROWS_BY_LABEL = {
+    "sf0.001": 10_000,
+    "sf0.01": 200_000,
+    "sf0.1": 5_000_000,
+}
+
+# F3 enrichment lookup: one row per known source plus one entry absent
+# from the input (miss path exercised; ≙ policy data documents,
+# reference pkg/infra/policy/client.go:55-60).
+INTEL_ROWS = [
+    {"source": "cloudtrail", "severity": 3, "tag": "team-3"},
+    {"source": "github_audit", "severity": 2, "tag": "team-2"},
+    {"source": "access_log", "severity": 1, "tag": "team-1"},
+    {"source": "vpc_flow", "severity": 1, "tag": "team-1"},
+    {"source": "debug", "severity": 0, "tag": "team-0"},
+    {"source": "syslog_legacy", "severity": 9, "tag": "team-9"},  # never matches input
+]
+
+
+def rows_for_label(label: str) -> int:
+    if label in ROWS_BY_LABEL:
+        return ROWS_BY_LABEL[label]
+    # fallback: derive from the numeric part of "sfX" at 50M rows/sf
+    try:
+        sf = float(label.removeprefix("sf"))
+        return max(1_000, min(int(sf * 50_000_000), 50_000_000))
+    except ValueError:
+        return 10_000
+
+
+def label_for_sf_dir(sf_dir: str | os.PathLike) -> str:
+    return Path(sf_dir).name or "sf0.01"
+
+
+def _gen_chunk(chunk_idx: int, n: int) -> pa.Table:
+    """Generate rows [chunk_idx*CHUNK_ROWS, +n) of the corpus."""
+    base = chunk_idx * CHUNK_ROWS
+    i = np.arange(base, base + n, dtype=np.int64)
+    rng = np.random.default_rng([SEED, chunk_idx])
+
+    src_idx = rng.choice(len(SOURCES), size=n, p=SOURCE_PROBS)
+    src = np.asarray(SOURCES)[src_idx]
+
+    # token lengths: 8..255, empty list for i % 997 == 0 (edge case)
+    lens = (8 + rng.integers(0, 248, size=n)).astype(np.int64)
+    lens[i % 997 == 0] = 0
+    total = int(lens.sum())
+    values = rng.integers(0, VOCAB, size=total, dtype=np.int32)
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(lens, out=offsets[1:])
+    tokens = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), pa.array(values))
+
+    # extension: ~1/64 of rows are ".tmp" scratch files (rejected by the
+    # event rules, ≙ 0-match object reject); cloudtrail alternates
+    # .log/.gz so two event rules route to one schema (FIXTURES F2 R1/R2).
+    is_tmp = (i % 64) == 63
+    is_gz = (src == "cloudtrail") & ((i % 2) == 0) & ~is_tmp
+    ext = np.where(is_tmp, ".tmp", np.where(is_gz, ".gz", ".log"))
+    part = i // 257
+    doc_id = [
+        f"{s}/part-{p:05d}/doc-{idx:08d}{e}"
+        for s, p, idx, e in zip(src, part, i, ext)
+    ]
+
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_id, type=pa.string()),
+            "tokens": tokens,
+            "n_tok": pa.array(lens.astype(np.int32)),
+            "source": pa.array(src, type=pa.string()),
+        }
+    )
+
+
+def sequences_dir(label: str) -> Path:
+    """Materialize (once) and return the sequences corpus dir for a label."""
+    n_rows = rows_for_label(label)
+    out = FIXTURE_ROOT / label / "sequences"
+    meta = out / "_FIXTURE.json"
+    if meta.exists():
+        try:
+            if json.loads(meta.read_text())["rows"] == n_rows:
+                return out
+        except Exception:
+            pass
+        shutil.rmtree(out, ignore_errors=True)
+    tmp = out.with_name(out.name + ".tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    tmp.mkdir(parents=True)
+    n_chunks = (n_rows + CHUNK_ROWS - 1) // CHUNK_ROWS
+    for c in range(n_chunks):
+        n = min(CHUNK_ROWS, n_rows - c * CHUNK_ROWS)
+        pq.write_table(_gen_chunk(c, n), tmp / f"part-{c:05d}.parquet")
+    (tmp / "_FIXTURE.json").write_text(json.dumps({"rows": n_rows, "seed": SEED}))
+    out.parent.mkdir(parents=True, exist_ok=True)
+    if out.exists():  # lost a race with a concurrent generator; theirs is fine
+        shutil.rmtree(tmp, ignore_errors=True)
+    else:
+        os.replace(tmp, out)
+    return out
+
+
+def sequences_files(label: str) -> list[str]:
+    d = sequences_dir(label)
+    return sorted(str(p) for p in d.glob("*.parquet"))
+
+
+def intel_table() -> pa.Table:
+    return pa.table(
+        {
+            "source": pa.array([r["source"] for r in INTEL_ROWS]),
+            "severity": pa.array([r["severity"] for r in INTEL_ROWS], type=pa.int32()),
+            "tag": pa.array([r["tag"] for r in INTEL_ROWS]),
+        }
+    )
+
+
+def intel_path(label: str = "common") -> Path:
+    out = FIXTURE_ROOT / label / "intel.parquet"
+    if not out.exists():
+        out.parent.mkdir(parents=True, exist_ok=True)
+        tmp = out.with_suffix(".parquet.tmp")
+        pq.write_table(intel_table(), tmp)
+        os.replace(tmp, out)
+    return out

