@@ -1,7 +1,8 @@
 """Training-data operators (dedup / similarity / text / multimodal /
 relational) over the driver's TPC-H-ish tables. Each op registers a
 ``queries()`` entry and, where SQL-expressible, an ``oracle_sql()``
-entry."""
+entry; probabilistic / float-heavy ops are rows-only here and verified
+by pytest instead."""
 
 from __future__ import annotations
 
@@ -10,10 +11,80 @@ from typing import Any
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    out: dict[str, Callable[[str], Any]] = {}
+    from . import dedup, text
+
+    out: dict[str, Callable[[str], Any]] = {
+        # text analysis
+        "doc_token_count": text.q_doc_token_count,
+        "doc_quality": text.q_doc_quality,
+        "doc_fingerprint": text.q_doc_fingerprint,
+        "doc_langid": text.q_doc_langid,
+        # dedup family
+        "doc_dedup_exact": dedup.q_dedup_exact,
+        "doc_simhash": dedup.q_simhash,
+        "doc_jaccard_pairs": dedup.q_jaccard_pairs,
+        "doc_minhash_pairs": dedup.q_minhash_pairs,  # rows-only (LSH)
+    }
+    try:
+        from . import relational
+        out.update(relational.queries())
+    except ImportError:
+        pass
+    try:
+        from . import ann
+        out.update(ann.queries())
+    except ImportError:
+        pass
+    try:
+        from . import multimodal
+        out.update(multimodal.queries())
+    except ImportError:
+        pass
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    out: dict[str, str] = {}
+    from . import sql
+
+    out: dict[str, str] = {
+        "doc_token_count": sql.SQL_DOC_TOKEN_COUNT,
+        "doc_quality": sql.SQL_DOC_QUALITY,
+        "doc_fingerprint": sql.SQL_DOC_FINGERPRINT,
+        "doc_langid": sql.SQL_DOC_LANGID,
+        "doc_dedup_exact": sql.SQL_DEDUP_EXACT,
+        "doc_simhash": sql.SQL_SIMHASH,
+        "doc_jaccard_pairs": sql.SQL_JACCARD_PAIRS,
+        # doc_minhash_pairs: intentionally no oracle (probabilistic LSH;
+        # recall vs exact Jaccard is pinned by tests/test_ops_dedup.py)
+    }
+    try:
+        from . import relational
+        out.update(relational.oracle_sql())
+    except ImportError:
+        pass
+    try:
+        from . import ann
+        out.update(ann.oracle_sql())
+    except ImportError:
+        pass
+    try:
+        from . import multimodal
+        out.update(multimodal.oracle_sql())
+    except ImportError:
+        pass
+    return out
+
+
+def bench_queries(sf_dir: str) -> dict[str, float]:
+    """Timed secondary pipelines for bench.py."""
+    import time
+
+    out: dict[str, float] = {}
+    from . import dedup
+    t0 = time.time()
+    dedup.q_dedup_exact(sf_dir).to_pandas()
+    out["doc_dedup_exact"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    dedup.q_minhash_pairs(sf_dir)
+    out["doc_minhash_pairs"] = round(time.time() - t0, 3)
     return out

@@ -1,0 +1,247 @@
+"""Deduplication operators over the ``documents`` table.
+
+The scale-critical family for training-data pipelines. Four levels:
+
+* exact      — content-hash groupby (hash-partitioned, first-wins)
+* simhash    — 32-bit md5-derived sign-sum sketch, SQL-reproducible
+* jaccard    — exact word-set Jaccard pairs (the small-N oracle)
+* minhash    — MinHash+LSH banding (shingle → signature → band-bucket
+               groupby → candidate pairs → exact-Jaccard verify): the
+               100 TB path, where the only all-to-all is the band-bucket
+               groupby of (band, hash, doc_id) triples — tiny rows,
+               never the documents themselves.
+
+All SQL-checked outputs are integers/strings (hashes, ids, milli-scaled
+ratios) — float-hash-safe by construction.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Min
+
+DOC_COLS = ["doc_id", "text"]
+
+
+def _read_docs(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=DOC_COLS)
+
+
+# ------------------------------------------------------------ exact dedup
+
+def _hash_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    md5 = hashlib.md5
+    batch["text_md5"] = batch["text"].map(lambda t: md5(t.encode()).hexdigest())
+    return batch[["doc_id", "text_md5"]]
+
+
+def q_dedup_exact(sf_dir: str) -> ray.data.Dataset:
+    """Exact dedup: hash-partition on content md5, keep min doc_id per
+    group (first-wins). The groupby IS the shuffle; only (hash, id)
+    pairs move, never the text."""
+    return (_read_docs(sf_dir)
+            .map_batches(_hash_batch, batch_format="pandas")
+            .groupby("text_md5")
+            .aggregate(Min("doc_id", alias_name="keeper_doc_id"),
+                       Count(alias_name="dup_count")))
+
+
+# ------------------------------------------------------------ simhash
+
+def word_hash32(word: str) -> int:
+    """First 8 hex chars of md5 → uint32 — chosen so DuckDB can
+    reproduce it (``CAST(CONCAT('0x', substr(md5(w),1,8)) AS UINTEGER)``)."""
+    return int(hashlib.md5(word.encode()).hexdigest()[:8], 16)
+
+
+class SimHash:
+    """32-bit SimHash over whitespace words (occurrence-weighted).
+    Actor state: the word→hash32 cache — the corpus vocabulary is far
+    smaller than the corpus, so hashing amortizes to ~zero."""
+
+    BITS = 32
+
+    def __init__(self):
+        self._cache: dict[str, int] = {}
+        self._shifts = np.arange(self.BITS, dtype=np.uint32)
+
+    def _h(self, w: str) -> int:
+        v = self._cache.get(w)
+        if v is None:
+            v = self._cache[w] = word_hash32(w)
+        return v
+
+    def simhash(self, text: str) -> int:
+        words = text.split(" ")
+        hs = np.fromiter((self._h(w) for w in words), dtype=np.uint64, count=len(words))
+        ones = ((hs[:, None] >> self._shifts) & 1).sum(axis=0)  # per-bit ones
+        bits = (2 * ones > len(words)).astype(np.uint64)         # strict majority
+        return int((bits << self._shifts).sum())
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch["simhash"] = batch["text"].map(self.simhash).astype("int64")
+        return batch[["doc_id", "simhash"]]
+
+
+def q_simhash(sf_dir: str) -> ray.data.Dataset:
+    return _read_docs(sf_dir).map_batches(
+        SimHash, batch_format="pandas", batch_size=2048, concurrency=2)
+
+
+# ------------------------------------------------------------ exact jaccard (oracle-scale)
+
+JACCARD_N = 300          # doc_id < N pairs — bounded all-pairs for the oracle
+JACCARD_TAU_MILLI = 300  # keep pairs with word-set Jaccard ≥ 0.3
+
+
+def q_jaccard_pairs(sf_dir: str) -> "pd.DataFrame":
+    """Exact word-set Jaccard over the bounded doc_id<N prefix: the
+    ground-truth generator the probabilistic dedupers are tested
+    against. All-pairs is deliberately NOT the scale path (that's
+    minhash); N is fixed so the driver-side cost is constant."""
+    # predicate pushdown: only the bounded prefix leaves storage
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=DOC_COLS,
+        filter=pc.field("doc_id") < JACCARD_N,
+    ).to_pandas()
+    ids = docs["doc_id"].to_numpy()
+    sets = [frozenset(t.split(" ")) for t in docs["text"]]
+    out = []
+    for i in range(len(ids)):
+        si = sets[i]
+        for j in range(i + 1, len(ids)):
+            sj = sets[j]
+            inter = len(si & sj)
+            union = len(si) + len(sj) - inter
+            jm = (1000 * inter) // union
+            if jm >= JACCARD_TAU_MILLI:
+                a, b = int(ids[i]), int(ids[j])
+                if a > b:
+                    a, b = b, a
+                out.append((a, b, jm))
+    return pd.DataFrame(out, columns=["doc_a", "doc_b", "jaccard_milli"]) \
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+# ------------------------------------------------------------ minhash + LSH
+
+NUM_PERM = 64
+BANDS = 16               # 16 bands × 4 rows
+ROWS_PER_BAND = NUM_PERM // BANDS
+MERSENNE = (1 << 61) - 1
+SHINGLE_K = 3
+
+
+def _perm_params(num_perm: int, seed: int = 1234) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def shingle_hashes(text: str, k: int = SHINGLE_K) -> np.ndarray:
+    """Deterministic 61-bit hashes of word k-shingles (blake2b-based —
+    stable across processes, unlike Python's hash())."""
+    words = text.split(" ")
+    if len(words) < k:
+        grams = [" ".join(words)]
+    else:
+        grams = [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
+    out = np.empty(len(grams), dtype=np.uint64)
+    for i, g in enumerate(grams):
+        out[i] = int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(),
+                                "little") % MERSENNE
+    return out
+
+
+class MinHashBands:
+    """Stage 1: doc → minhash signature → one row per band:
+    (band_id, band_hash, doc_id). Emits BANDS× the input rows, but each
+    row is 3 small integers — the groupby that follows shuffles only
+    these, which is what makes MinHash-LSH viable at corpus scale."""
+
+    def __init__(self, num_perm: int = NUM_PERM, bands: int = BANDS):
+        self.a, self.b = _perm_params(num_perm)
+        self.num_perm, self.bands = num_perm, bands
+        self.rows = num_perm // bands
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = shingle_hashes(text)
+        # (n_shingles, num_perm) universal hash, min over shingles
+        vals = (sh[:, None] * self.a[None, :] + self.b[None, :]) % MERSENNE
+        return vals.min(axis=0)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        doc_ids, band_ids, band_hashes = [], [], []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            sig = self.signature(text)
+            for b in range(self.bands):
+                chunk = sig[b * self.rows:(b + 1) * self.rows]
+                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
+                doc_ids.append(doc_id)
+                band_ids.append(b)
+                band_hashes.append(h)
+        return pd.DataFrame({"doc_id": doc_ids, "band_id": band_ids,
+                             "band_hash": band_hashes})
+
+
+def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    """Stage 2 (post band-groupby): emit candidate pairs per bucket."""
+    ids = sorted(group["doc_id"].tolist())
+    if len(ids) < 2 or len(ids) > 200:  # degenerate mega-bucket guard
+        return pd.DataFrame({"doc_a": [], "doc_b": []})
+    pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
+    return pd.DataFrame(pairs, columns=["doc_a", "doc_b"])
+
+
+def minhash_candidate_pairs(sf_dir: str) -> ray.data.Dataset:
+    bands = _read_docs(sf_dir).map_batches(
+        MinHashBands, batch_format="pandas", batch_size=1024, concurrency=2)
+    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
+        _bucket_pairs, batch_format="pandas")
+    # same pair may collide in several bands — dedup (another small shuffle)
+    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas")
+
+
+def q_minhash_pairs(sf_dir: str) -> pd.DataFrame:
+    """Stage 3: exact-Jaccard verify of the LSH candidates. The
+    candidate set is tiny relative to the corpus; texts for it are
+    fetched via a broadcast filter (semi-join), never an all-pairs scan."""
+    cand = minhash_candidate_pairs(sf_dir).to_pandas()
+    if cand.empty:
+        return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard_milli": []})
+    need = set(cand["doc_a"]) | set(cand["doc_b"])
+    need_arr = pa.array(sorted(need), type=pa.int64())
+    texts = (_read_docs(sf_dir)
+             .map_batches(lambda t: t.filter(pc.is_in(t["doc_id"], value_set=need_arr)),
+                          batch_format="pyarrow")
+             .to_pandas())
+    by_id = dict(zip(texts["doc_id"], texts["text"]))
+
+    def shingle_set(text: str) -> frozenset:
+        w = text.split(" ")
+        if len(w) < SHINGLE_K:
+            return frozenset([" ".join(w)])
+        return frozenset(" ".join(w[i:i + SHINGLE_K])
+                         for i in range(len(w) - SHINGLE_K + 1))
+
+    # verify with the SAME similarity the LSH approximates: k-shingle
+    # Jaccard (the unigram variant lives in q_jaccard_pairs)
+    sets = {i: shingle_set(by_id[i]) for i in by_id}
+    jm = []
+    for a, b in zip(cand["doc_a"], cand["doc_b"]):
+        sa, sb = sets[a], sets[b]
+        inter = len(sa & sb)
+        jm.append((1000 * inter) // (len(sa) + len(sb) - inter))
+    cand = cand.assign(jaccard_milli=jm)
+    out = cand[cand["jaccard_milli"] >= JACCARD_TAU_MILLI]
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)

@@ -1,0 +1,317 @@
+"""Event-stream + relational operators over the ``events`` and TPC-H-ish
+tables — the windowed-aggregate / sessionization / as-of-join family
+the reference lacks natively (SURVEY §2.6/§2.8: swarm has no windows;
+these are the north-star additions, built per the documented Ray
+pattern: partition by key, sort within group, window in pandas).
+
+Float-safety: all money/value sums are integer cents (``ROUND(x*100)``
+per row, exact for 2-decimal inputs) so oracle value-hashes can never
+drift on float accumulation order.
+
+Partitioning assumptions (documented per custom-operator rule):
+* sessionize / as-of require all rows of one ``user_id`` in one group —
+  guaranteed by ``groupby(user_id).map_groups``; ordering inside the
+  group is re-established by an explicit sort on (ts, event_id).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Sum
+
+SESSION_GAP_MIN = 30
+
+
+def _read_events(sf_dir: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+# ------------------------------------------------------------ parse (M2 analogue)
+
+def q_events_parse_props(sf_dir: str) -> ray.data.Dataset:
+    """Vectorized regex extraction from the JSON-ish props column —
+    the events-table twin of the doc_id grok parse."""
+    def extract(t: pa.Table) -> pa.Table:
+        k = pc.cast(pc.struct_field(
+            pc.extract_regex(t["props"], r'"k": (?P<k>\d+)'), "k"), pa.int64())
+        return pa.table({"event_id": t["event_id"], "event_type": t["event_type"],
+                         "k": k})
+    return _read_events(sf_dir, ["event_id", "event_type", "props"]).map_batches(
+        extract, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------------------ windowed aggregate
+
+def q_events_hourly(sf_dir: str) -> ray.data.Dataset:
+    """Tumbling-window aggregate: per (event_type, hour) count +
+    value-cents sum. The window assignment is a vectorized map; the
+    shuffle only moves per-batch partials of a tiny key space."""
+    def add_window(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        return pa.table({"event_type": t["event_type"], "hour": hour,
+                         "value_cents": cents})
+    return (_read_events(sf_dir, ["ts", "event_type", "value"])
+            .map_batches(add_window, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby(["event_type", "hour"])
+            .aggregate(Count(alias_name="n"),
+                       Sum("value_cents", alias_name="value_cents")))
+
+
+# ------------------------------------------------------------ top-k
+
+def q_events_top_users(sf_dir: str) -> ray.data.Dataset:
+    """Top-10 users by event count (sort + limit after a pre-aggregated
+    groupby; ties broken by user_id ascending, mirrored in the SQL)."""
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "value_cents": pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64()),
+        })
+    agg = (_read_events(sf_dir, ["user_id", "value"])
+           .map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby("user_id")
+           .aggregate(Count(alias_name="n"), Sum("value_cents", alias_name="value_cents")))
+    # two-key sort (n desc, user_id asc) for a deterministic top-k
+    return agg.sort(["n", "user_id"], descending=[True, False]).limit(10)
+
+
+# ------------------------------------------------------------ sessionization
+
+def _sessionize_group(g: pd.DataFrame) -> pd.DataFrame:
+    g = g.sort_values(["ts", "event_id"])
+    gap = g["ts"].diff() > pd.Timedelta(minutes=SESSION_GAP_MIN)
+    session = gap.cumsum()  # 0-based session index per user
+    sizes = session.value_counts()
+    return pd.DataFrame({
+        "user_id": [g["user_id"].iloc[0]],
+        "n_sessions": [int(session.nunique())],
+        "max_session_events": [int(sizes.max())],
+        "total_events": [len(g)],
+    })
+
+
+def q_events_sessionize(sf_dir: str) -> ray.data.Dataset:
+    """Gap-based sessionization (30-min idle gap): per-user session
+    stats. groupby(user).map_groups = the documented Ray pattern for
+    event-time windows; each group sorts locally — no global sort."""
+    return (_read_events(sf_dir, ["user_id", "ts", "event_id"])
+            .groupby("user_id")
+            .map_groups(_sessionize_group, batch_format="pandas"))
+
+
+# ------------------------------------------------------------ as-of join
+
+def _asof_group(g: pd.DataFrame) -> pd.DataFrame:
+    g = g.sort_values(["ts", "event_id"])
+    click_ids = g["event_id"].where(g["event_type"] == "click").astype("float64")
+    # cummax leaves NaN at non-click rows → ffill carries the running
+    # max forward; shift(1) makes it strictly-prior
+    prior_click = click_ids.cummax().ffill().shift(1)
+    err = g[g["event_type"] == "error"]
+    out = pd.DataFrame({
+        "error_event_id": err["event_id"].astype("int64"),
+        "user_id": err["user_id"].astype("int64"),
+        "prior_click_id": prior_click[err.index].fillna(-1).astype("int64"),
+    })
+    return out
+
+
+def q_events_asof_click(sf_dir: str) -> ray.data.Dataset:
+    """As-of self-join: for every 'error' event, the most recent prior
+    'click' of the same user (-1 when none). Semantics pinned as: max
+    event_id among clicks strictly earlier in (ts, event_id) order —
+    deterministic under timestamp ties, identical in the SQL window."""
+    return (_read_events(sf_dir, ["user_id", "ts", "event_id", "event_type"])
+            .groupby("user_id")
+            .map_groups(_asof_group, batch_format="pandas"))
+
+
+# ------------------------------------------------------------ TPC-H-ish
+
+def q_tpch_pricing(sf_dir: str) -> ray.data.Dataset:
+    """Q1-style pricing summary over lineitem (groupby + multi-agg,
+    integer-cents sums, pre-aggregated per block by Ray's combiner)."""
+    cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount", "l_shipdate"]
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.less_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-02")))
+        t = t.filter(keep)
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "qty_cents": pc.cast(pc.round(pc.multiply(t["l_quantity"], 100.0)), pa.int64()),
+            "price_cents": pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64()),
+            "disc_cents": pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64()),
+        })
+
+    return (ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=cols)
+            .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby(["l_returnflag", "l_linestatus"])
+            .aggregate(Sum("qty_cents", alias_name="sum_qty_cents"),
+                       Sum("price_cents", alias_name="sum_price_cents"),
+                       Sum("disc_cents", alias_name="sum_disc_cents"),
+                       Count(alias_name="count_order")))
+
+
+def q_tpch_nation_orders(sf_dir: str) -> ray.data.Dataset:
+    """orders ⋈ customer ⋈ nation per-nation totals — implemented as two
+    BROADCAST hash lookups (customer→nation key, nation→name) inside one
+    map_batches, then a small groupby: the no-shuffle join plan for
+    dimension tables (SURVEY §2.4), vs. the SQL's literal joins."""
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = ray.data.read_parquet(f"{sf_dir}/nation.parquet",
+                                   columns=["n_nationkey", "n_name"]).to_pandas()
+    cust_arr = np.full(int(cust["c_custkey"].max()) + 1, -1, dtype=np.int64)
+    cust_arr[cust["c_custkey"].to_numpy()] = cust["c_nationkey"].to_numpy()
+    nation_names = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    cust_ref = ray.put(cust_arr)
+
+    class JoinLookup:
+        def __init__(self, cust_ref, nation_names):
+            self.cust = ray.get(cust_ref)
+            self.nation_names = nation_names
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t["o_custkey"].to_numpy()
+            nk = self.cust[keys]
+            names = pd.Series(nk).map(self.nation_names)
+            cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64())
+            return pa.table({"n_name": pa.array(names, type=pa.string()),
+                             "total_cents": cents})
+
+    return (ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                  columns=["o_custkey", "o_totalprice"])
+            .map_batches(JoinLookup, batch_format="pyarrow", zero_copy_batch=True,
+                         concurrency=2,
+                         fn_constructor_kwargs={"cust_ref": cust_ref,
+                                                "nation_names": nation_names})
+            .groupby("n_name")
+            .aggregate(Count(alias_name="order_count"),
+                       Sum("total_cents", alias_name="total_cents")))
+
+
+def q_tpch_revenue(sf_dir: str) -> pd.DataFrame:
+    """Q6-style filtered revenue — predicate + projection pruned at the
+    read (row-group pushdown), integer 1e-4-scale product sum."""
+    filt = (
+        (pc.field("l_shipdate") >= pd.Timestamp("1994-01-01"))
+        & (pc.field("l_shipdate") < pd.Timestamp("1995-01-01"))
+        & (pc.field("l_quantity") < 24.0)
+    )
+
+    def rev(t: pa.Table) -> pa.Table:
+        d = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64())
+        keep = pc.and_(pc.greater_equal(d, 5), pc.less_equal(d, 7))
+        t = t.filter(keep)
+        e = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
+        d = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64())
+        return pa.table({"revenue_e4": pc.multiply(e, d)})
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount", "l_shipdate", "l_quantity"],
+        filter=filt,
+    ).map_batches(rev, batch_format="pyarrow", zero_copy_batch=True)
+    total = ds.sum("revenue_e4")
+    return pd.DataFrame({"revenue_e4": [int(total or 0)]})
+
+
+# ------------------------------------------------------------ registry
+
+def queries():
+    return {
+        "events_parse_props": q_events_parse_props,
+        "events_hourly": q_events_hourly,
+        "events_top_users": q_events_top_users,
+        "events_sessionize": q_events_sessionize,
+        "events_asof_click": q_events_asof_click,
+        "tpch_pricing": q_tpch_pricing,
+        "tpch_nation_orders": q_tpch_nation_orders,
+        "tpch_revenue": q_tpch_revenue,
+    }
+
+
+def oracle_sql():
+    return {
+        "events_parse_props": """
+SELECT event_id, event_type,
+  CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k
+FROM events
+""",
+        "events_hourly": """
+SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n,
+  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY 1, 2
+""",
+        "events_top_users": """
+SELECT user_id, COUNT(*) AS n,
+  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY user_id
+ORDER BY n DESC, user_id ASC LIMIT 10
+""",
+        "events_sessionize": f"""
+WITH o AS (
+  SELECT user_id, ts,
+    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > INTERVAL {SESSION_GAP_MIN} MINUTE THEN 1 ELSE 0 END AS new_session
+  FROM events
+), s AS (
+  SELECT user_id,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM o
+), per AS (
+  SELECT user_id, session_id, COUNT(*) AS n FROM s GROUP BY user_id, session_id
+)
+SELECT user_id, COUNT(*) AS n_sessions, MAX(n) AS max_session_events,
+  CAST(SUM(n) AS BIGINT) AS total_events
+FROM per GROUP BY user_id
+""",
+        "events_asof_click": """
+WITH w AS (
+  SELECT event_id, user_id, event_type,
+    MAX(CASE WHEN event_type = 'click' THEN event_id END)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_click
+  FROM events
+)
+SELECT event_id AS error_event_id, user_id,
+  COALESCE(prior_click, -1) AS prior_click_id
+FROM w WHERE event_type = 'error'
+""",
+        "tpch_pricing": """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+  CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+  COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "tpch_nation_orders": """
+SELECT n_name, COUNT(*) AS order_count,
+  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+        "tpch_revenue": """
+SELECT CAST(COALESCE(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * CAST(ROUND(l_discount * 100) AS BIGINT)), 0) AS BIGINT) AS revenue_e4
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+  AND l_shipdate < TIMESTAMP '1995-01-01'
+  AND CAST(ROUND(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24
+""",
+    }

@@ -1,0 +1,117 @@
+"""DuckDB oracle SQL for the training-data operators — each string is
+the exact semantic twin of the matching query in ops/*.py (same
+integer scaling, same tie-breaks, same edge-case handling)."""
+
+from __future__ import annotations
+
+from .dedup import JACCARD_N, JACCARD_TAU_MILLI
+from .text import LANG_MARKERS, STOPWORDS
+
+
+def _inlist(words) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+SQL_DOC_TOKEN_COUNT = f"""
+SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS distinct_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|\\d+|[^\\sA-Za-z\\d]+')) AS BIGINT) AS bpeish_tokens
+FROM documents
+"""
+
+SQL_DOC_QUALITY = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w, len(text) AS nc FROM documents
+), s AS (
+  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+    CAST(len(list_filter(w, x -> x IN ({_inlist(STOPWORDS)}))) AS BIGINT) AS stop_count,
+    nc
+  FROM d
+)
+SELECT doc_id, n_words, stop_count,
+  (1000 * stop_count) // n_words AS stop_ratio_milli,
+  (1000 * (nc - n_words + 1)) // n_words AS mean_word_len_milli
+FROM s
+"""
+
+SQL_DOC_FINGERPRINT = """
+WITH d AS (
+  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+), g AS (
+  SELECT doc_id, min(md5(array_to_string(w[CAST(t.i AS BIGINT):CAST(t.i AS BIGINT)+4], ' '))) AS fp
+  FROM d, UNNEST(range(1, len(w) - 3)) AS t(i)
+  WHERE len(w) >= 5
+  GROUP BY doc_id
+)
+SELECT d.doc_id AS doc_id, COALESCE(g.fp, md5(d.text)) AS fingerprint
+FROM d LEFT JOIN g USING (doc_id)
+"""
+
+
+def _langid_sql() -> str:
+    score = {
+        lang: f"len(list_filter(w, x -> x IN ({_inlist(ws)})))"
+        for lang, ws in LANG_MARKERS.items()
+    }
+    # ascending-language strict-> tie-break, matching LangId.predict_markers
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+), s AS (
+  SELECT doc_id, lang,
+    {score['de']} AS s_de, {score['en']} AS s_en,
+    {score['es']} AS s_es, {score['fr']} AS s_fr
+  FROM d
+)
+SELECT doc_id, lang,
+  CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+       WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+       WHEN s_es >= s_fr THEN 'es'
+       ELSE 'fr' END AS pred_lang
+FROM s
+"""
+
+
+SQL_DOC_LANGID = _langid_sql()
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_md5, min(doc_id) AS keeper_doc_id,
+  count(*) AS dup_count
+FROM documents GROUP BY 1
+"""
+
+SQL_SIMHASH = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), words AS (
+  SELECT doc_id, len(w) AS nw, unnest(w) AS word FROM d
+), hashed AS (
+  SELECT doc_id, nw, CAST(CONCAT('0x', substr(md5(word), 1, 8)) AS UBIGINT) AS h
+  FROM words
+), bits AS (
+  SELECT doc_id, b.b AS b,
+    SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE 0 END) AS ones,
+    MAX(nw) AS nw
+  FROM hashed, (SELECT unnest(range(32)) AS b) AS b
+  GROUP BY doc_id, b.b
+)
+SELECT doc_id,
+  CAST(SUM(CASE WHEN 2 * ones > nw THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+SQL_JACCARD_PAIRS = f"""
+WITH d AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS s
+  FROM documents WHERE doc_id < {JACCARD_N}
+), p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    (1000 * len(list_intersect(a.s, b.s))) //
+      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard_milli
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, jaccard_milli FROM p
+WHERE jaccard_milli >= {JACCARD_TAU_MILLI}
+"""

@@ -1,0 +1,169 @@
+"""Text analysis operators over the ``documents`` table.
+
+Large-scale training-data hygiene ops (language-ID, quality scoring,
+token counting, fingerprinting) expressed as vectorized / actor-pool
+``map_batches`` stages. The oracle-checked queries keep their outputs
+integer-valued (FLOOR-scaled ratios, counts, hex digests) so the
+value-hash comparison is float-safe.
+
+Scale note: at 100 TB these stages are the classic embarrassingly
+parallel case — no shuffle at all, pure ``map_batches`` streaming; the
+only care is compiling regexes / building vocab maps once per actor
+(``__init__``), never per batch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+#: tiny stopword set used by the oracle-checked quality heuristic
+#: (must stay in sync with the SQL in ops/__init__.py)
+STOPWORDS = ("the", "a", "of", "and", "to")
+
+DOC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def _read_docs(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=DOC_COLS)
+
+
+# ------------------------------------------------------------ token stats
+
+class TokenStats:
+    """Whitespace + BPE-ish token counting. Actor stage: the BPE-ish
+    word/number/punct splitter regex compiles once per actor."""
+
+    def __init__(self):
+        # GPT-2-style pre-tokenizer shape: words, numbers, punct runs
+        self.bpe_ish = re.compile(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]+")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        words = batch["text"].str.split(" ")
+        batch["ws_tokens"] = words.str.len().astype("int64")
+        batch["distinct_tokens"] = words.map(lambda w: len(set(w))).astype("int64")
+        batch["bpeish_tokens"] = batch["text"].map(
+            lambda t: len(self.bpe_ish.findall(t))).astype("int64")
+        return batch[["doc_id", "ws_tokens", "distinct_tokens", "bpeish_tokens"]]
+
+
+def q_doc_token_count(sf_dir: str) -> ray.data.Dataset:
+    return _read_docs(sf_dir).map_batches(
+        TokenStats, batch_format="pandas", batch_size=4096, concurrency=2)
+
+
+# ------------------------------------------------------------ quality
+
+def quality_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Quality heuristics, integer-scaled: stopword ratio and
+    mean-word-length in 1/1000 units (FLOOR, so SQL floor-division
+    matches), plus raw counts."""
+    words = batch["text"].str.split(" ")
+    n_words = words.str.len().astype("int64")
+    stop_count = words.map(lambda w: sum(x in STOPWORDS for x in w)).astype("int64")
+    n_chars = batch["text"].str.len().astype("int64")
+    batch["n_words"] = n_words
+    batch["stop_count"] = stop_count
+    batch["stop_ratio_milli"] = (1000 * stop_count) // n_words
+    # single-space text: total word chars = n_chars - (n_words - 1)
+    batch["mean_word_len_milli"] = (1000 * (n_chars - n_words + 1)) // n_words
+    return batch[["doc_id", "n_words", "stop_count", "stop_ratio_milli",
+                  "mean_word_len_milli"]]
+
+
+def q_doc_quality(sf_dir: str) -> ray.data.Dataset:
+    return _read_docs(sf_dir).map_batches(quality_batch, batch_format="pandas")
+
+
+# ------------------------------------------------------------ fingerprint
+
+class Fingerprint:
+    """Document fingerprint: min-md5 over word 5-gram shingles
+    (winnowing-lite / MinHash with k=1). Deterministic, SQL-reproducible.
+    Docs shorter than 5 words fall back to md5(text)."""
+
+    K = 5
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        md5 = hashlib.md5
+
+        def fp(text: str) -> str:
+            w = text.split(" ")
+            if len(w) < self.K:
+                return md5(text.encode()).hexdigest()
+            return min(md5(" ".join(w[i:i + self.K]).encode()).hexdigest()
+                       for i in range(len(w) - self.K + 1))
+
+        batch["fingerprint"] = batch["text"].map(fp)
+        return batch[["doc_id", "fingerprint"]]
+
+
+def q_doc_fingerprint(sf_dir: str) -> ray.data.Dataset:
+    return _read_docs(sf_dir).map_batches(
+        Fingerprint, batch_format="pandas", batch_size=4096, concurrency=2)
+
+
+# ------------------------------------------------------------ language-ID
+
+#: marker-word profiles for the oracle-checked heuristic: score per
+#: language = number of marker hits; argmax wins, ties broken by
+#: language name ascending. (Must stay in sync with SQL.)
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "is", "to"),
+    "de": ("der", "die", "und", "ist", "nicht"),
+    "fr": ("le", "la", "et", "est", "les"),
+    "es": ("el", "la", "y", "es", "los"),
+}
+
+
+class LangId:
+    """n-gram/marker language-ID. The queries() surface uses the
+    marker-word score (SQL-reproducible); ``predict_profile`` adds a
+    character-trigram cosine profile for real text (unit-tested on
+    natural-language samples, no SQL oracle)."""
+
+    #: tiny built-in char-trigram profiles (top trigrams per language)
+    PROFILES = {
+        "en": (" th", "the", "he ", " an", "and", "nd ", " of", "of ", "ing", "ng "),
+        "de": ("er ", " de", "der", "ie ", "ch ", " un", "und", "nd ", "ein", "sch"),
+        "fr": (" de", "de ", " le", "le ", "es ", "ent", " la", "la ", "ion", "que"),
+        "es": (" de", "de ", " la", "la ", "os ", " el", "el ", "ión", "que", "ent"),
+    }
+
+    def __init__(self):
+        self.langs = sorted(LANG_MARKERS)
+        self.marker_sets = {l: frozenset(ws) for l, ws in LANG_MARKERS.items()}
+
+    def predict_markers(self, text: str) -> str:
+        words = text.split(" ")
+        best = ("und", -1)
+        for lang in self.langs:  # ascending → deterministic tie-break
+            s = sum(w in self.marker_sets[lang] for w in words)
+            if s > best[1]:
+                best = (lang, s)
+        return best[0] if best[1] > 0 else "und"
+
+    def predict_profile(self, text: str) -> str:
+        t = " " + text.lower() + " "
+        grams = {t[i:i + 3] for i in range(len(t) - 2)}
+        best, best_s = "und", 0
+        for lang in sorted(self.PROFILES):
+            s = sum(g in grams for g in self.PROFILES[lang])
+            if s > best_s:
+                best, best_s = lang, s
+        return best
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch["pred_lang"] = batch["text"].map(self.predict_markers)
+        return batch[["doc_id", "lang", "pred_lang"]]
+
+
+def q_doc_langid(sf_dir: str) -> ray.data.Dataset:
+    return _read_docs(sf_dir).map_batches(
+        LangId, batch_format="pandas", batch_size=4096, concurrency=2)

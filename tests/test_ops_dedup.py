@@ -1,0 +1,81 @@
+"""Dedup operators: exact, simhash, minhash-LSH recall (SURVEY-plus
+training-data ops)."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from swarm_ray.ops import dedup
+
+
+def test_word_hash32_matches_md5_prefix():
+    assert dedup.word_hash32("hello") == int(hashlib.md5(b"hello").hexdigest()[:8], 16)
+
+
+def test_simhash_similar_docs_close():
+    s = dedup.SimHash()
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    b = a.replace("dog", "cat")
+    c = "completely different words about spaceships orbiting saturn rings forever"
+    ham_ab = bin(s.simhash(a) ^ s.simhash(b)).count("1")
+    ham_ac = bin(s.simhash(a) ^ s.simhash(c)).count("1")
+    assert ham_ab < ham_ac
+
+
+def test_simhash_deterministic():
+    s1, s2 = dedup.SimHash(), dedup.SimHash()
+    t = "alpha beta gamma delta epsilon zeta eta theta"
+    assert s1.simhash(t) == s2.simhash(t)
+
+
+def _planted_corpus(tmp_path, n=400, n_dup_pairs=20, seed=7):
+    """Corpus with planted near-duplicates (95% token overlap)."""
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(5000)]
+    texts, ids = [], []
+    for i in range(n):
+        words = rng.choice(vocab, size=80, replace=True)
+        texts.append(" ".join(words))
+        ids.append(i)
+    planted = set()
+    for j in range(n_dup_pairs):
+        src = j
+        words = texts[src].split(" ")
+        k = rng.integers(0, 76)
+        words[k] = "CHANGED"
+        texts.append(" ".join(words))
+        ids.append(n + j)
+        planted.add((src, n + j))
+    df = pd.DataFrame({"doc_id": ids, "text": texts,
+                       "lang": "en", "source": "synth", "n_chars": [len(t) for t in texts]})
+    sf = tmp_path / "sfplanted"
+    sf.mkdir()
+    df.to_parquet(sf / "documents.parquet", index=False)
+    return str(sf), planted
+
+
+def test_minhash_lsh_recall_and_precision(tmp_path):
+    sf, planted = _planted_corpus(tmp_path)
+    got = dedup.q_minhash_pairs(sf)
+    got_pairs = set(zip(got["doc_a"].astype(int), got["doc_b"].astype(int)))
+    # every verified pair must truly exceed the shingle-Jaccard threshold
+    assert all(j >= dedup.JACCARD_TAU_MILLI for j in got["jaccard_milli"])
+    # recall on planted 95%-overlap near-dups should be high
+    found = planted & got_pairs
+    assert len(found) >= 0.9 * len(planted), (len(found), len(planted))
+
+
+def test_exact_dedup_on_real_duplicates(tmp_path):
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["same text", "same text", "other", "same text"],
+        "lang": "en", "source": "s", "n_chars": 9,
+    })
+    sf = tmp_path / "sfdup"
+    sf.mkdir()
+    df.to_parquet(sf / "documents.parquet", index=False)
+    out = dedup.q_dedup_exact(str(sf)).to_pandas().sort_values("dup_count")
+    assert out["dup_count"].tolist() == [1, 3]
+    assert out[out["dup_count"] == 3]["keeper_doc_id"].iloc[0] == 1

@@ -1,0 +1,49 @@
+"""Text-analysis operators: langid on natural text, quality integers,
+fingerprint edges."""
+
+import pandas as pd
+
+from swarm_ray.ops.text import Fingerprint, LangId, TokenStats, quality_batch
+
+
+def test_langid_profile_on_natural_text():
+    l = LangId()
+    assert l.predict_profile("the quick brown fox and the lazy dog sing of things") == "en"
+    assert l.predict_profile("der schnelle braune fuchs springt und die hunde schlafen nicht") == "de"
+    assert l.predict_profile("le renard brun et rapide saute et les chiens dorment") == "fr"
+
+
+def test_langid_markers_tiebreak_deterministic():
+    l = LangId()
+    # 'la' is both fr and es marker; tie → ascending language order ('es' < 'fr')
+    assert l.predict_markers("la la la") == "es"
+    assert l.predict_markers("xyzzy qwerty") == "und"
+
+
+def test_quality_integer_scaling():
+    df = pd.DataFrame({"doc_id": [1], "text": ["the cat of a hat"]})
+    out = quality_batch(df)
+    assert out["n_words"].iloc[0] == 5
+    assert out["stop_count"].iloc[0] == 3  # the, of, a
+    assert out["stop_ratio_milli"].iloc[0] == 600
+    # chars=16, words=5 → word chars = 16-4 = 12 → 2400 milli
+    assert out["mean_word_len_milli"].iloc[0] == 2400
+
+
+def test_fingerprint_short_doc_fallback():
+    fp = Fingerprint()
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["only three words", "a b c d e f g"]})
+    out = fp(df)
+    import hashlib
+    assert out["fingerprint"].iloc[0] == hashlib.md5(b"only three words").hexdigest()
+    assert len(out["fingerprint"].iloc[1]) == 32
+
+
+def test_token_stats():
+    ts = TokenStats()
+    df = pd.DataFrame({"doc_id": [1], "text": ["ab ab cd, 12"]})
+    out = ts(df)
+    assert out["ws_tokens"].iloc[0] == 4
+    assert out["distinct_tokens"].iloc[0] == 3
+    # bpe-ish: ab, ab, cd, ',', 12
+    assert out["bpeish_tokens"].iloc[0] == 5
