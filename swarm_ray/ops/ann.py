@@ -1,0 +1,300 @@
+"""Similarity search over the ``embeddings`` table (vec_id,
+embedding: list<float>, label).
+
+* brute-force top-k cosine — the exactness baseline: the query matrix
+  is broadcast once (``ray.put``), every corpus batch does one numpy
+  matmul, emits its local top-k per query, and a per-query
+  ``groupby.map_groups`` folds candidates into the global top-k. The
+  all-to-all moves only (query_id, vec_id, sim) candidate triples —
+  k·num_batches rows per query, never the vectors.
+* LSH (random-hyperplane) bucketed ANN — the scale path: corpus is
+  bucketed by sign-pattern; queries probe their bucket ± 1-bit
+  multiprobe; exact cosine re-ranks the candidates. Recall vs the
+  brute-force baseline is pinned by tests/test_ops_ann.py.
+* near-duplicate pairs by embedding cosine over a bounded prefix —
+  SQL-checked (DuckDB ``list_cosine_similarity``), with pair ids only
+  in the output (floats stay internal, so the value-hash can't drift).
+
+All cosine math runs in float64 promoted from the stored float32 — the
+same promotion DuckDB applies — so both sides see identical doubles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+TOP_K = 5
+N_QUERIES = 10          # query set = vec_id < N_QUERIES
+NEAR_DUP_N = 500        # bounded prefix for the SQL-checked pair scan
+NEAR_DUP_TAU = 0.45     # cosine threshold: 14 pairs at sf0.01, nearest sim is
+                        # 5.5e-4 away from tau — far beyond any float drift
+LSH_BITS = 6             # 2^6 buckets/table — sized for recall on small corpora;
+                         # scale by corpus size (buckets ≈ corpus/branch factor)
+LSH_SEED = 99
+
+
+def _read_emb(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                 columns=["vec_id", "embedding"])
+
+
+def _to_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = batch["vec_id"].to_numpy()
+    emb = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+    return ids, emb
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+
+def _load_queries(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    qt = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filter=pc.field("vec_id") < N_QUERIES,
+    ).to_pandas().sort_values("vec_id")
+    q = np.asarray(list(qt["embedding"]), dtype=np.float64)
+    return qt["vec_id"].to_numpy(), q
+
+
+class BruteForceTopK:
+    """Per-batch scorer: one matmul against the broadcast query matrix,
+    emit the batch-local top-k candidates per query."""
+
+    def __init__(self, queries_ref, k: int = TOP_K):
+        q_ids, q = ray.get(queries_ref)
+        self.q_ids = q_ids
+        self.qn = _normalize(q)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, emb = _to_matrix(batch)
+        sims = _normalize(emb) @ self.qn.T          # (n_corpus, n_queries)
+        out_q, out_v, out_s = [], [], []
+        k = min(self.k + 1, len(ids))               # +1: self may be in batch
+        for j, qid in enumerate(self.q_ids):
+            col = sims[:, j]
+            top = np.argpartition(-col, k - 1)[:k]
+            out_q.append(np.full(len(top), qid, dtype=np.int64))
+            out_v.append(ids[top])
+            out_s.append(col[top])
+        return pa.table({
+            "query_vec_id": pa.array(np.concatenate(out_q)),
+            "vec_id": pa.array(np.concatenate(out_v)),
+            "sim": pa.array(np.concatenate(out_s), type=pa.float64()),
+        })
+
+
+def _fold_topk(g: pd.DataFrame, k: int = TOP_K) -> pd.DataFrame:
+    g = g[g["vec_id"] != g["query_vec_id"]]          # exclude self-match
+    g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+    g = g.reset_index(drop=True)
+    return pd.DataFrame({
+        "query_vec_id": g["query_vec_id"].astype("int64"),
+        "rank": np.arange(1, len(g) + 1, dtype="int64"),
+        "neighbor_vec_id": g["vec_id"].astype("int64"),
+    })
+
+
+def q_knn_bruteforce(sf_dir: str) -> ray.data.Dataset:
+    """Exact top-5 cosine neighbors for the first 10 vectors. Output is
+    discrete (query, rank, neighbor) — float sims never leave the plan."""
+    queries_ref = ray.put(_load_queries(sf_dir))
+    cand = _read_emb(sf_dir).map_batches(
+        BruteForceTopK, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=4096, concurrency=2,
+        fn_constructor_kwargs={"queries_ref": queries_ref})
+    return cand.groupby("query_vec_id").map_groups(_fold_topk, batch_format="pandas")
+
+
+# ------------------------------------------------------------ LSH ANN
+
+LSH_TABLES = 8           # independent hash tables (recall knob)
+
+
+def _hyperplanes(dim: int) -> np.ndarray:
+    """(tables, bits, dim) seeded hyperplanes — identical on every worker."""
+    rng = np.random.default_rng(LSH_SEED)
+    return rng.standard_normal((LSH_TABLES, LSH_BITS, dim))
+
+
+class LshBucket:
+    """Corpus-side bucketer: per LSH table, the sign-pattern bucket of
+    each vector. Emits (vec_id, table_id, bucket) triples ONLY — the
+    vectors themselves never enter the candidate shuffle; embeddings of
+    surviving candidates are fetched afterwards by a bounded semi-join.
+    That asymmetry (tiny triples move, fat vectors don't) is what makes
+    this the 100 TB plan."""
+
+    def __init__(self, dim: int):
+        self.planes = _hyperplanes(dim)              # (L, B, dim)
+        self.pows = (1 << np.arange(LSH_BITS)).astype(np.int64)
+
+    def buckets_of(self, m: np.ndarray) -> np.ndarray:
+        """(n, L) bucket per table."""
+        bits = np.einsum("nd,lbd->nlb", m, self.planes) > 0
+        return (bits.astype(np.int64) * self.pows).sum(axis=2)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, emb = _to_matrix(batch)
+        b = self.buckets_of(emb)                     # (n, L)
+        n, L = b.shape
+        return pa.table({
+            "vec_id": pa.array(np.repeat(ids, L)),
+            "table_id": pa.array(np.tile(np.arange(L, dtype=np.int64), n)),
+            "bucket": pa.array(b.reshape(-1)),
+        })
+
+
+def q_lsh_ann(sf_dir: str, k: int = TOP_K) -> pd.DataFrame:
+    """Multi-table LSH ANN: candidates = union over L tables of the
+    query's bucket ± 1-bit multiprobe; exact cosine re-rank of the
+    candidate set. Recall vs q_knn_bruteforce is pinned by pytest."""
+    q_ids, q = _load_queries(sf_dir)
+    dim = q.shape[1]
+    bucketer = LshBucket(dim)
+    triples = _read_emb(sf_dir).map_batches(
+        LshBucket, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=2, fn_constructor_kwargs={"dim": dim})
+
+    q_buckets = bucketer.buckets_of(_normalize(q))   # (nq, L)
+    probes: dict[int, set[tuple[int, int]]] = {}
+    for j, qid in enumerate(q_ids):
+        s = set()
+        for t in range(LSH_TABLES):
+            b = int(q_buckets[j, t])
+            s.add((t, b))
+            s.update((t, b ^ (1 << i)) for i in range(LSH_BITS))
+        probes[int(qid)] = s
+    wanted = set().union(*probes.values())
+
+    # composite probe key (table_id << bits) | bucket → one is_in filter
+    wanted_arr = pa.array([(t << LSH_BITS) | b for t, b in sorted(wanted)],
+                          type=pa.int64())
+
+    def probe_filter(t: pa.Table) -> pa.Table:
+        key = pc.bit_wise_or(
+            pc.shift_left(t["table_id"], LSH_BITS), t["bucket"])
+        return t.filter(pc.is_in(key, value_set=wanted_arr))
+
+    hits = triples.map_batches(probe_filter, batch_format="pyarrow").to_pandas()
+
+    # bounded semi-join: fetch embeddings only for candidate vec_ids
+    cand_ids_arr = pa.array(sorted(set(hits["vec_id"])), type=pa.int64())
+    cand = _read_emb(sf_dir).map_batches(
+        lambda t: t.filter(pc.is_in(t["vec_id"], value_set=cand_ids_arr)),
+        batch_format="pyarrow").to_pandas()
+    emb_by_id = dict(zip(cand["vec_id"],
+                         _normalize(np.asarray(list(cand["embedding"]),
+                                               dtype=np.float64))))
+
+    hit_key = hits.assign(key=[(t, b) for t, b in zip(hits["table_id"], hits["bucket"])])
+    qn = _normalize(q)
+    rows = []
+    for j, qid in enumerate(q_ids):
+        sel = hit_key[hit_key["key"].isin(probes[int(qid)])]
+        ids_j = np.array(sorted(set(sel["vec_id"]) - {int(qid)}), dtype=np.int64)
+        if len(ids_j) == 0:
+            continue
+        emb_j = np.stack([emb_by_id[i] for i in ids_j])
+        sims = emb_j @ qn[j]
+        order = np.lexsort((ids_j, -sims))[:k]
+        for n, idx in enumerate(order, 1):
+            rows.append((int(qid), n, int(ids_j[idx])))
+    return pd.DataFrame(rows, columns=["query_vec_id", "rank", "neighbor_vec_id"])
+
+
+# ------------------------------------------------------------ near-dup pairs
+
+def q_emb_near_dup(sf_dir: str) -> pd.DataFrame:
+    """Embedding-cosine near-duplicate pairs over the bounded vec_id
+    prefix (SQL-checked via list_cosine_similarity)."""
+    t = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filter=pc.field("vec_id") < NEAR_DUP_N,
+    ).to_pandas().sort_values("vec_id")
+    ids = t["vec_id"].to_numpy()
+    m = _normalize(np.asarray(list(t["embedding"]), dtype=np.float64))
+    sims = m @ m.T
+    ii, jj = np.where(np.triu(sims > NEAR_DUP_TAU, k=1))
+    return pd.DataFrame({
+        "vec_a": ids[ii].astype("int64"),
+        "vec_b": ids[jj].astype("int64"),
+    }).sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+# ------------------------------------------------------------ centroids
+
+def q_emb_centroids(sf_dir: str) -> pd.DataFrame:
+    """Per-label centroid (mean embedding) — mergeable partial sums per
+    batch, tiny final fold (rows-only: float vector output)."""
+    def partial(t: pa.Table) -> pa.Table:
+        lab = t["label"].to_numpy()
+        emb = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        out_l, out_s, out_n = [], [], []
+        for l in np.unique(lab):
+            sel = emb[lab == l]
+            out_l.append(int(l))
+            out_s.append(sel.sum(axis=0).tolist())
+            out_n.append(len(sel))
+        return pa.table({"label": pa.array(out_l, type=pa.int32()),
+                         "vec_sum": pa.array(out_s, type=pa.list_(pa.float64())),
+                         "n": pa.array(out_n, type=pa.int64())})
+
+    parts = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    rows = []
+    for label, g in parts.groupby("label"):
+        s = np.sum(np.stack([np.asarray(v) for v in g["vec_sum"]]), axis=0)
+        n = int(g["n"].sum())
+        rows.append((int(label), n, (s / n).tolist()))
+    return pd.DataFrame(rows, columns=["label", "n", "centroid"]) \
+        .sort_values("label").reset_index(drop=True)
+
+
+# ------------------------------------------------------------ registry
+
+def queries():
+    return {
+        "emb_knn": q_knn_bruteforce,
+        "emb_lsh_ann": q_lsh_ann,          # rows-only (recall pinned by pytest)
+        "emb_near_dup": q_emb_near_dup,
+        "emb_centroids": q_emb_centroids,  # rows-only (float vectors)
+    }
+
+
+def oracle_sql():
+    return {
+        "emb_knn": f"""
+WITH q AS (
+  SELECT vec_id AS query_vec_id, embedding AS qe FROM embeddings
+  WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT q.query_vec_id, e.vec_id,
+    list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS sim
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_vec_id
+), ranked AS (
+  SELECT query_vec_id, vec_id,
+    ROW_NUMBER() OVER (PARTITION BY query_vec_id ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_vec_id, rank, vec_id AS neighbor_vec_id
+FROM ranked WHERE rank <= {TOP_K}
+""",
+        "emb_near_dup": f"""
+WITH e AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < {NEAR_DUP_N}
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) > {NEAR_DUP_TAU}
+""",
+    }
