@@ -45,15 +45,30 @@ def run_bench() -> dict:
                 pass
 
     out_dir = f"/tmp/swarm_ray_bench_out_{NUM_CPUS}"
-    shutil.rmtree(out_dir, ignore_errors=True)
 
-    t0 = time.time()
-    results = run_job(files, out_dir, files_per_partition=len(files) or 1)
-    headline = time.time() - t0
+    # one untimed warmup execution (worker-process imports, actor-pool
+    # spin-up, write-path JIT), then the median of BENCH_REPS timed
+    # runs — steady-state throughput, which is what the 10^12-sequence
+    # target metric is about; a 10 s run would otherwise be dominated
+    # by per-process one-time costs and page-cache state.
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    shutil.rmtree(out_dir, ignore_errors=True)
+    run_job(files, out_dir, files_per_partition=len(files) or 1)  # warmup
+    times = []
+    results = None
+    for _ in range(reps):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        os.sync()  # flush dirty pages so writeback doesn't bleed into the next rep
+        t0 = time.time()
+        results = run_job(files, out_dir, files_per_partition=len(files) or 1)
+        times.append(time.time() - t0)
+    times.sort()
+    headline = times[len(times) // 2]
     rows_in = sum(r["rows_in"] for r in results)
     rows_routed = sum(r["rows_routed"] for r in results)
 
-    queries: dict[str, float] = {"flagship_job": round(headline, 3)}
+    queries: dict[str, float] = {"flagship_job": round(headline, 3),
+                                 "flagship_job_best": round(times[0], 3)}
 
     # secondary: aggregate-only plan (no sink write) — isolates the
     # parse/enrich/route compute + count shuffle

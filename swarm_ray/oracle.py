@@ -25,8 +25,12 @@ TS_EXPR = ("TIMESTAMP '2024-01-01 00:00:00' + "
            "CAST(regexp_extract(doc_id, 'doc-(\\d+)', 1) AS BIGINT) * INTERVAL 1 SECOND")
 
 #: canonical record string — must match stages/ids.canonical_string
-CANON_EXPR = ("doc_id || '|' || source || '|' || CAST(n_tok AS VARCHAR) || '|' || "
-              "COALESCE(array_to_string(tokens, ','), '')")
+#: (tokens are fixed-width 5-digit decimals each followed by a comma)
+CANON_EXPR = (
+    "doc_id || '|' || source || '|' || CAST(n_tok AS VARCHAR) || '|' || "
+    "COALESCE(array_to_string("
+    "list_transform(tokens, x -> lpad(CAST(x AS VARCHAR), 5, '0') || ','), "
+    "''), '')")
 
 MD5_ID_EXPR = f"md5({CANON_EXPR})"
 

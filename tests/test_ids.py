@@ -20,13 +20,13 @@ def mk(doc_id="github_audit/part-00000/doc-00000042.log",
 
 def test_canonical_string():
     assert canonical_string(mk()).to_pylist() == [
-        "github_audit/part-00000/doc-00000042.log|github_audit|3|5,6,7"
+        b"github_audit/part-00000/doc-00000042.log|github_audit|3|00005,00006,00007,"
     ]
 
 
 def test_canonical_string_empty_tokens():
     assert canonical_string(mk(tokens=())).to_pylist() == [
-        "github_audit/part-00000/doc-00000042.log|github_audit|0|"
+        b"github_audit/part-00000/doc-00000042.log|github_audit|0|"
     ]
 
 
@@ -34,7 +34,7 @@ def test_log_id_idempotent():
     # ≙ LogID determinism (reference pkg/domain/types/types_test.go:90-121):
     # same input → same md5, many iterations
     want = hashlib.md5(
-        b"github_audit/part-00000/doc-00000042.log|github_audit|3|5,6,7"
+        b"github_audit/part-00000/doc-00000042.log|github_audit|3|00005,00006,00007,"
     ).hexdigest()
     for _ in range(100):
         assert generated_log_id(mk()).to_pylist() == [want]
