@@ -110,8 +110,14 @@ def doc_index(batch: pa.Table) -> pa.Array:
 def derive_timestamp(batch: pa.Table) -> pa.Array:
     """Synthetic event time: BASE_TS + doc_index seconds, as
     timestamp[us] (≙ the schema rule parsing an event-time field,
-    reference pkg/usecase/load.go:236-244 float-sec → time.Time)."""
-    idx = doc_index(batch)
+    reference pkg/usecase/load.go:236-244 float-sec → time.Time).
+
+    Reuses the parse stage's ``doc_idx`` column when present instead of
+    re-running the regex (route evaluates this once per matched rule)."""
+    if "doc_idx" in batch.column_names:
+        idx = batch["doc_idx"].combine_chunks()
+    else:
+        idx = doc_index(batch)
     us = pc.add(pc.multiply(idx, pa.scalar(1_000_000, type=pa.int64())),
                 pa.scalar(BASE_TS_US, type=pa.int64()))
     return pc.cast(us, pa.timestamp("us"))
