@@ -1,0 +1,89 @@
+"""Scalable aggregates — partial (combiner) aggregation + salted keys.
+
+Ray Data's ``groupby(keys).aggregate(...)`` is a sort-based all-to-all
+exchange of EVERY row. For associative aggregates over low-cardinality
+keys (per-sink counts ≙ ``IngestLog.LogCount``, reference
+``pkg/usecase/load.go:292``; per-source counts ≙ ``SourceLog.RowCount``,
+``:207-208``) that is wasted movement: each block can be collapsed to
+at most ``#distinct_keys`` partial rows first, so the shuffle moves
+``#blocks × #keys`` rows instead of 10^12. This mirrors the reference's
+design, where counts are accumulated per goroutine and merged once
+(``pkg/usecase/load.go:175-178``) — except the merge here is itself a
+(tiny) distributed groupby, not a single-threaded barrier.
+
+Skew note: partial aggregation is ALSO the skew treatment for
+associative aggregates — the 55%-hot ``source`` key (FIXTURES.md F1)
+arrives at the final groupby as one row per (block, key), never as 55%
+of the corpus on one reducer. For NON-associative per-group work
+(``map_groups`` on a hot key) use ``add_salt`` to split hot groups
+into ``mod`` subgroups, process per (key, salt), then fold the
+subgroup results.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+
+def _partial_count(keys: list[str], alias: str):
+    def fn(batch: pa.Table) -> pa.Table:
+        return pa.TableGroupBy(batch.select(keys), keys).aggregate(
+            [([], "count_all")]
+        ).rename_columns(keys + [alias])
+    return fn
+
+
+def grouped_count(ds: ray.data.Dataset, keys: list[str],
+                  alias: str = "row_count") -> ray.data.Dataset:
+    """count(*) per key group, with per-batch partial counts so the
+    shuffle moves only ``#blocks × #keys`` partial rows."""
+    partial = ds.map_batches(_partial_count(keys, alias),
+                             batch_format="pyarrow", zero_copy_batch=True)
+    return partial.groupby(keys).aggregate(Sum(alias, alias_name=alias))
+
+
+def grouped_sum(ds: ray.data.Dataset, keys: list[str], value: str,
+                alias: str | None = None) -> ray.data.Dataset:
+    """sum(value) per key group via per-batch partials."""
+    alias = alias or f"sum_{value}"
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return pa.TableGroupBy(batch.select(keys + [value]), keys).aggregate(
+            [(value, "sum")]
+        ).rename_columns(keys + [alias])
+
+    partial = ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+    return partial.groupby(keys).aggregate(Sum(alias, alias_name=alias))
+
+
+def add_salt(batch: pa.Table, basis: str, mod: int,
+             salt_col: str = "_salt") -> pa.Table:
+    """Append a deterministic ``hash(basis column) % mod`` salt column
+    so a hot key group splits into ``mod`` subgroups; callers group by
+    ``(key, salt_col)``, process per subgroup, then fold the subgroup
+    results (the north rule's salted-key handling for skewed sources).
+
+    Deterministic — derives from stable row content, never random
+    state, so re-executed partitions salt identically (idempotent
+    resume). Vectorized: one numpy pass over the string bytes."""
+    import numpy as np
+
+    b = batch[basis].combine_chunks().cast(pa.large_binary())
+    offs = np.frombuffer(b.buffers()[1], dtype=np.int64, count=len(b) + 1,
+                         offset=b.offset * 8)
+    data = np.frombuffer(b.buffers()[2], dtype=np.uint8)
+    widths = offs[1:] - offs[:-1]
+    # FNV-ish mix over the last ≤8 bytes of each value — O(8) vectorized
+    # passes regardless of string length; plenty uniform for bucketing
+    acc = widths.astype(np.uint64) * np.uint64(1099511628211)
+    for k in range(1, 9):
+        idx = offs[1:] - k
+        valid = widths >= k
+        acc[valid] = (acc[valid] ^ data[idx[valid]].astype(np.uint64)) * np.uint64(1099511628211)
+    salt = pa.array((acc % np.uint64(mod)).astype(np.int32))
+    return batch.append_column(salt_col, salt)

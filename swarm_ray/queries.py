@@ -34,11 +34,12 @@ def _read_seq(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_source_counts(sf_dir: str) -> ray.data.Dataset:
-    """A1 — per-source input counts; pre-aggregation happens per block
-    inside Ray's aggregate, so the shuffle moves only partials."""
-    return (_read_seq(sf_dir)
-            .groupby("source")
-            .aggregate(Count(alias_name="row_count")))
+    """A1 — per-source input counts. Partial per-batch counts collapse
+    each block to ≤#sources rows BEFORE the shuffle (ops/agg.py), so
+    the exchange moves #blocks × #keys partials, not 10^12 rows — also
+    the skew treatment for the 55%-hot source key."""
+    from .ops.agg import grouped_count
+    return grouped_count(_read_seq(sf_dir), ["source"])
 
 
 def q_parse(sf_dir: str) -> ray.data.Dataset:
@@ -49,10 +50,11 @@ def q_parse(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_route_counts(sf_dir: str) -> ray.data.Dataset:
-    """A2 — exact per-sink routed counts."""
-    return (build_routed(_seq_files(sf_dir))
-            .groupby(["sink_dataset", "sink_table"])
-            .aggregate(Count(alias_name="row_count")))
+    """A2 — exact per-sink routed counts, via per-batch partials
+    (shuffle moves #blocks × #sinks rows only)."""
+    from .ops.agg import grouped_count
+    return grouped_count(build_routed(_seq_files(sf_dir)),
+                         ["sink_dataset", "sink_table"])
 
 
 def q_routed_rows(sf_dir: str) -> ray.data.Dataset:
@@ -88,8 +90,8 @@ def q_enrich_counts(sf_dir: str) -> ray.data.Dataset:
                 .set_column(t.schema.get_field_index("tag"), "tag", tag)
 
     ds = ds.map_batches(stabilize, batch_format="pyarrow", zero_copy_batch=True)
-    return (ds.groupby(["source", "severity", "tag"])
-            .aggregate(Count(alias_name="row_count")))
+    from .ops.agg import grouped_count
+    return grouped_count(ds, ["source", "severity", "tag"])
 
 
 def q_drop_stats(sf_dir: str) -> ray.data.Dataset:
@@ -100,9 +102,11 @@ def q_drop_stats(sf_dir: str) -> ray.data.Dataset:
         reason = pc.if_else(is_tmp, "tmp_object",
                             pc.if_else(unknown, "unknown_source", "routed"))
         return pa.table({"reason": reason})
-    return (_read_seq(sf_dir)
-            .map_batches(classify, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby("reason").aggregate(Count(alias_name="row_count")))
+    from .ops.agg import grouped_count
+    return grouped_count(
+        _read_seq(sf_dir).map_batches(classify, batch_format="pyarrow",
+                                      zero_copy_batch=True),
+        ["reason"])
 
 
 def q_log_id_unique(sf_dir: str) -> ray.data.Dataset:

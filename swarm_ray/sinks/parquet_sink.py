@@ -29,7 +29,6 @@ import pyarrow as pa
 
 import ray
 import ray.data
-from ray.data.aggregate import Count
 
 from .schema import schema_from_json, schema_to_json, unify_widen
 
@@ -87,12 +86,8 @@ def write_routed(routed: ray.data.Dataset, out_dir: str | Path,
 def sink_counts(routed: ray.data.Dataset) -> pd.DataFrame:
     """Exact per-sink row counts — the A2 aggregate. Small result
     (#sinks rows), safe to materialize on the driver."""
-    out = (
-        routed
-        .groupby(["sink_dataset", "sink_table"])
-        .aggregate(Count(alias_name="row_count"))
-        .to_pandas()
-    )
+    from ..ops.agg import grouped_count
+    out = grouped_count(routed, ["sink_dataset", "sink_table"]).to_pandas()
     return out.sort_values(["sink_dataset", "sink_table"]).reset_index(drop=True)
 
 

@@ -1,0 +1,46 @@
+"""Partial-aggregation + salting ops (ops/agg.py)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from swarm_ray.ops.agg import add_salt, grouped_count, grouped_sum
+
+
+def _tbl():
+    return pa.table({
+        "k": ["a"] * 7 + ["b"] * 2 + ["c"],
+        "v": list(range(10)),
+    })
+
+
+def test_grouped_count_matches_naive(ray_session):
+    ds = ray.data.from_arrow(_tbl()).repartition(4)
+    got = {r["k"]: r["row_count"] for r in grouped_count(ds, ["k"]).take_all()}
+    assert got == {"a": 7, "b": 2, "c": 1}
+
+
+def test_grouped_sum_matches_naive(ray_session):
+    ds = ray.data.from_arrow(_tbl()).repartition(3)
+    got = {r["k"]: r["sum_v"] for r in grouped_sum(ds, ["k"], "v").take_all()}
+    assert got == {"a": sum(range(7)), "b": 7 + 8, "c": 9}
+
+
+def test_add_salt_deterministic_and_bounded():
+    t = pa.table({"doc_id": [f"src/part-0/doc-{i:08d}.log" for i in range(1000)]})
+    s1 = add_salt(t, "doc_id", 8)["_salt"].to_numpy()
+    s2 = add_salt(t, "doc_id", 8)["_salt"].to_numpy()
+    assert (s1 == s2).all()
+    assert s1.min() >= 0 and s1.max() < 8
+    # splits a hot key into all buckets, reasonably evenly
+    counts = np.bincount(s1, minlength=8)
+    assert (counts > 0).all()
+    assert counts.max() < 1000 * 0.5
+
+
+def test_add_salt_short_strings():
+    t = pa.table({"doc_id": ["", "a", "ab", "abcdefghij"]})
+    s = add_salt(t, "doc_id", 4)["_salt"].to_pylist()
+    assert all(0 <= x < 4 for x in s)
