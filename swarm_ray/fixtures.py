@@ -169,3 +169,86 @@ def intel_path(label: str = "common") -> Path:
         pq.write_table(intel_table(), tmp)
         os.replace(tmp, out)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Multimodal media fixture (binary payload columns + typed metadata)
+# ---------------------------------------------------------------------------
+
+#: rows per label for the media table (payloads are KBs, keep it small)
+MEDIA_ROWS_BY_LABEL = {"sf0.001": 800, "sf0.01": 4_000, "sf0.1": 20_000}
+
+#: toy deterministic container formats (this sandbox has no image/audio
+#: codec libraries; real JPEG/WAV decode is stubbed in ops/media.py
+#: behind an import-try — the engine-side plumbing is identical):
+#:   image: b"RAI1" + u16le width + u16le height + width*height u8 pixels
+#:   audio: b"RAA1" + u32le sample_rate + u32le n_samples + n int16le samples
+MEDIA_MAGIC_IMAGE = b"RAI1"
+MEDIA_MAGIC_AUDIO = b"RAA1"
+
+
+def _gen_media_chunk(chunk_idx: int, n: int) -> pa.Table:
+    import struct
+
+    base = chunk_idx * CHUNK_ROWS
+    rng = np.random.default_rng([SEED + 7, chunk_idx])
+    is_img = rng.random(n) < 0.7
+    widths = np.where(is_img, 8 + rng.integers(0, 56, size=n), 0).astype(np.int32)
+    heights = np.where(is_img, 8 + rng.integers(0, 56, size=n), 0).astype(np.int32)
+    srates = np.where(~is_img, np.asarray([8000, 16000, 44100])[rng.integers(0, 3, size=n)], 0).astype(np.int32)
+    nsamp = np.where(~is_img, 256 + rng.integers(0, 1792, size=n), 0).astype(np.int32)
+
+    payloads = []
+    for i in range(n):
+        if is_img[i]:
+            w, h = int(widths[i]), int(heights[i])
+            px = rng.integers(0, 256, size=w * h, dtype=np.uint8)
+            payloads.append(MEDIA_MAGIC_IMAGE + struct.pack("<HH", w, h) + px.tobytes())
+        else:
+            sr, ns = int(srates[i]), int(nsamp[i])
+            samples = rng.integers(-32768, 32768, size=ns, dtype=np.int16)
+            payloads.append(MEDIA_MAGIC_AUDIO + struct.pack("<II", sr, ns) + samples.tobytes())
+
+    doc_id = [f"media/part-{(base + i) // 257:05d}/doc-{base + i:08d}" for i in range(n)]
+    return pa.table({
+        "doc_id": pa.array(doc_id, type=pa.string()),
+        "media_type": pa.array(np.where(is_img, "image", "audio")),
+        "payload": pa.array(payloads, type=pa.binary()),
+        "width": pa.array(widths),
+        "height": pa.array(heights),
+        "sample_rate": pa.array(srates),
+        "n_samples": pa.array(nsamp),
+        "n_bytes": pa.array([len(p) for p in payloads], type=pa.int32()),
+    })
+
+
+def media_dir(label: str) -> Path:
+    """Materialize (once) the media-table fixture for a label."""
+    n_rows = MEDIA_ROWS_BY_LABEL.get(label, 800)
+    out = FIXTURE_ROOT / label / "media"
+    meta = out / "_FIXTURE.json"
+    if meta.exists():
+        try:
+            if json.loads(meta.read_text())["rows"] == n_rows:
+                return out
+        except Exception:
+            pass
+        shutil.rmtree(out, ignore_errors=True)
+    tmp = out.with_name(out.name + ".tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    tmp.mkdir(parents=True)
+    n_chunks = (n_rows + CHUNK_ROWS - 1) // CHUNK_ROWS
+    for c in range(n_chunks):
+        n = min(CHUNK_ROWS, n_rows - c * CHUNK_ROWS)
+        pq.write_table(_gen_media_chunk(c, n), tmp / f"part-{c:05d}.parquet")
+    (tmp / "_FIXTURE.json").write_text(json.dumps({"rows": n_rows, "seed": SEED + 7}))
+    out.parent.mkdir(parents=True, exist_ok=True)
+    if out.exists():
+        shutil.rmtree(tmp, ignore_errors=True)
+    else:
+        os.replace(tmp, out)
+    return out
+
+
+def media_files(label: str) -> list[str]:
+    return sorted(str(p) for p in media_dir(label).glob("*.parquet"))

@@ -36,7 +36,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     except ImportError:
         pass
     try:
-        from . import multimodal
+        from . import media as multimodal
         out.update(multimodal.queries())
     except ImportError:
         pass
@@ -68,7 +68,7 @@ def oracle_sql() -> dict[str, str]:
     except ImportError:
         pass
     try:
-        from . import multimodal
+        from . import media as multimodal
         out.update(multimodal.oracle_sql())
     except ImportError:
         pass

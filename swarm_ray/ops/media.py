@@ -1,0 +1,298 @@
+"""Multimodal (image/audio) binary-column operators.
+
+Media are opaque ``binary`` payload columns with typed metadata —
+the large-scale training-data layout where a 100 TB corpus carries
+images/audio inline (or as references) next to text/token columns.
+Decode / feature-extract / resize / frame-sample run as ACTOR-POOL
+``map_batches`` stages: codec state is built once per actor in
+``__init__`` (≙ the reference's once-compiled policy client pattern,
+``pkg/infra/policy/client.go:63-120``); ``__call__`` handles one Arrow
+batch. Payload work is inherently per-blob, so the per-row loop here
+iterates zero-copy memoryview slices of the Arrow data buffer and does
+all pixel/sample math in numpy — no Python loops *inside* a blob.
+
+Batch sizing: payloads are KB-to-MB each, so these stages use SMALL
+``batch_size`` (default 256) — a batch × concurrency must fit the
+worker heap; at 100 TB the object store streams + spills the rest.
+
+This container ships no image/audio codecs. The fixture payloads use
+a trivial deterministic container (``fixtures.MEDIA_MAGIC_*``) whose
+decode below is REAL (header parse + numpy); JPEG/PNG/WAV decode is
+stubbed behind an import-try and raises ``NotImplementedError`` with
+the same stage signature, so swapping in PIL/soundfile changes one
+method, not the pipeline.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Callable
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from .. import fixtures
+
+#: actor-pool sizing for media stages: small batches (payloads are big),
+#: modest pool (decode is memory-bound, not CPU-bound)
+MEDIA_BATCH_SIZE = 256
+MEDIA_CONCURRENCY = (1, 4)
+
+
+def _payload_views(batch: pa.Table):
+    """Zero-copy (offsets, data) view of the payload binary column."""
+    col = batch["payload"].combine_chunks().cast(pa.large_binary())
+    offs = np.frombuffer(col.buffers()[1], dtype=np.int64, count=len(col) + 1,
+                         offset=col.offset * 8)
+    data = memoryview(col.buffers()[2])
+    return offs, data
+
+
+class MediaDecodeStage:
+    """Decode payload headers + extract per-blob features.
+
+    Output columns: input metadata + ``dec_ok: bool``,
+    ``dec_width/dec_height: int32`` (image), ``dec_sample_rate/
+    dec_n_samples: int32`` (audio), ``feat_mean: double`` (mean pixel
+    intensity or mean |sample|).
+    """
+
+    def __init__(self, strict: bool = False):
+        # per-actor codec registry — one entry per container magic
+        self._codecs: dict[bytes, Callable[[memoryview], tuple]] = {
+            fixtures.MEDIA_MAGIC_IMAGE: self._decode_image,
+            fixtures.MEDIA_MAGIC_AUDIO: self._decode_audio,
+        }
+        self._strict = strict
+
+    @staticmethod
+    def _decode_image(blob: memoryview) -> tuple:
+        w, h = struct.unpack_from("<HH", blob, 4)
+        px = np.frombuffer(blob, dtype=np.uint8, count=w * h, offset=8)
+        return (True, w, h, 0, 0, float(px.mean()) if w * h else 0.0)
+
+    @staticmethod
+    def _decode_audio(blob: memoryview) -> tuple:
+        sr, ns = struct.unpack_from("<II", blob, 4)
+        samples = np.frombuffer(blob, dtype=np.int16, count=ns, offset=12)
+        feat = float(np.abs(samples.astype(np.int32)).mean()) if ns else 0.0
+        return (True, 0, 0, sr, ns, feat)
+
+    @staticmethod
+    def _decode_real_codec(blob: memoryview) -> tuple:
+        # real-world path (JPEG/PNG/WAV): no codec libs in this
+        # container — STUB. Plumbing (signature, output schema, actor
+        # lifecycle) is identical to the toy-container path above.
+        try:
+            import PIL.Image  # noqa: F401
+        except ImportError:
+            raise NotImplementedError(
+                "image/audio codec libraries are not available in this "
+                "environment; payloads use the deterministic RAI1/RAA1 "
+                "container (see fixtures.py)") from None
+        raise NotImplementedError("real-codec decode not wired yet")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        offs, data = _payload_views(batch)
+        n = len(batch)
+        ok = np.zeros(n, dtype=bool)
+        w = np.zeros(n, dtype=np.int32)
+        h = np.zeros(n, dtype=np.int32)
+        sr = np.zeros(n, dtype=np.int32)
+        ns = np.zeros(n, dtype=np.int32)
+        feat = np.zeros(n, dtype=np.float64)
+        for i in range(n):
+            blob = data[offs[i]:offs[i + 1]]
+            if len(blob) < 4:
+                if self._strict:
+                    raise ValueError(f"payload {i}: truncated header")
+                continue
+            codec = self._codecs.get(bytes(blob[:4]))
+            if codec is None:
+                if self._strict:
+                    raise ValueError(f"payload {i}: unknown container magic")
+                continue
+            ok[i], w[i], h[i], sr[i], ns[i], feat[i] = codec(blob)
+        drop = [c for c in ("payload",) if c in batch.column_names]
+        out = batch.drop_columns(drop)
+        return (out.append_column("dec_ok", pa.array(ok))
+                   .append_column("dec_width", pa.array(w))
+                   .append_column("dec_height", pa.array(h))
+                   .append_column("dec_sample_rate", pa.array(sr))
+                   .append_column("dec_n_samples", pa.array(ns))
+                   .append_column("feat_mean", pa.array(feat)))
+
+
+class ImageResizeStage:
+    """Nearest-neighbour resize of decoded image payloads to a fixed
+    ``(out_w, out_h)`` — the canonical preprocessing step before
+    batched model inference. Emits the resized raster back as a binary
+    column (same toy container) so downstream stages see a uniform
+    shape."""
+
+    def __init__(self, out_w: int = 16, out_h: int = 16):
+        self._w, self._h = out_w, out_h
+        # precompute nothing per-image; index grids are built per input
+        # shape and memoized per actor (images repeat few distinct sizes)
+        self._grid_cache: dict[tuple, tuple] = {}
+
+    def _grid(self, w: int, h: int):
+        key = (w, h)
+        g = self._grid_cache.get(key)
+        if g is None:
+            xs = (np.arange(self._w) * w // self._w)
+            ys = (np.arange(self._h) * h // self._h)
+            g = (ys[:, None] * w + xs[None, :]).ravel()
+            self._grid_cache[key] = g
+        return g
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        offs, data = _payload_views(batch)
+        n = len(batch)
+        keep = np.zeros(n, dtype=bool)
+        out_payloads: list[bytes] = []
+        header = struct.pack("<HH", self._w, self._h)
+        for i in range(n):
+            blob = data[offs[i]:offs[i + 1]]
+            if len(blob) < 8 or bytes(blob[:4]) != fixtures.MEDIA_MAGIC_IMAGE:
+                continue
+            w, h = struct.unpack_from("<HH", blob, 4)
+            if w == 0 or h == 0:
+                continue
+            px = np.frombuffer(blob, dtype=np.uint8, count=w * h, offset=8)
+            resized = px[self._grid(w, h)]
+            out_payloads.append(fixtures.MEDIA_MAGIC_IMAGE + header + resized.tobytes())
+            keep[i] = True
+        kept = batch.filter(pa.array(keep))
+        kept = kept.drop_columns([c for c in ("payload",) if c in kept.column_names])
+        return (kept
+                .append_column("payload", pa.array(out_payloads, type=pa.binary()))
+                .append_column("out_width", pa.repeat(pa.scalar(self._w, type=pa.int32()), len(kept)))
+                .append_column("out_height", pa.repeat(pa.scalar(self._h, type=pa.int32()), len(kept)))
+                .append_column("pixel_sum", pa.array(
+                    [int(np.frombuffer(p, dtype=np.uint8, offset=8).sum()) for p in out_payloads],
+                    type=pa.int64())))
+
+
+class AudioFrameSampleStage:
+    """Sample every k-th audio sample (≙ video frame-sampling layout) —
+    emits a fixed-length preview vector per clip."""
+
+    def __init__(self, stride: int = 64, n_keep: int = 8):
+        self._stride, self._n_keep = stride, n_keep
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        offs, data = _payload_views(batch)
+        n = len(batch)
+        keep = np.zeros(n, dtype=bool)
+        previews: list[list[int]] = []
+        for i in range(n):
+            blob = data[offs[i]:offs[i + 1]]
+            if len(blob) < 12 or bytes(blob[:4]) != fixtures.MEDIA_MAGIC_AUDIO:
+                continue
+            sr, ns = struct.unpack_from("<II", blob, 4)
+            samples = np.frombuffer(blob, dtype=np.int16, count=ns, offset=12)
+            previews.append(samples[::self._stride][:self._n_keep].astype(np.int32).tolist())
+            keep[i] = True
+        kept = batch.filter(pa.array(keep))
+        kept = kept.drop_columns([c for c in ("payload",) if c in kept.column_names])
+        return kept.append_column(
+            "preview", pa.array(previews, type=pa.list_(pa.int32())))
+
+
+def _read_media(sf_dir: str) -> ray.data.Dataset:
+    label = fixtures.label_for_sf_dir(sf_dir)
+    return ray.data.read_parquet(fixtures.media_files(label))
+
+
+def decoded(sf_dir: str) -> ray.data.Dataset:
+    return _read_media(sf_dir).map_batches(
+        MediaDecodeStage, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=MEDIA_BATCH_SIZE, concurrency=MEDIA_CONCURRENCY)
+
+
+def q_media_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-media-type stats computed from the DECODED headers. The
+    oracle recomputes them from the metadata columns — they agree iff
+    decode is correct, so the hash-compare covers the decode path."""
+    from .agg import grouped_sum
+    ds = decoded(sf_dir)
+
+    def project(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "media_type": t["media_type"],
+            "n": pa.array(np.ones(len(t), dtype=np.int64)),
+            "decoded": pc.cast(t["dec_ok"], pa.int64()),
+            "px": pc.cast(pc.multiply(pc.cast(t["dec_width"], pa.int64()),
+                                      pc.cast(t["dec_height"], pa.int64())), pa.int64()),
+            "samples": pc.cast(t["dec_n_samples"], pa.int64()),
+        })
+
+    ds = ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+    from ray.data.aggregate import Sum
+    # single small shuffle over per-batch partials
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.TableGroupBy(t, ["media_type"]).aggregate(
+            [("n", "sum"), ("decoded", "sum"), ("px", "sum"), ("samples", "sum")]
+        ).rename_columns(["media_type", "n", "decoded", "px", "samples"])
+    return (ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("media_type")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("decoded", alias_name="decoded"),
+                       Sum("px", alias_name="px"),
+                       Sum("samples", alias_name="samples")))
+
+
+def q_media_resize(sf_dir: str) -> ray.data.Dataset:
+    """Resize every image to 16×16; returns per-image checksums
+    (deterministic, but not SQL-expressible → rows-only check; pinned
+    instead by tests/test_ops_media.py golden values)."""
+    ds = _read_media(sf_dir).map_batches(
+        ImageResizeStage, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=MEDIA_BATCH_SIZE, concurrency=MEDIA_CONCURRENCY)
+    return ds.select_columns(["doc_id", "out_width", "out_height", "pixel_sum"])
+
+
+def q_media_frames(sf_dir: str) -> ray.data.Dataset:
+    """Frame-sample audio clips (every 64th sample, first 8)."""
+    ds = _read_media(sf_dir).map_batches(
+        AudioFrameSampleStage, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=MEDIA_BATCH_SIZE, concurrency=MEDIA_CONCURRENCY)
+    return ds.select_columns(["doc_id", "sample_rate", "n_samples", "preview"])
+
+
+def _media_glob(sf_dir: str) -> str:
+    label = fixtures.label_for_sf_dir(sf_dir)
+    return str(fixtures.media_dir(label) / "*.parquet")
+
+
+def queries() -> dict[str, Callable[[str], Any]]:
+    return {
+        "media_stats": q_media_stats,
+        "media_resize": q_media_resize,   # rows-only
+        "media_frames": q_media_frames,   # rows-only
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    # the oracle recomputes media_stats from the metadata columns the
+    # generator wrote; Ray computes them from decoded payload headers.
+    # NOTE: fixture glob is materialized lazily by queries(); oracle_sql
+    # callers run after queries(), so the dir exists.
+    glob = _media_glob("/root/testdata/sf0.01")
+    return {
+        "media_stats": f"""
+            SELECT media_type,
+                   COUNT(*)::BIGINT AS n,
+                   COUNT(*)::BIGINT AS decoded,
+                   COALESCE(SUM(CAST(width AS BIGINT) * CAST(height AS BIGINT)), 0)::BIGINT AS px,
+                   COALESCE(SUM(CAST(n_samples AS BIGINT)), 0)::BIGINT AS samples
+            FROM read_parquet('{glob}')
+            GROUP BY media_type
+        """,
+    }
