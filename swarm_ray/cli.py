@@ -1,0 +1,133 @@
+"""CLI — the ``ray job submit`` entrypoint for the engine.
+
+Mirrors the reference's command surface (``pkg/controller/cmd``):
+
+    swarm ingest   → python -m swarm_ray ingest  --input ... --out ...
+    swarm schema   → python -m swarm_ray schema  --input ... --out ...
+    swarm migrate  → python -m swarm_ray migrate --src ... --dst ...
+    (dry-run dump) → python -m swarm_ray ingest --dry-run ...
+
+On a cluster, submit exactly these commands::
+
+    ray job submit --working-dir . -- python -m swarm_ray ingest \
+        --input '/data/sequences/*.parquet' --out /data/out
+
+The CLI owns the Ray session (guarded — a pre-initialised session is
+reused, so it also works inside ``ray job submit`` drivers that init
+first). Library code never calls ``ray.init``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob as globmod
+import json
+import sys
+
+
+def _ray_init(num_cpus: int | None):
+    import ray
+    if not ray.is_initialized():
+        kwargs = {"include_dashboard": False, "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(address="local", **kwargs)
+    import ray.data
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+
+def _input_files(pattern: str) -> list[str]:
+    files = sorted(globmod.glob(pattern))
+    if not files:
+        raise SystemExit(f"no input files match {pattern!r}")
+    return files
+
+
+def cmd_ingest(args) -> dict:
+    from .pipelines.flagship import build_routed, run_job
+    from .rules.load import load_ruleset
+    from .rules.spec import default_ruleset
+
+    ruleset = load_ruleset(args.rules) if args.rules else default_ruleset()
+    files = _input_files(args.input)
+    if args.dry_run:
+        from .sinks.dump_sink import write_dump
+        routed = build_routed(files, ruleset)
+        counts = write_dump(routed, args.out)
+        return {"mode": "dry-run", "sinks": counts}
+    results = run_job(files, args.out, ruleset,
+                      files_per_partition=args.files_per_partition)
+    return {"mode": "ingest", "partitions": len(results),
+            "rows_in": sum(r["rows_in"] for r in results),
+            "rows_routed": sum(r["rows_routed"] for r in results)}
+
+
+def cmd_schema(args) -> dict:
+    """Infer + register sink schemas without ingesting — ≙ ``swarm
+    schema`` (apply DDL only, no insert: ``pkg/usecase/schema.go:13-90``).
+    Routes a sample (one batch per input file) to discover sink schemas,
+    then create-or-widens each sink's ``_schema.json``."""
+    from pathlib import Path
+    from .pipelines.flagship import build_routed
+    from .rules.load import load_ruleset
+    from .rules.spec import default_ruleset
+
+    ruleset = load_ruleset(args.rules) if args.rules else default_ruleset()
+    files = _input_files(args.input)
+    routed = build_routed(files, ruleset).limit(args.sample_rows)
+    schema = routed.schema().base_schema
+    from .sinks.parquet_sink import update_sink_schema
+    out = Path(args.out)
+    sinks = sorted({(a.dataset, a.table)
+                    for r in ruleset.schema_rules for a in r.actions})
+    for dataset, table in sinks:
+        update_sink_schema(out / f"sink_dataset={dataset}" / f"sink_table={table}",
+                           schema)
+    return {"mode": "schema", "sinks": [f"{d}.{t}" for d, t in sinks],
+            "fields": schema.names}
+
+
+def cmd_migrate(args) -> dict:
+    from .pipelines.migrate import migrate_sink
+    return {"mode": "migrate", **migrate_sink(args.src, args.dst)}
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="swarm_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("ingest", help="parse → enrich → route → sinks")
+    pi.add_argument("--input", required=True, help="input parquet glob")
+    pi.add_argument("--out", required=True)
+    pi.add_argument("--rules", help="rules file/dir (YAML or JSON)")
+    pi.add_argument("--files-per-partition", type=int, default=64)
+    pi.add_argument("--dry-run", action="store_true",
+                    help="dump sink (NDJSON + schema.json) instead of Parquet")
+    pi.set_defaults(fn=cmd_ingest)
+
+    ps = sub.add_parser("schema", help="infer + register sink schemas only")
+    ps.add_argument("--input", required=True)
+    ps.add_argument("--out", required=True)
+    ps.add_argument("--rules")
+    ps.add_argument("--sample-rows", type=int, default=10_000)
+    ps.set_defaults(fn=cmd_schema)
+
+    pm = sub.add_parser("migrate", help="copy a sink into another (widen-only)")
+    pm.add_argument("--src", required=True)
+    pm.add_argument("--dst", required=True)
+    pm.set_defaults(fn=cmd_migrate)
+
+    args = p.parse_args(argv)
+    _ray_init(args.num_cpus)
+    try:
+        out = args.fn(args)
+        print(json.dumps(out))
+        return 0
+    finally:
+        import ray
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -46,9 +46,25 @@ def event_filter_sql(ruleset: Ruleset) -> str:
     return " OR ".join(f"({r.where_sql()})" for r in ruleset.event_rules)
 
 
+#: SQL types of patchable columns (Action.null_fields)
+_NULLABLE_TYPES = {"tokens": "INTEGER[]", "severity": "INTEGER",
+                   "tag": "VARCHAR", "ext": "VARCHAR"}
+
+
 def _action_select(rule: Rule, action: Action) -> str:
+    # field patches (≙ json.patch removal): project typed NULLs and —
+    # because the generated id hashes the PATCHED record — blank the
+    # token segment of the canonical string when tokens are patched
+    tokens_expr = "tokens"
+    canon = CANON_EXPR
+    for name in action.null_fields:
+        if name == "tokens":
+            tokens_expr = f"CAST(NULL AS {_NULLABLE_TYPES['tokens']})"
+            canon = ("doc_id || '|' || source || '|' || "
+                     "CAST(n_tok AS VARCHAR) || '|' || ''")
+        # other patchable columns don't appear in the canonical string
     if action.id_field is None:
-        id_expr = MD5_ID_EXPR
+        id_expr = f"md5({canon})"
     else:
         id_expr = f"CAST({action.id_field} AS VARCHAR)"
     if action.partition:
@@ -56,7 +72,7 @@ def _action_select(rule: Rule, action: Action) -> str:
     else:
         part_expr = "''"
     return (
-        "SELECT doc_id, tokens, n_tok, source, "
+        f"SELECT doc_id, {tokens_expr} AS tokens, n_tok, source, "
         f"'{rule.name}' AS rule_name, "
         f"'{action.dataset}' AS sink_dataset, "
         f"'{action.table}' AS sink_table, "

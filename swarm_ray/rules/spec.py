@@ -93,6 +93,13 @@ class Action:
     table: str
     partition: Literal["", "hour", "day", "month", "year"] = ""
     id_field: str | None = None
+    #: fields blanked (set to typed NULL) in this action's output — the
+    #: analogue of swarm rules patching fields out of ``log.data`` via
+    #: ``json.patch`` (reference README.md:56). Restricted to payload /
+    #: enrichment columns; routing keys (doc_id, source, n_tok) must
+    #: survive. The generated ``log_id`` hashes the PATCHED record, as
+    #: the reference hashes the rule's emitted data.
+    null_fields: tuple[str, ...] = ()
 
     def validate(self) -> None:
         # ≙ model.Log.Validate: dataset/table required
@@ -101,6 +108,9 @@ class Action:
             raise ValueError("action missing dataset")
         if not self.table:
             raise ValueError("action missing table")
+        banned = {"doc_id", "source", "n_tok"} & set(self.null_fields)
+        if banned:
+            raise ValueError(f"null_fields may not patch routing keys: {banned}")
 
     @property
     def sink(self) -> str:
@@ -154,7 +164,8 @@ class Ruleset:
                     [
                         r.name,
                         [[c.field, c.op, c.value] for c in r.where],
-                        [[a.dataset, a.table, a.partition, a.id_field] for a in r.actions],
+                        [[a.dataset, a.table, a.partition, a.id_field,
+                          list(a.null_fields)] for a in r.actions],
                     ]
                     for r in self.schema_rules
                 ],
@@ -202,7 +213,10 @@ def default_ruleset() -> Ruleset:
             Cond("source", "eq", "access_log"),
         ), (
             Action("logs", "access_raw"),
-            Action("logs", "access_audit"),
+            # audit twin carries no payload — ≙ json.patch field removal
+            # (reference README.md:56); its generated id therefore
+            # differs from the raw twin's (hash of the patched record)
+            Action("logs", "access_audit", null_fields=("tokens",)),
         )),
         # R5: negated predicate + day partition
         Rule("vpc_flow", (

@@ -41,14 +41,22 @@ def route_batch(batch: pa.Table, compiled: CompiledRuleset) -> pa.Table:
         ts = derive_timestamp(sub)
         gen_id: pa.Array | None = None  # compute at most once per rule
         for action in rule.actions:
-            if action.id_field is None:
-                if gen_id is None:
-                    gen_id = generated_log_id(sub)
-                log_id = gen_id
-            else:
-                log_id = sub[action.id_field].cast(pa.string()).combine_chunks()
-            part = partition_label(ts, action.partition)
+            # field patches first (≙ json.patch removal, reference
+            # README.md:56) — the generated id hashes the PATCHED record
             out = sub
+            for name in action.null_fields:
+                i = out.schema.get_field_index(name)
+                out = out.set_column(i, name, pa.nulls(n, type=out.schema.field(i).type))
+            if action.id_field is None:
+                if action.null_fields:
+                    log_id = generated_log_id(out)
+                else:
+                    if gen_id is None:
+                        gen_id = generated_log_id(sub)
+                    log_id = gen_id
+            else:
+                log_id = out[action.id_field].cast(pa.string()).combine_chunks()
+            part = partition_label(ts, action.partition)
             for name, col in (
                 ("rule_name", _const(rule.name, n)),
                 ("sink_dataset", _const(action.dataset, n)),

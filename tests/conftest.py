@@ -9,6 +9,9 @@ def ray_session():
     ray.init(address="local", num_cpus=4, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     ray.data.DataContext.get_current().enable_progress_bars = False
+    # mixed null/non-null list<int32> columns (patched token payloads)
+    # trip Ray's pandas TensorArray auto-cast; keep plain object lists
+    ray.data.DataContext.get_current().enable_tensor_extension_casting = False
     yield
     ray.shutdown()
 

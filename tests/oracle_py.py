@@ -66,11 +66,15 @@ def route_rows(rows: list[dict], ruleset: Ruleset) -> list[dict]:
             if all(_cond_ok(c, row) for c in rule.where):
                 for action in rule.actions:
                     rec = dict(row)
+                    # field patches first (json.patch analogue); the
+                    # generated id hashes the PATCHED record
+                    for name in action.null_fields:
+                        rec[name] = None
                     rec["rule_name"] = rule.name
                     rec["sink_dataset"] = action.dataset
                     rec["sink_table"] = action.table
-                    rec["log_id"] = (str(row[action.id_field])
-                                     if action.id_field else log_id_of(row))
+                    rec["log_id"] = (str(rec[action.id_field])
+                                     if action.id_field else log_id_of(rec))
                     rec["timestamp"] = doc_ts(row)
                     out.append(rec)
     return out

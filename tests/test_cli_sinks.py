@@ -1,0 +1,98 @@
+"""Rule-file loading, dump sink, migrate, and the CLI surface."""
+
+import json
+
+import pyarrow.parquet as pq
+import pytest
+
+from swarm_ray import fixtures
+from swarm_ray.rules.load import load_ruleset, ruleset_from_dict, ruleset_to_dict
+from swarm_ray.rules.spec import default_ruleset
+
+
+def test_ruleset_roundtrip_dict():
+    rs = default_ruleset()
+    rs2 = ruleset_from_dict(ruleset_to_dict(rs))
+    assert rs2 == rs
+    assert rs2.spec_hash() == rs.spec_hash()
+
+
+def test_load_ruleset_yaml_json_and_dir(tmp_path):
+    doc = ruleset_to_dict(default_ruleset())
+    (tmp_path / "rules.json").write_text(json.dumps(doc))
+    assert load_ruleset(tmp_path / "rules.json") == default_ruleset()
+
+    import yaml
+    (tmp_path / "d").mkdir()
+    (tmp_path / "d" / "a_event.yaml").write_text(
+        yaml.safe_dump({"event_rules": doc["event_rules"]}))
+    (tmp_path / "d" / "b_schema.yaml").write_text(
+        yaml.safe_dump({"schema_rules": doc["schema_rules"]}))
+    assert load_ruleset(tmp_path / "d") == default_ruleset()
+
+
+def test_load_ruleset_validates(tmp_path):
+    bad = {"schema_rules": [{"name": "x", "where": [],
+                             "actions": [{"dataset": "", "table": "t"}]}]}
+    (tmp_path / "bad.json").write_text(json.dumps(bad))
+    with pytest.raises(ValueError):
+        load_ruleset(tmp_path / "bad.json")
+
+
+def test_dump_sink(ray_session, tiny_seq_files, tmp_path):
+    from swarm_ray.pipelines.flagship import build_routed
+    from swarm_ray.sinks.dump_sink import write_dump
+
+    routed = build_routed(tiny_seq_files[:1])
+    counts = write_dump(routed, tmp_path / "dump")
+    assert counts  # at least one sink
+    for name, n in counts.items():
+        assert n > 0
+        assert (tmp_path / "dump" / f"{name}.schema.json").exists()
+        parts = list((tmp_path / "dump" / f"{name}.log").glob("*.json"))
+        assert parts
+        row = json.loads(open(parts[0]).readline())
+        assert row["sink_dataset"] + "." + row["sink_table"] == name
+
+
+def test_migrate_widen_and_conflict(ray_session, tmp_path):
+    import pyarrow as pa
+    from swarm_ray.pipelines.migrate import migrate_sink
+    from swarm_ray.sinks.schema import SchemaConflictError
+
+    src = tmp_path / "src"
+    dst = tmp_path / "dst"
+    src.mkdir()
+    dst.mkdir()
+    pq.write_table(pa.table({"a": [1, 2], "b": ["x", "y"]}), src / "p.parquet")
+    pq.write_table(pa.table({"a": [3]}), dst / "p.parquet")
+
+    res = migrate_sink(src, dst)
+    assert res["rows"] == 2
+    merged = json.loads((dst / "_schema.json").read_text())
+    assert {f["name"] for f in merged} == {"a", "b"}
+
+    # conflict: same field, different type → error before any data moves
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    pq.write_table(pa.table({"a": ["not-an-int"]}), bad / "p.parquet")
+    with pytest.raises(SchemaConflictError):
+        migrate_sink(bad, dst)
+
+
+def test_cli_ingest_and_dry_run(ray_session, tmp_path, capsys):
+    from swarm_ray.cli import main
+
+    files = fixtures.sequences_files("sf0.001")
+    pattern = str(fixtures.sequences_dir("sf0.001") / "*.parquet")
+
+    rc = main(["ingest", "--input", pattern, "--out", str(tmp_path / "out")])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["mode"] == "ingest" and out["rows_routed"] > 0
+
+    rc = main(["ingest", "--dry-run", "--input", pattern,
+               "--out", str(tmp_path / "dump")])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["mode"] == "dry-run" and out["sinks"]
