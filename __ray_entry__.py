@@ -55,6 +55,7 @@ def _core_queries() -> dict[str, Callable[[str], Any]]:
         "seq_route_counts": q.q_route_counts,
         "seq_routed_rows": q.q_routed_rows,
         "seq_routed_tokens": q.q_routed_tokens,
+        "seq_patched_audit": q.q_patched_audit,
         "seq_enrich_counts": q.q_enrich_counts,
         "seq_drop_stats": q.q_drop_stats,
         "seq_log_id_unique": q.q_log_id_unique,
@@ -87,6 +88,7 @@ def oracle_sql() -> dict[str, str]:
         "seq_route_counts": oracle.sql_route_counts(glob, rs),
         "seq_routed_rows": oracle.sql_routed_rows(glob, rs),
         "seq_routed_tokens": oracle.sql_routed_tokens(glob, rs),
+        "seq_patched_audit": oracle.sql_routed_tokens(glob, rs, "logs", "access_audit"),
         "seq_enrich_counts": oracle.sql_enrich_counts(glob, fixtures.INTEL_ROWS),
         "seq_drop_stats": oracle.sql_drop_stats(glob),
         "seq_log_id_unique": oracle.sql_log_id_unique(glob, rs),

@@ -72,6 +72,17 @@ def q_routed_tokens(sf_dir: str) -> ray.data.Dataset:
         pick, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_patched_audit(sf_dir: str) -> ray.data.Dataset:
+    """Field-patch surface (Action.null_fields ≙ json.patch removal):
+    the audit fan-out twin must carry a NULL token payload while its
+    log_id hashes the patched record."""
+    def pick(t: pa.Table) -> pa.Table:
+        mask = pc.equal(t["sink_table"], "access_audit")
+        return t.filter(mask).select(["log_id", "doc_id", "tokens", "n_tok"])
+    return build_routed(_seq_files(sf_dir)).map_batches(
+        pick, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_enrich_counts(sf_dir: str) -> ray.data.Dataset:
     """ST2 — broadcast left-join enrichment over the RAW input (no event
     filter) so the miss path (null severity/tag) is part of the check."""

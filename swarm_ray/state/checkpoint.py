@@ -93,3 +93,19 @@ def read_manifests(out_dir: str | Path) -> list[dict]:
         for m in sorted(root.glob("partition-*/manifest.json")):
             out.append(json.loads(m.read_text()))
     return out
+
+
+def enqueue_stats(plans: list[PartitionPlan]) -> dict:
+    """Work-queue totals for a planned job — ≙ the reference's enqueue
+    accounting (count/size of listed objects batched into messages of
+    ≤128 objects / ≤4 MiB, ``pkg/usecase/enqueue.go:15-73``). Here a
+    "message" is a partition; the totals feed the job log (≙ LoadLog)."""
+    n_files = sum(len(p.input_files) for p in plans)
+    n_bytes = 0
+    for p in plans:
+        for f in p.input_files:
+            try:
+                n_bytes += os.path.getsize(f)
+            except OSError:
+                pass
+    return {"partitions": len(plans), "files": n_files, "bytes": n_bytes}

@@ -111,3 +111,12 @@ def test_metrics_match_outputs(tiny_seq_files, tmp_path):
         assert n == m["row_count"]
         # persisted sink schema exists (≙ table DDL)
         assert (sink_dir / "_schema.json").exists()
+
+
+def test_enqueue_stats(tiny_seq_files):
+    from swarm_ray.state.checkpoint import enqueue_stats, plan_partitions
+    plans = plan_partitions(tiny_seq_files, 1)
+    st = enqueue_stats(plans)
+    assert st["partitions"] == len(tiny_seq_files)
+    assert st["files"] == len(tiny_seq_files)
+    assert st["bytes"] > 0
