@@ -44,10 +44,22 @@ def _read_emb(sf_dir: str) -> ray.data.Dataset:
                                  columns=["vec_id", "embedding"])
 
 
+def _emb_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """list<float> column → (n, dim) float64 matrix. Zero-copy view of
+    the flat values buffer + one reshape when rows are fixed-width
+    (the embedding contract); falls back to to_pylist otherwise."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    offs = arr.offsets.to_numpy(zero_copy_only=False)
+    widths = np.diff(offs)
+    if len(widths) and (widths == widths[0]).all() and arr.null_count == 0:
+        vals = arr.values.to_numpy(zero_copy_only=False)
+        return vals[offs[0]:offs[-1]].reshape(len(arr), widths[0]).astype(np.float64)
+    return np.asarray(arr.to_pylist(), dtype=np.float64)
+
+
 def _to_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     ids = batch["vec_id"].to_numpy()
-    emb = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
-    return ids, emb
+    return ids, _emb_matrix(batch["embedding"])
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -236,7 +248,7 @@ def q_emb_centroids(sf_dir: str) -> pd.DataFrame:
     batch, tiny final fold (rows-only: float vector output)."""
     def partial(t: pa.Table) -> pa.Table:
         lab = t["label"].to_numpy()
-        emb = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        emb = _emb_matrix(t["embedding"])
         out_l, out_s, out_n = [], [], []
         for l in np.unique(lab):
             sel = emb[lab == l]
@@ -265,6 +277,7 @@ def queries():
     return {
         "emb_knn": q_knn_bruteforce,
         "emb_lsh_ann": q_lsh_ann,          # rows-only (recall pinned by pytest)
+        "emb_ivf_ann": q_knn_ivf,          # rows-only (recall pinned by pytest)
         "emb_near_dup": q_emb_near_dup,
         "emb_centroids": q_emb_centroids,  # rows-only (float vectors)
     }
@@ -298,3 +311,92 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) > {NEAR_DUP_TAU}
 """,
     }
+
+
+# ------------------------------------------------------------ IVF ANN
+
+IVF_NLIST = 16           # coarse centroids (lists); scale ≈ sqrt(corpus)
+IVF_NPROBE = 4           # lists probed per query (recall knob)
+IVF_SAMPLE = 2048        # bounded training sample for the coarse quantizer
+IVF_KMEANS_ITERS = 8
+IVF_SEED = 17
+
+
+def _train_coarse_centroids(sf_dir: str) -> np.ndarray:
+    """k-means coarse quantizer trained on a BOUNDED corpus sample
+    (first IVF_SAMPLE vec_ids — deterministic; at 100 TB this is the
+    standard train-on-sample IVF recipe, the full corpus never reaches
+    the driver). Returns (nlist, dim), L2-normalized."""
+    t = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filter=pc.field("vec_id") < IVF_SAMPLE,
+    ).to_pandas().sort_values("vec_id")
+    x = _normalize(np.asarray(list(t["embedding"]), dtype=np.float64))
+    rng = np.random.default_rng(IVF_SEED)
+    cent = x[rng.choice(len(x), size=min(IVF_NLIST, len(x)), replace=False)]
+    for _ in range(IVF_KMEANS_ITERS):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(len(cent)):
+            sel = x[assign == c]
+            if len(sel):
+                cent[c] = sel.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+class IvfScore:
+    """Corpus-side IVF stage: assign each vector to its nearest coarse
+    centroid; score ONLY vectors whose list is probed by ≥1 query
+    (inverted-file pruning — the scale path: each batch does one
+    assignment matmul + one matmul over the surviving subset)."""
+
+    def __init__(self, state_ref, k: int = TOP_K):
+        cent, q_ids, qn, probes = ray.get(state_ref)  # built once per actor
+        self.cent = cent
+        self.q_ids = q_ids
+        self.qn = qn
+        self.probes = probes                     # (n_queries, nprobe) list ids
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, emb = _to_matrix(batch)
+        en = _normalize(emb)
+        assign = np.argmax(en @ self.cent.T, axis=1)       # (n,)
+        out_q, out_v, out_s = [], [], []
+        for j, qid in enumerate(self.q_ids):
+            mask = np.isin(assign, self.probes[j])
+            if not mask.any():
+                continue
+            sub_ids, sub = ids[mask], en[mask]
+            col = sub @ self.qn[j]
+            k = min(self.k + 1, len(sub_ids))
+            top = np.argpartition(-col, k - 1)[:k]
+            out_q.append(np.full(len(top), qid, dtype=np.int64))
+            out_v.append(sub_ids[top])
+            out_s.append(col[top])
+        if not out_q:
+            return pa.table({"query_vec_id": pa.array([], type=pa.int64()),
+                             "vec_id": pa.array([], type=pa.int64()),
+                             "sim": pa.array([], type=pa.float64())})
+        return pa.table({
+            "query_vec_id": pa.array(np.concatenate(out_q)),
+            "vec_id": pa.array(np.concatenate(out_v)),
+            "sim": pa.array(np.concatenate(out_s), type=pa.float64()),
+        })
+
+
+def q_knn_ivf(sf_dir: str) -> ray.data.Dataset:
+    """IVF-bucketed approximate top-k: train-on-sample coarse quantizer,
+    per-batch inverted-list pruning, exact re-rank of survivors, same
+    global fold as brute force. Recall vs brute force is pinned by
+    tests/test_ops_ann.py (rows-only for the driver)."""
+    cent = _train_coarse_centroids(sf_dir)
+    q_ids, q = _load_queries(sf_dir)
+    qn = _normalize(q)
+    probes = np.argsort(-(qn @ cent.T), axis=1)[:, :IVF_NPROBE]
+    state_ref = ray.put((cent, q_ids, qn, probes))
+    cand = _read_emb(sf_dir).map_batches(
+        IvfScore, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=4096, concurrency=2,
+        fn_constructor_kwargs={"state_ref": state_ref})
+    return cand.groupby("query_vec_id").map_groups(_fold_topk, batch_format="pandas")

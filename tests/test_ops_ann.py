@@ -75,3 +75,15 @@ def test_centroids_match_numpy():
         want = np.mean(np.asarray(list(sel["embedding"]), dtype=np.float64), axis=0)
         assert r.n == len(sel)
         np.testing.assert_allclose(np.asarray(r.centroid), want, rtol=1e-12)
+
+
+def test_ivf_ann_recall():
+    exact = _exact_numpy(SF)
+    approx = ann.q_knn_ivf(SF).to_pandas()
+    hits = total = 0
+    for qid, neigh in exact.items():
+        got = set(approx[approx["query_vec_id"] == qid]["neighbor_vec_id"])
+        hits += len(got & set(neigh))
+        total += len(neigh)
+    recall = hits / total
+    assert recall >= 0.6, f"IVF recall {recall:.2f} below floor"
