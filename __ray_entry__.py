@@ -59,6 +59,7 @@ def _core_queries() -> dict[str, Callable[[str], Any]]:
         "seq_enrich_counts": q.q_enrich_counts,
         "seq_drop_stats": q.q_drop_stats,
         "seq_log_id_unique": q.q_log_id_unique,
+        "seq_ntok_median": q.q_ntok_median,
     }
 
 
@@ -92,6 +93,10 @@ def oracle_sql() -> dict[str, str]:
         "seq_enrich_counts": oracle.sql_enrich_counts(glob, fixtures.INTEL_ROWS),
         "seq_drop_stats": oracle.sql_drop_stats(glob),
         "seq_log_id_unique": oracle.sql_log_id_unique(glob, rs),
+        "seq_ntok_median": (
+            f"WITH seq AS (SELECT * FROM read_parquet('{glob}')) "
+            "SELECT source, COUNT(*)::BIGINT AS n, "
+            "median(n_tok)::DOUBLE AS median FROM seq GROUP BY source"),
     }
     try:
         from swarm_ray import ops

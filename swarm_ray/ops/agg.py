@@ -87,3 +87,50 @@ def add_salt(batch: pa.Table, basis: str, mod: int,
         acc[valid] = (acc[valid] ^ data[idx[valid]].astype(np.uint64)) * np.uint64(1099511628211)
     salt = pa.array((acc % np.uint64(mod)).astype(np.int32))
     return batch.append_column(salt_col, salt)
+
+
+def salted_median(ds: ray.data.Dataset, key: str, value: str,
+                  *, salt_mod: int = 8, basis: str = "doc_id",
+                  domain: int = 4096) -> "ray.data.Dataset":
+    """Exact per-key median of a bounded-domain int column, computed
+    with SALTED sub-groups — the demonstration (and template) for
+    non-associative per-group work on a skewed key:
+
+    1. ``add_salt`` splits each (hot) key group into ``salt_mod``
+       deterministic sub-groups;
+    2. ``groupby(key, salt).map_groups`` builds a VALUE HISTOGRAM per
+       sub-group — each reducer sees at most 1/salt_mod of the hot key
+       (the 55% ``source`` head never lands on one reducer);
+    3. histograms are associative, so a tiny final ``map_groups`` per
+       key folds them and reads the exact median off the CDF.
+
+    Output: (key, n, median: double) — median of an even group is the
+    mean of the two middle values, matching SQL ``median``.
+    """
+    import pandas as pd
+
+    salted = ds.map_batches(add_salt, batch_format="pyarrow",
+                            zero_copy_batch=True,
+                            fn_kwargs={"basis": basis, "mod": salt_mod})
+
+    def partial_hist(g: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        import pandas as pd
+        h = np.bincount(g[value].to_numpy(), minlength=domain)
+        return pd.DataFrame({key: [g[key].iloc[0]],
+                             "hist": [h.astype(np.int64).tolist()]})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        import pandas as pd
+        h = np.sum(np.stack([np.asarray(x) for x in g["hist"]]), axis=0)
+        n = int(h.sum())
+        cdf = np.cumsum(h)
+        lo_i = int(np.searchsorted(cdf, (n - 1) // 2 + 1))
+        hi_i = int(np.searchsorted(cdf, n // 2 + 1))
+        return pd.DataFrame({key: [g[key].iloc[0]], "n": [n],
+                             "median": [(lo_i + hi_i) / 2.0]})
+
+    partials = salted.groupby([key, "_salt"]).map_groups(
+        partial_hist, batch_format="pandas")
+    return partials.groupby(key).map_groups(fold, batch_format="pandas")

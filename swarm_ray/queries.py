@@ -120,6 +120,14 @@ def q_drop_stats(sf_dir: str) -> ray.data.Dataset:
         ["reason"])
 
 
+def q_ntok_median(sf_dir: str) -> ray.data.Dataset:
+    """Exact per-source n_tok median via salted partial histograms
+    (ops/agg.py:salted_median) — the skewed-key / non-associative
+    group-op pattern, oracle-checked against SQL median()."""
+    from .ops.agg import salted_median
+    return salted_median(_read_seq(sf_dir), "source", "n_tok", domain=512)
+
+
 def q_log_id_unique(sf_dir: str) -> ray.data.Dataset:
     """Idempotency: routed rows vs distinct log_ids per sink. Two-level
     aggregate — dedup by (sink, log_id) first, then fold per sink — so

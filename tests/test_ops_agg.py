@@ -44,3 +44,23 @@ def test_add_salt_short_strings():
     t = pa.table({"doc_id": ["", "a", "ab", "abcdefghij"]})
     s = add_salt(t, "doc_id", 4)["_salt"].to_pylist()
     assert all(0 <= x < 4 for x in s)
+
+
+def test_salted_median_exact(ray_session):
+    import pyarrow.parquet as pq
+    from swarm_ray import fixtures
+    from swarm_ray.ops.agg import salted_median
+    import ray.data
+    files = fixtures.sequences_files("sf0.001")
+    ds = ray.data.read_parquet(files, columns=["doc_id", "source", "n_tok"])
+    got = {r["source"]: (r["n"], r["median"])
+           for r in salted_median(ds, "source", "n_tok", domain=512).take_all()}
+    import numpy as np
+    vals = {}
+    for f in files:
+        t = pq.read_table(f, columns=["source", "n_tok"]).to_pandas()
+        for s, g in t.groupby("source"):
+            vals.setdefault(s, []).extend(g["n_tok"])
+    for s, v in vals.items():
+        assert got[s][0] == len(v)
+        assert got[s][1] == float(np.median(v))
