@@ -48,7 +48,8 @@ def stamp_ingest(batch: pa.Table, *, ingest_id: str, ingested_at_us: int) -> pa.
 
 def write_routed(routed: ray.data.Dataset, out_dir: str | Path,
                  *, ingest_id: str | None = None,
-                 min_rows_per_file: int | None = None) -> str:
+                 min_rows_per_file: int | None = None,
+                 shuffle_sinks: int | None = None) -> str:
     """Write the routed dataset hive-partitioned by sink. Returns ingest_id.
 
     ``min_rows_per_file`` is None by default ON PURPOSE: a floor makes
@@ -56,10 +57,25 @@ def write_routed(routed: ray.data.Dataset, out_dir: str | Path,
     for 1M rows → 30× slower than block-parallel writes). File sizes
     are governed by block size (``DataContext.target_max_block_size``)
     instead; a compaction pass can follow at the sink if small files
-    matter downstream."""
+    matter downstream.
+
+    ``shuffle_sinks``: the MANY-sinks plan (SURVEY §7 step 5). With the
+    default direct write, every block splits into one file per sink it
+    contains — fine for ≲16 sinks, a small-file explosion for hundreds.
+    Passing a block count hash-repartitions by (sink_dataset,
+    sink_table) first, co-locating each sink in few blocks — one
+    explicit shuffle traded for O(#sinks) output files."""
     out_dir = Path(out_dir)
     ingest_id = ingest_id or uuid.uuid4().hex
     now_us = int(time.time() * 1_000_000)
+    if shuffle_sinks:
+        # key-based repartition needs the hash-shuffle strategy; flip it
+        # on the context THIS dataset captured at creation (the global
+        # default stays sort-based for the groupby paths)
+        from ray.data.context import ShuffleStrategy
+        routed.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        routed = routed.repartition(shuffle_sinks,
+                                    keys=["sink_dataset", "sink_table"])
     stamped = routed.map_batches(
         stamp_ingest, batch_format="pyarrow", zero_copy_batch=True,
         fn_kwargs={"ingest_id": ingest_id, "ingested_at_us": now_us},

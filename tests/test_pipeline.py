@@ -120,3 +120,23 @@ def test_enqueue_stats(tiny_seq_files):
     assert st["partitions"] == len(tiny_seq_files)
     assert st["files"] == len(tiny_seq_files)
     assert st["bytes"] > 0
+
+
+def test_write_routed_shuffle_sinks(tiny_seq_files, tmp_path):
+    """Many-sinks plan: hash-repartition by sink before the partitioned
+    write — same rows, far fewer files (≈ blocks ≥ sinks)."""
+    from swarm_ray.sinks.parquet_sink import write_routed
+
+    direct = tmp_path / "direct"
+    shuffled = tmp_path / "shuffled"
+    write_routed(build_routed(tiny_seq_files), direct)
+    write_routed(build_routed(tiny_seq_files), shuffled, shuffle_sinks=8)
+
+    def stats(d):
+        files = [p for p in d.rglob("*.parquet")]
+        return len(files), sum(pq.read_metadata(p).num_rows for p in files)
+
+    nf_d, rows_d = stats(direct)
+    nf_s, rows_s = stats(shuffled)
+    assert rows_d == rows_s
+    assert nf_s <= nf_d
