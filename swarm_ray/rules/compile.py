@@ -56,7 +56,7 @@ def _compile_where(conds: tuple[Cond, ...]) -> Callable[[pa.Table], pa.Array]:
 
     def run(t: pa.Table) -> pa.Array:
         if not fns:
-            return pa.array([True] * len(t))
+            return pa.array([True] * len(t), type=pa.bool_())
         mask = fns[0](t)
         for fn in fns[1:]:
             mask = pc.and_kleene(mask, fn(t))
@@ -81,7 +81,7 @@ class CompiledRuleset:
         """True where ANY event rule matches (0 matches ⇒ object
         rejected; reference pkg/usecase/event.go:16-20)."""
         if not self._event:
-            return pa.array([True] * len(batch))
+            return pa.array([True] * len(batch), type=pa.bool_())
         mask = self._event[0][0](batch)
         for fn, _ in self._event[1:]:
             mask = pc.or_(mask, fn(batch))
@@ -91,7 +91,7 @@ class CompiledRuleset:
     def schema_match_mask(self, batch: pa.Table) -> pa.Array:
         """True where at least one schema rule matches."""
         if not self._schema:
-            return pa.array([False] * len(batch))
+            return pa.array([False] * len(batch), type=pa.bool_())
         mask = self._schema[0][0](batch)
         for fn, _ in self._schema[1:]:
             mask = pc.or_(mask, fn(batch))
