@@ -155,6 +155,17 @@ def run_job(input_files: list[str], out_dir: str | Path,
     keep the whole cluster busy; the driver loop is control-plane only."""
     ruleset = ruleset or default_ruleset()
     plans = plan_partitions(input_files, files_per_partition)
+    # lineage guard: a resume must run the SAME ruleset the committed
+    # partitions ran, or the output mixes two routing semantics (the
+    # manifest records the hash for exactly this check)
+    current = ruleset.spec_hash()
+    from ..state.checkpoint import read_manifests
+    for m in read_manifests(out_dir):
+        if m.get("ruleset_hash") not in (None, current):
+            raise RuntimeError(
+                f"resume lineage conflict: partition {m['partition_id']} was "
+                f"committed under ruleset {m['ruleset_hash'][:8]}…, current is "
+                f"{current[:8]}… — use a fresh out_dir or the original rules")
     results = []
     for plan in pending_partitions(out_dir, plans):
         results.append(run_partition(plan, out_dir, ruleset, intel, **build_kwargs))

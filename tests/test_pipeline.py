@@ -140,3 +140,17 @@ def test_write_routed_shuffle_sinks(tiny_seq_files, tmp_path):
     nf_s, rows_s = stats(shuffled)
     assert rows_d == rows_s
     assert nf_s <= nf_d
+
+
+def test_resume_ruleset_lineage_conflict(tiny_seq_files, tmp_path):
+    """Resuming under a different ruleset must fail loudly (manifests
+    record the ruleset hash for exactly this check)."""
+    from swarm_ray.rules.spec import Action, Cond, Rule, Ruleset
+
+    out = tmp_path / "lineage_out"
+    run_job(tiny_seq_files[:1], out)
+    other = Ruleset(event_rules=(), schema_rules=(
+        Rule("only", (Cond("source", "eq", "cloudtrail"),),
+             (Action("d", "t"),)),))
+    with pytest.raises(RuntimeError, match="lineage conflict"):
+        run_job(tiny_seq_files, out, ruleset=other)
