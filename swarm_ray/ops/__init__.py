@@ -87,4 +87,18 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
     t0 = time.time()
     dedup.q_minhash_pairs(sf_dir)
     out["doc_minhash_pairs"] = round(time.time() - t0, 3)
+    for name, fn in (("emb_knn", "ann.q_knn_bruteforce"),
+                     ("media_stats", "media.q_media_stats"),
+                     ("events_hourly", "relational.q_events_hourly")):
+        try:
+            mod_name, fn_name = fn.split(".")
+            import importlib
+            mod = importlib.import_module(f".{mod_name}", __package__)
+            t0 = time.time()
+            res = getattr(mod, fn_name)(sf_dir)
+            if hasattr(res, "to_pandas"):
+                res.to_pandas()
+            out[name] = round(time.time() - t0, 3)
+        except Exception:
+            pass
     return out

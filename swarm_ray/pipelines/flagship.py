@@ -61,15 +61,17 @@ def build_routed(paths: list[str] | str,
     intel_ref = ray.put(intel)  # broadcast once; actors fetch in __init__
 
     if enrich_concurrency is None:
-        # Ray fuses the upstream parse map into this actor pool, so its
-        # max IS the parallelism cap of the whole parse+enrich stage —
-        # size it to the cluster, not a constant (a fixed cap of 8
-        # measured 0.45 scaling efficiency going 8→32 CPUs). But cap it
-        # BELOW the cluster: a pool equal to total CPUs starves the
-        # read/route/write task stages (measured: livelock-slow at
-        # concurrency=ncpu, num_cpus=ncpu).
+        # The lookup itself is ~2 ms per 32k batch; what matters is NOT
+        # fusing the (expensive) parse map into this pool — fused, the
+        # pool size caps parse parallelism and the job pays a large
+        # actor-pool spin-up every execution. num_cpus=0.9 below breaks
+        # fusion (operators with different resource requests don't
+        # fuse), so parse runs as tasks on every CPU and a small pool
+        # absorbs the lookups (measured at sf0.1/32 CPUs: median 7.4 s
+        # unfused-small vs 9.1 s fused-large, faster in every paired
+        # round).
         ncpu = int(ray.cluster_resources().get("CPU", 8))
-        enrich_concurrency = (max(2, ncpu // 4), max(4, ncpu * 3 // 4))
+        enrich_concurrency = (2, max(2, ncpu // 4))
 
     ds = ray.data.read_parquet(
         paths, columns=INPUT_COLUMNS,
@@ -82,6 +84,7 @@ def build_routed(paths: list[str] | str,
     ds = ds.map_batches(
         EnrichStage, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=batch_size, concurrency=enrich_concurrency,
+        num_cpus=0.9,  # fusion breaker — see the comment above
         fn_constructor_kwargs={"intel_ref": intel_ref},
     )
     ds = ds.map_batches(
