@@ -154,3 +154,58 @@ def test_resume_ruleset_lineage_conflict(tiny_seq_files, tmp_path):
              (Action("d", "t"),)),))
     with pytest.raises(RuntimeError, match="lineage conflict"):
         run_job(tiny_seq_files, out, ruleset=other)
+
+
+def test_malformed_doc_ids_propagate_nulls_not_drops():
+    """Rows whose doc_id doesn't match the path grok keep routing:
+    parse fields and timestamp go NULL (typed), partition label is
+    empty, and the content-hash log_id stays deterministic. (The
+    reference would reject a record its schema rule can't timestamp;
+    here timestamps are derived, so null marks 'underivable' without
+    losing the payload — checked so the behavior is pinned, not
+    accidental.)"""
+    import pyarrow as pa
+    from swarm_ray.rules.compile import CompiledRuleset
+    from swarm_ray.stages.parse import parse_batch
+    from swarm_ray.stages.route import route_batch
+
+    rows = pa.table({
+        "doc_id": ["github_audit/weird-no-pattern"],
+        "tokens": pa.array([[1, 2]], type=pa.list_(pa.int32())),
+        "n_tok": pa.array([2], type=pa.int32()),
+        "source": ["github_audit"],
+    })
+    c = CompiledRuleset(default_ruleset())
+    routed = route_batch(parse_batch(rows, c), c)
+    assert len(routed) == 1
+    r = routed.to_pylist()[0]
+    assert r["timestamp"] is None and r["sink_partition"] == ""
+    assert len(r["log_id"]) == 32
+    routed2 = route_batch(parse_batch(rows, c), c)
+    assert routed2["log_id"].to_pylist() == [r["log_id"]]
+
+
+def test_hundred_sinks_end_to_end(tiny_seq_files, tmp_path):
+    """Many-sinks stress: a generated 100-action ruleset fans each
+    github_audit row into bucketed sinks; the shuffle_sinks write path
+    produces one directory per sink with exact counts."""
+    from swarm_ray.rules.spec import Action, Cond, Rule, Ruleset
+    from swarm_ray.sinks.parquet_sink import write_routed
+
+    n_sinks = 100
+    rules = tuple(
+        Rule(f"bucket_{i}", (
+            Cond("source", "eq", "github_audit"),
+            Cond("doc_id", "suffix", ".log"),
+            Cond("n_tok", "ge" if i % 2 == 0 else "gt", i % 7),
+        ), (Action("fan", f"t{i:03d}"),))
+        for i in range(n_sinks)
+    )
+    rs = Ruleset(event_rules=(), schema_rules=rules)
+    routed = build_routed(tiny_seq_files[:1], rs)
+    write_routed(routed, tmp_path / "fan", shuffle_sinks=8)
+    sink_dirs = list((tmp_path / "fan").glob("sink_dataset=fan/sink_table=*"))
+    assert len(sink_dirs) == n_sinks
+    total = sum(pq.read_metadata(p).num_rows
+                for p in (tmp_path / "fan").rglob("*.parquet"))
+    assert total == build_routed(tiny_seq_files[:1], rs).count()
