@@ -40,6 +40,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out.update(multimodal.queries())
     except ImportError:
         pass
+    try:
+        from . import tokens
+        out.update(tokens.queries())
+    except ImportError:
+        pass
     return out
 
 
@@ -70,6 +75,11 @@ def oracle_sql() -> dict[str, str]:
     try:
         from . import media as multimodal
         out.update(multimodal.oracle_sql())
+    except ImportError:
+        pass
+    try:
+        from . import tokens
+        out.update(tokens.oracle_sql())
     except ImportError:
         pass
     return out

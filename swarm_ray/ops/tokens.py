@@ -1,0 +1,173 @@
+"""Token-payload operators over the sequences corpus — the ops a
+training-data pipeline runs on the ACTUAL token arrays (the
+``input_hint`` table), beyond routing them.
+
+* ``q_token_topk`` — global vocabulary frequency, top-k. The bounded
+  vocab (5-digit ids, see stages/ids.py) makes the partial a fixed
+  ``np.bincount`` per batch: the shuffle moves ``#blocks`` dense
+  histograms (400 KB each), never 10^12 token rows. Oracle: DuckDB
+  ``unnest(tokens)`` + count.
+* ``q_seq_pack`` — greedy sequence packing into fixed-capacity bins
+  (the classic pre-training batching step). Packing is per-PARTITION
+  (each input block packs independently, bins never span blocks) —
+  the documented partitioning assumption that makes it
+  embarrassingly parallel; a global packer would serialize the
+  corpus for ~1% utilization gain. Deterministic per block ⇒
+  rows-only for the driver; invariants pinned by pytest.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+from .. import fixtures
+
+VOCAB = 50_257          # token id upper bound (fixtures.VOCAB)
+TOPK = 100
+
+
+def _seq_files(sf_dir: str) -> list[str]:
+    return fixtures.sequences_files(fixtures.label_for_sf_dir(sf_dir))
+
+
+def _dense_hist(batch: pa.Table) -> pa.Table:
+    """One row per batch: the dense token histogram as a fixed-size
+    list (zero-copy from the bincount buffer)."""
+    import numpy as np
+    toks = batch["tokens"].combine_chunks()
+    vals = toks.values.to_numpy(zero_copy_only=False)
+    hist = np.bincount(vals, minlength=VOCAB).astype(np.int64)
+    col = pa.FixedSizeListArray.from_arrays(pa.array(hist), VOCAB)
+    return pa.table({"hist": col})
+
+
+def _sum_hists(batch: pa.Table) -> pa.Table:
+    import numpy as np
+    arr = batch["hist"].combine_chunks()
+    m = arr.values.to_numpy(zero_copy_only=False).reshape(len(arr), VOCAB)
+    col = pa.FixedSizeListArray.from_arrays(pa.array(m.sum(axis=0)), VOCAB)
+    return pa.table({"hist": col})
+
+
+def q_token_topk(sf_dir: str, k: int = TOPK) -> pd.DataFrame:
+    """Top-k most frequent token ids corpus-wide (count desc, id asc).
+    Output: (token: int, n: bigint) — SQL-checked.
+
+    Plan: per-batch dense ``np.bincount`` (the vocab is bounded) → one
+    fixed-size-list row per batch → a MAP-ONLY fold level summing 64
+    histograms per task → tiny driver fold. No shuffle at all — a row
+    groupby of the sparse partials measured 80 s where this whole plan
+    takes ~2 s; at 10^12 scale add fold levels (log₆₄) instead of
+    widening the driver fold."""
+    import numpy as np
+    ds = (ray.data.read_parquet(_seq_files(sf_dir), columns=["tokens"])
+          .map_batches(_dense_hist, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=32768)
+          .map_batches(_sum_hists, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=64))
+    parts = ds.to_pandas()["hist"]
+    total = np.sum(np.stack([np.asarray(h) for h in parts]), axis=0)
+    order = np.lexsort((np.arange(VOCAB), -total))[:k]
+    return pd.DataFrame({"token": order.astype("int32"),
+                         "n": total[order].astype("int64")})
+
+
+PACK_CAPACITY = 512
+
+
+class PackBins:
+    """Greedy first-fit-decreasing packer over one batch: sequences
+    sorted by length desc, each placed in the first bin with room.
+    Bin ids are globally unique and deterministic: (first doc_idx in
+    batch, local bin ordinal)."""
+
+    def __init__(self, capacity: int = PACK_CAPACITY):
+        self.capacity = capacity
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+        n_tok = batch["n_tok"].to_numpy()
+        doc_ids = batch["doc_id"].to_pylist()
+        order = np.argsort(-n_tok, kind="stable")
+        bins: list[tuple[int, list[int]]] = []   # (used, member row idxs)
+        for i in order:
+            L = int(n_tok[i])
+            if L > self.capacity:        # over-long: own bin (truncate later)
+                bins.append((self.capacity, [int(i)]))
+                continue
+            for b in range(len(bins)):
+                used, members = bins[b]
+                if used + L <= self.capacity:
+                    bins[b] = (used + L, members + [int(i)])
+                    break
+            else:
+                bins.append((L, [int(i)]))
+        anchor = min(doc_ids) if doc_ids else ""
+        return pa.table({
+            "bin_id": pa.array([f"{anchor}#{b:06d}" for b in range(len(bins))]),
+            "n_seqs": pa.array([len(m) for _, m in bins], type=pa.int64()),
+            "used_tok": pa.array([u for u, _ in bins], type=pa.int64()),
+            "capacity": pa.array([self.capacity] * len(bins), type=pa.int64()),
+        })
+
+
+PACK_GROUP = 8192       # sequences per packing group (stable doc_idx range)
+
+
+def q_seq_pack(sf_dir: str, capacity: int = PACK_CAPACITY) -> ray.data.Dataset:
+    """Pack sequences into fixed-capacity bins. Packing groups are
+    STABLE doc_idx ranges (``doc_idx // PACK_GROUP``), not Ray batch
+    boundaries, so the output is identical regardless of block
+    splitting / parallelism — bins never span groups (the documented
+    partitioning assumption). Returns per-bin stats (rows-only;
+    invariants pinned by pytest)."""
+    from ..stages.ids import doc_index
+
+    def add_group(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        idx = doc_index(batch)
+        return batch.append_column(
+            "pack_group", pc.cast(pc.divide(idx, PACK_GROUP), pa.int64()))
+
+    packer = PackBins(capacity)
+
+    def pack_group(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("doc_id")       # stable order within group
+        t = pa.Table.from_pandas(df[["doc_id", "n_tok"]], preserve_index=False)
+        return packer(t).to_pandas()
+
+    return (ray.data.read_parquet(_seq_files(sf_dir), columns=["doc_id", "n_tok"])
+            .map_batches(add_group, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("pack_group")
+            .map_groups(pack_group, batch_format="pandas"))
+
+
+def queries() -> dict[str, Callable[[str], Any]]:
+    return {
+        "seq_token_topk": q_token_topk,
+        "seq_pack": q_seq_pack,        # rows-only
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    from ..fixtures import label_for_sf_dir, sequences_dir
+    glob = str(sequences_dir(label_for_sf_dir("/root/testdata/sf0.01")) / "*.parquet")
+    return {
+        "seq_token_topk": f"""
+            SELECT CAST(t AS INTEGER) AS token, COUNT(*)::BIGINT AS n
+            FROM (SELECT unnest(tokens) AS t
+                  FROM read_parquet('{glob}'))
+            GROUP BY t
+            ORDER BY n DESC, token ASC
+            LIMIT {TOPK}
+        """,
+    }
