@@ -24,6 +24,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash": dedup.q_simhash,
         "doc_jaccard_pairs": dedup.q_jaccard_pairs,
         "doc_minhash_pairs": dedup.q_minhash_pairs,  # rows-only (LSH)
+        "doc_dup_clusters": dedup.q_dup_clusters,
     }
     try:
         from . import relational
@@ -59,6 +60,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_dedup_exact": sql.SQL_DEDUP_EXACT,
         "doc_simhash": sql.SQL_SIMHASH,
         "doc_jaccard_pairs": sql.SQL_JACCARD_PAIRS,
+        "doc_dup_clusters": sql.SQL_DUP_CLUSTERS,
         # doc_minhash_pairs: intentionally no oracle (probabilistic LSH;
         # recall vs exact Jaccard is pinned by tests/test_ops_dedup.py)
     }

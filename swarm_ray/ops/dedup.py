@@ -245,3 +245,35 @@ def q_minhash_pairs(sf_dir: str) -> pd.DataFrame:
     cand = cand.assign(jaccard_milli=jm)
     out = cand[cand["jaccard_milli"] >= JACCARD_TAU_MILLI]
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+# ------------------------------------------------------------ dup clusters
+
+def q_dup_clusters(sf_dir: str) -> pd.DataFrame:
+    """Near-duplicate CLUSTER assignment: connected components over the
+    verified Jaccard pair set; cluster_id = min doc_id in the component.
+
+    Scale shape: the edge set (verified near-dup pairs) is orders of
+    magnitude smaller than the corpus — pair discovery is the
+    distributed part (minhash banding / bounded exact Jaccard); the
+    component fold here is union-find over those edges, and at corpus
+    scale the identical min-label iteration runs as Dataset join +
+    groupby-min rounds over the edge table. Output is discrete ids —
+    SQL-checked against a DuckDB recursive-CTE closure.
+    """
+    pairs = q_jaccard_pairs(sf_dir)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    rows = sorted((d, find(d)) for d in parent)
+    return pd.DataFrame(rows, columns=["doc_id", "cluster_id"]) \
+        .astype({"doc_id": "int64", "cluster_id": "int64"})

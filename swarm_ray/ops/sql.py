@@ -115,3 +115,22 @@ WITH d AS (
 SELECT doc_a, doc_b, jaccard_milli FROM p
 WHERE jaccard_milli >= {JACCARD_TAU_MILLI}
 """
+
+
+SQL_DUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS (
+{SQL_JACCARD_PAIRS.strip().rstrip()}
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+), nodes AS (
+  SELECT DISTINCT a AS doc_id FROM edges
+), reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+)
+SELECT src AS doc_id, MIN(dst) AS cluster_id
+FROM reach GROUP BY src ORDER BY doc_id
+"""

@@ -79,3 +79,17 @@ def test_exact_dedup_on_real_duplicates(tmp_path):
     out = dedup.q_dedup_exact(str(sf)).to_pandas().sort_values("dup_count")
     assert out["dup_count"].tolist() == [1, 3]
     assert out[out["dup_count"] == 3]["keeper_doc_id"].iloc[0] == 1
+
+
+def test_dup_clusters_consistent_with_pairs(ray_session):
+    from swarm_ray.ops.dedup import q_dup_clusters, q_jaccard_pairs
+    sf = "/root/testdata/sf0.001"
+    pairs = q_jaccard_pairs(sf)
+    clusters = q_dup_clusters(sf)
+    cl = dict(zip(clusters["doc_id"], clusters["cluster_id"]))
+    # every paired doc is clustered, pair endpoints share a cluster
+    for r in pairs.itertuples():
+        assert cl[r.doc_a] == cl[r.doc_b]
+    # cluster representative is the component minimum (itself clustered)
+    for d, c in cl.items():
+        assert c <= d and cl[c] == c
