@@ -103,6 +103,14 @@ def run_partition(plan: PartitionPlan, out_dir: str | Path,
     ingest_id = uuid.uuid4().hex
     part_out = out_dir / f"partition={plan.partition_id}"
 
+    # an uncommitted partition dir can only hold leftovers from a
+    # crashed attempt (file names embed that run's ingest uuid, so they
+    # would NOT be overwritten and would double the partition's rows) —
+    # re-execution starts clean (≙ the state store letting a timed-out
+    # message be re-processed from scratch)
+    import shutil
+    shutil.rmtree(part_out, ignore_errors=True)
+
     routed = build_routed(plan.input_files, ruleset, intel, **build_kwargs)
     write_routed(routed, part_out, ingest_id=ingest_id)
 

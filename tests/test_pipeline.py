@@ -209,3 +209,26 @@ def test_hundred_sinks_end_to_end(tiny_seq_files, tmp_path):
     total = sum(pq.read_metadata(p).num_rows
                 for p in (tmp_path / "fan").rglob("*.parquet"))
     assert total == build_routed(tiny_seq_files[:1], rs).count()
+
+
+def test_crash_leftovers_do_not_double_rows(tiny_seq_files, tmp_path):
+    """A crashed attempt leaves uuid-named part files but no _DONE
+    marker; re-execution must start the partition clean instead of
+    accumulating the stale files into the counts."""
+    out = tmp_path / "crash_out"
+    res1 = run_job(tiny_seq_files, out, files_per_partition=len(tiny_seq_files))
+    want = res1[0]["sink_counts"]
+
+    # simulate the crash: drop the marker, leave ALL output files, and
+    # plant an extra stale file from the "crashed" attempt
+    (out / "_manifest" / "partition-00000" / "_DONE").unlink()
+    sink_dir = next((out / "partition=00000").glob("sink_dataset=*/sink_table=*"))
+    stale = next(sink_dir.glob("*.parquet"))
+    import shutil as _sh
+    _sh.copy(stale, sink_dir / "crashed-leftover.parquet")
+
+    res2 = run_job(tiny_seq_files, out, files_per_partition=len(tiny_seq_files))
+    assert res2[0]["sink_counts"] == want
+    total = sum(pq.read_metadata(p).num_rows
+                for p in (out / "partition=00000").rglob("*.parquet"))
+    assert total == sum(want.values())
