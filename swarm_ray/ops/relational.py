@@ -237,11 +237,19 @@ def queries():
         "tpch_pricing": q_tpch_pricing,
         "tpch_nation_orders": q_tpch_nation_orders,
         "tpch_revenue": q_tpch_revenue,
+        "tpch_priority_revenue": q_tpch_priority_revenue,
     }
 
 
 def oracle_sql():
     return {
+        "tpch_priority_revenue": """
+SELECT o_orderpriority,
+       COUNT(*)::BIGINT AS n_items,
+       SUM(CAST(ROUND(l_extendedprice * 100.0) AS BIGINT))::BIGINT AS price_cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
         "events_parse_props": """
 SELECT event_id, event_type,
   CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k
@@ -315,3 +323,33 @@ WHERE l_shipdate >= TIMESTAMP '1994-01-01'
   AND l_quantity < 24
 """,
     }
+
+
+# ------------------------------------------------------------ fact-fact join
+
+def q_tpch_priority_revenue(sf_dir: str) -> ray.data.Dataset:
+    """Fact-fact equi-join: lineitem ⋈ orders on orderkey (both sides
+    big — no broadcast), via Ray's native hash-shuffle join, then
+    revenue cents per order priority. Completes the join family:
+    dimension joins broadcast (q_tpch_nation_orders); fact joins hash
+    co-partition both sides on the key — the 100 TB plan, where
+    num_partitions scales with the cluster."""
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_extendedprice"])
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_orderpriority"])
+    li.context.shuffle_strategy = ray.data.context.ShuffleStrategy.HASH_SHUFFLE
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "price_cents": pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                                   pa.int64()),
+        })
+
+    j = (li.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+         .join(orders, join_type="inner", num_partitions=16,
+               on=("l_orderkey",), right_on=("o_orderkey",)))
+    return (j.groupby("o_orderpriority")
+            .aggregate(Count(alias_name="n_items"),
+                       Sum("price_cents", alias_name="price_cents")))
