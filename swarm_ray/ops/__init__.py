@@ -19,6 +19,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": text.q_doc_quality,
         "doc_fingerprint": text.q_doc_fingerprint,
         "doc_langid": text.q_doc_langid,
+        "doc_curation": text.q_doc_curation,
         # dedup family
         "doc_dedup_exact": dedup.q_dedup_exact,
         "doc_simhash": dedup.q_simhash,
@@ -57,6 +58,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": sql.SQL_DOC_QUALITY,
         "doc_fingerprint": sql.SQL_DOC_FINGERPRINT,
         "doc_langid": sql.SQL_DOC_LANGID,
+        "doc_curation": sql.SQL_DOC_CURATION,
         "doc_dedup_exact": sql.SQL_DEDUP_EXACT,
         "doc_simhash": sql.SQL_SIMHASH,
         "doc_jaccard_pairs": sql.SQL_JACCARD_PAIRS,

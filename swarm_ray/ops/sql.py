@@ -134,3 +134,26 @@ WITH RECURSIVE pairs AS (
 SELECT src AS doc_id, MIN(dst) AS cluster_id
 FROM reach GROUP BY src ORDER BY doc_id
 """
+
+
+# composite curation: quality gate -> exact dedup keeper -> per-lang counts
+from .text import CURATION_MAX_STOP_MILLI, CURATION_MIN_WORDS  # noqa: E402
+
+SQL_DOC_CURATION = f"""
+WITH q AS (
+  SELECT doc_id, text, lang,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+    CAST(len(list_filter(string_split(text, ' '),
+         x -> x IN ({_inlist(STOPWORDS)}))) AS BIGINT) AS stop_count
+  FROM documents
+), gated AS (
+  SELECT doc_id, text, lang FROM q
+  WHERE n_words >= {CURATION_MIN_WORDS}
+    AND (1000 * stop_count) // n_words <= {CURATION_MAX_STOP_MILLI}
+), keepers AS (
+  SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY md5(text)
+)
+SELECT g.lang, COUNT(*)::BIGINT AS n_docs
+FROM gated g JOIN keepers k ON g.doc_id = k.doc_id
+GROUP BY g.lang ORDER BY g.lang
+"""

@@ -167,3 +167,54 @@ class LangId:
 def q_doc_langid(sf_dir: str) -> ray.data.Dataset:
     return _read_docs(sf_dir).map_batches(
         LangId, batch_format="pandas", batch_size=4096, concurrency=2)
+
+
+# ------------------------------------------------------------ curation pipeline
+
+#: quality gate for the composite curation flow (deliberately mid-range
+#: so both keep and drop paths carry rows at every scale)
+CURATION_MIN_WORDS = 8
+CURATION_MAX_STOP_MILLI = 600
+
+
+def q_doc_curation(sf_dir: str) -> ray.data.Dataset:
+    """Composite curation pipeline — the end-to-end training-data flow
+    over documents, each stage a streaming batch transform:
+
+        quality score → threshold filter → exact dedup (content hash,
+        keeper = min doc_id) → per-language survivor counts
+
+    One shuffle total (the dedup groupby of (hash, id) pairs). Fully
+    deterministic ⇒ SQL-checked end to end; the near-dup (MinHash)
+    stage joins the flow in ``dedup.q_minhash_pairs`` where its
+    probabilistic recall is pytest-pinned instead.
+    """
+    from ray.data.aggregate import Count as _Count, Min as _Min
+    from .dedup import _hash_batch
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text", "lang"])
+
+    def gate(batch: pd.DataFrame) -> pd.DataFrame:
+        q = quality_batch(batch.copy())
+        keep = (q["n_words"] >= CURATION_MIN_WORDS) & \
+               (q["stop_ratio_milli"] <= CURATION_MAX_STOP_MILLI)
+        return batch[keep.to_numpy()]
+
+    gated = docs.map_batches(gate, batch_format="pandas")
+    hashed = gated.map_batches(
+        lambda b: pd.DataFrame({
+            "doc_id": b["doc_id"],
+            "text_md5": _hash_batch(b.copy())["text_md5"],
+            "lang": b["lang"],
+        }), batch_format="pandas")
+    keepers = (hashed.groupby("text_md5")
+               .aggregate(_Min("doc_id", alias_name="doc_id")))
+    # re-attach language by joining keepers back on doc_id (broadcast:
+    # keeper ids are the dedup survivors — bounded by distinct content)
+    kdf = keepers.to_pandas()
+    keep_ids = set(kdf["doc_id"])
+    survivors = hashed.map_batches(
+        lambda b, s=keep_ids: b[b["doc_id"].isin(s)], batch_format="pandas")
+    return (survivors.groupby("lang")
+            .aggregate(_Count(alias_name="n_docs")))
