@@ -209,12 +209,14 @@ def q_doc_curation(sf_dir: str) -> ray.data.Dataset:
             "lang": b["lang"],
         }), batch_format="pandas")
     keepers = (hashed.groupby("text_md5")
-               .aggregate(_Min("doc_id", alias_name="doc_id")))
-    # re-attach language by joining keepers back on doc_id (broadcast:
-    # keeper ids are the dedup survivors — bounded by distinct content)
-    kdf = keepers.to_pandas()
-    keep_ids = set(kdf["doc_id"])
-    survivors = hashed.map_batches(
-        lambda b, s=keep_ids: b[b["doc_id"].isin(s)], batch_format="pandas")
+               .aggregate(_Min("doc_id", alias_name="doc_id"))
+               .select_columns(["doc_id"]))
+    # re-attach language with a hash join on doc_id — the keeper set is
+    # bounded by DISTINCT CONTENT, which at corpus scale is still far
+    # too large to collect on the driver, so it stays distributed
+    keepers.context.shuffle_strategy = ray.data.context.ShuffleStrategy.HASH_SHUFFLE
+    survivors = keepers.join(hashed.select_columns(["doc_id", "lang"]),
+                             join_type="inner", num_partitions=8,
+                             on=("doc_id",))
     return (survivors.groupby("lang")
             .aggregate(_Count(alias_name="n_docs")))
