@@ -70,18 +70,19 @@ def run_bench() -> dict:
     queries: dict[str, float] = {"flagship_job": round(headline, 3),
                                  "flagship_job_best": round(times[0], 3)}
 
-    # secondary: aggregate-only plan (no sink write) — isolates the
-    # parse/enrich/route compute + count shuffle
-    from swarm_ray.queries import q_route_counts
-    t0 = time.time()
-    q_route_counts(SF_DIR).to_pandas()
-    queries["route_counts_agg"] = round(time.time() - t0, 3)
+    if not os.environ.get("BENCH_HEADLINE_ONLY"):
+        # secondary: aggregate-only plan (no sink write) — isolates the
+        # parse/enrich/route compute + count shuffle
+        from swarm_ray.queries import q_route_counts
+        t0 = time.time()
+        q_route_counts(SF_DIR).to_pandas()
+        queries["route_counts_agg"] = round(time.time() - t0, 3)
 
-    try:
-        from swarm_ray import ops
-        queries.update(ops.bench_queries(SF_DIR))
-    except (ImportError, AttributeError):
-        pass
+        try:
+            from swarm_ray import ops
+            queries.update(ops.bench_queries(SF_DIR))
+        except (ImportError, AttributeError):
+            pass
 
     ray.shutdown()
     return {
@@ -101,7 +102,9 @@ def run_scaling() -> dict:
     lo_cpus, hi_cpus = 8, 32
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # headline only — the efficiency ratio uses just the flagship
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   BENCH_HEADLINE_ONLY="1")
         out = subprocess.run([sys.executable, __file__], env=env,
                              capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
