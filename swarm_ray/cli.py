@@ -25,15 +25,20 @@ import json
 import sys
 
 
-def _ray_init(num_cpus: int | None):
+def _ray_init(num_cpus: int | None) -> bool:
+    """Init Ray if nobody has; returns True iff WE own the session
+    (a pre-existing session — e.g. under ray job submit or pytest —
+    must not be shut down by the CLI)."""
     import ray
-    if not ray.is_initialized():
+    owned = not ray.is_initialized()
+    if owned:
         kwargs = {"include_dashboard": False, "logging_level": "ERROR"}
         if num_cpus:
             kwargs["num_cpus"] = num_cpus
         ray.init(address="local", **kwargs)
     import ray.data
     ray.data.DataContext.get_current().enable_progress_bars = False
+    return owned
 
 
 def _input_files(pattern: str) -> list[str]:
@@ -119,14 +124,15 @@ def main(argv: list[str] | None = None) -> int:
     pm.set_defaults(fn=cmd_migrate)
 
     args = p.parse_args(argv)
-    _ray_init(args.num_cpus)
+    owned = _ray_init(args.num_cpus)
     try:
         out = args.fn(args)
         print(json.dumps(out))
         return 0
     finally:
-        import ray
-        ray.shutdown()
+        if owned:
+            import ray
+            ray.shutdown()
 
 
 if __name__ == "__main__":

@@ -185,6 +185,9 @@ MEDIA_ROWS_BY_LABEL = {"sf0.001": 800, "sf0.01": 4_000, "sf0.1": 20_000}
 #:   audio: b"RAA1" + u32le sample_rate + u32le n_samples + n int16le samples
 MEDIA_MAGIC_IMAGE = b"RAI1"
 MEDIA_MAGIC_AUDIO = b"RAA1"
+#:   video: b"RAV1" + u16le width + u16le height + u16le n_frames +
+#:          n_frames × width*height u8 frames
+MEDIA_MAGIC_VIDEO = b"RAV1"
 
 
 def _gen_media_chunk(chunk_idx: int, n: int) -> pa.Table:
@@ -192,11 +195,13 @@ def _gen_media_chunk(chunk_idx: int, n: int) -> pa.Table:
 
     base = chunk_idx * CHUNK_ROWS
     rng = np.random.default_rng([SEED + 7, chunk_idx])
-    is_img = rng.random(n) < 0.7
-    widths = np.where(is_img, 8 + rng.integers(0, 56, size=n), 0).astype(np.int32)
-    heights = np.where(is_img, 8 + rng.integers(0, 56, size=n), 0).astype(np.int32)
-    srates = np.where(~is_img, np.asarray([8000, 16000, 44100])[rng.integers(0, 3, size=n)], 0).astype(np.int32)
-    nsamp = np.where(~is_img, 256 + rng.integers(0, 1792, size=n), 0).astype(np.int32)
+    kind = rng.choice(3, size=n, p=(0.6, 0.25, 0.15))   # image / audio / video
+    is_img, is_aud, is_vid = kind == 0, kind == 1, kind == 2
+    widths = np.where(is_img | is_vid, 8 + rng.integers(0, 56, size=n), 0).astype(np.int32)
+    heights = np.where(is_img | is_vid, 8 + rng.integers(0, 56, size=n), 0).astype(np.int32)
+    srates = np.where(is_aud, np.asarray([8000, 16000, 44100])[rng.integers(0, 3, size=n)], 0).astype(np.int32)
+    nsamp = np.where(is_aud, 256 + rng.integers(0, 1792, size=n), 0).astype(np.int32)
+    nframes = np.where(is_vid, 4 + rng.integers(0, 28, size=n), 0).astype(np.int32)
 
     payloads = []
     for i in range(n):
@@ -204,22 +209,31 @@ def _gen_media_chunk(chunk_idx: int, n: int) -> pa.Table:
             w, h = int(widths[i]), int(heights[i])
             px = rng.integers(0, 256, size=w * h, dtype=np.uint8)
             payloads.append(MEDIA_MAGIC_IMAGE + struct.pack("<HH", w, h) + px.tobytes())
-        else:
+        elif is_aud[i]:
             sr, ns = int(srates[i]), int(nsamp[i])
             samples = rng.integers(-32768, 32768, size=ns, dtype=np.int16)
             payloads.append(MEDIA_MAGIC_AUDIO + struct.pack("<II", sr, ns) + samples.tobytes())
+        else:
+            w, h, nf = int(widths[i]), int(heights[i]), int(nframes[i])
+            frames = rng.integers(0, 256, size=w * h * nf, dtype=np.uint8)
+            payloads.append(MEDIA_MAGIC_VIDEO + struct.pack("<HHH", w, h, nf) + frames.tobytes())
 
     doc_id = [f"media/part-{(base + i) // 257:05d}/doc-{base + i:08d}" for i in range(n)]
+    mt = np.where(is_img, "image", np.where(is_aud, "audio", "video"))
     return pa.table({
         "doc_id": pa.array(doc_id, type=pa.string()),
-        "media_type": pa.array(np.where(is_img, "image", "audio")),
+        "media_type": pa.array(mt),
         "payload": pa.array(payloads, type=pa.binary()),
         "width": pa.array(widths),
         "height": pa.array(heights),
         "sample_rate": pa.array(srates),
         "n_samples": pa.array(nsamp),
+        "n_frames": pa.array(nframes),
         "n_bytes": pa.array([len(p) for p in payloads], type=pa.int32()),
     })
+
+
+MEDIA_FIXTURE_VERSION = 2  # bump when the generator's content changes
 
 
 def media_dir(label: str) -> Path:
@@ -229,7 +243,8 @@ def media_dir(label: str) -> Path:
     meta = out / "_FIXTURE.json"
     if meta.exists():
         try:
-            if json.loads(meta.read_text())["rows"] == n_rows:
+            m = json.loads(meta.read_text())
+            if m["rows"] == n_rows and m.get("version") == MEDIA_FIXTURE_VERSION:
                 return out
         except Exception:
             pass
@@ -241,7 +256,8 @@ def media_dir(label: str) -> Path:
     for c in range(n_chunks):
         n = min(CHUNK_ROWS, n_rows - c * CHUNK_ROWS)
         pq.write_table(_gen_media_chunk(c, n), tmp / f"part-{c:05d}.parquet")
-    (tmp / "_FIXTURE.json").write_text(json.dumps({"rows": n_rows, "seed": SEED + 7}))
+    (tmp / "_FIXTURE.json").write_text(json.dumps(
+        {"rows": n_rows, "seed": SEED + 7, "version": MEDIA_FIXTURE_VERSION}))
     out.parent.mkdir(parents=True, exist_ok=True)
     if out.exists():
         shutil.rmtree(tmp, ignore_errors=True)

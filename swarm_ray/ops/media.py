@@ -66,6 +66,7 @@ class MediaDecodeStage:
         self._codecs: dict[bytes, Callable[[memoryview], tuple]] = {
             fixtures.MEDIA_MAGIC_IMAGE: self._decode_image,
             fixtures.MEDIA_MAGIC_AUDIO: self._decode_audio,
+            fixtures.MEDIA_MAGIC_VIDEO: self._decode_video,
         }
         self._strict = strict
 
@@ -73,14 +74,21 @@ class MediaDecodeStage:
     def _decode_image(blob: memoryview) -> tuple:
         w, h = struct.unpack_from("<HH", blob, 4)
         px = np.frombuffer(blob, dtype=np.uint8, count=w * h, offset=8)
-        return (True, w, h, 0, 0, float(px.mean()) if w * h else 0.0)
+        return (True, w, h, 0, 0, 0, float(px.mean()) if w * h else 0.0)
 
     @staticmethod
     def _decode_audio(blob: memoryview) -> tuple:
         sr, ns = struct.unpack_from("<II", blob, 4)
         samples = np.frombuffer(blob, dtype=np.int16, count=ns, offset=12)
         feat = float(np.abs(samples.astype(np.int32)).mean()) if ns else 0.0
-        return (True, 0, 0, sr, ns, feat)
+        return (True, 0, 0, sr, ns, 0, feat)
+
+    @staticmethod
+    def _decode_video(blob: memoryview) -> tuple:
+        w, h, nf = struct.unpack_from("<HHH", blob, 4)
+        frames = np.frombuffer(blob, dtype=np.uint8, count=w * h * nf, offset=10)
+        feat = float(frames.mean()) if len(frames) else 0.0
+        return (True, w, h, 0, 0, nf, feat)
 
     @staticmethod
     def _decode_real_codec(blob: memoryview) -> tuple:
@@ -104,6 +112,7 @@ class MediaDecodeStage:
         h = np.zeros(n, dtype=np.int32)
         sr = np.zeros(n, dtype=np.int32)
         ns = np.zeros(n, dtype=np.int32)
+        nf = np.zeros(n, dtype=np.int32)
         feat = np.zeros(n, dtype=np.float64)
         for i in range(n):
             blob = data[offs[i]:offs[i + 1]]
@@ -116,7 +125,7 @@ class MediaDecodeStage:
                 if self._strict:
                     raise ValueError(f"payload {i}: unknown container magic")
                 continue
-            ok[i], w[i], h[i], sr[i], ns[i], feat[i] = codec(blob)
+            ok[i], w[i], h[i], sr[i], ns[i], nf[i], feat[i] = codec(blob)
         drop = [c for c in ("payload",) if c in batch.column_names]
         out = batch.drop_columns(drop)
         return (out.append_column("dec_ok", pa.array(ok))
@@ -124,6 +133,7 @@ class MediaDecodeStage:
                    .append_column("dec_height", pa.array(h))
                    .append_column("dec_sample_rate", pa.array(sr))
                    .append_column("dec_n_samples", pa.array(ns))
+                   .append_column("dec_n_frames", pa.array(nf))
                    .append_column("feat_mean", pa.array(feat)))
 
 
@@ -204,6 +214,38 @@ class AudioFrameSampleStage:
             "preview", pa.array(previews, type=pa.list_(pa.int32())))
 
 
+class VideoFrameSampleStage:
+    """Sample every k-th FRAME of video payloads — emits one row per
+    kept frame with its mean intensity (the feature-extraction shape a
+    vision pipeline feeds to batched inference)."""
+
+    def __init__(self, stride: int = 4, n_keep: int = 4):
+        self._stride, self._n_keep = stride, n_keep
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        offs, data = _payload_views(batch)
+        doc_ids = batch["doc_id"].to_pylist()
+        out_doc, out_frame, out_mean = [], [], []
+        for i in range(len(batch)):
+            blob = data[offs[i]:offs[i + 1]]
+            if len(blob) < 10 or bytes(blob[:4]) != fixtures.MEDIA_MAGIC_VIDEO:
+                continue
+            w, h, nf = struct.unpack_from("<HHH", blob, 4)
+            if w * h == 0:
+                continue
+            frames = np.frombuffer(blob, dtype=np.uint8, count=w * h * nf,
+                                   offset=10).reshape(nf, w * h)
+            for f in list(range(0, nf, self._stride))[:self._n_keep]:
+                out_doc.append(doc_ids[i])
+                out_frame.append(f)
+                out_mean.append(int(frames[f].mean() * 1000) )
+        return pa.table({
+            "doc_id": pa.array(out_doc, type=pa.string()),
+            "frame_no": pa.array(out_frame, type=pa.int32()),
+            "mean_milli": pa.array(out_mean, type=pa.int64()),
+        })
+
+
 def _read_media(sf_dir: str) -> ray.data.Dataset:
     label = fixtures.label_for_sf_dir(sf_dir)
     return ray.data.read_parquet(fixtures.media_files(label))
@@ -231,6 +273,7 @@ def q_media_stats(sf_dir: str) -> ray.data.Dataset:
             "px": pc.cast(pc.multiply(pc.cast(t["dec_width"], pa.int64()),
                                       pc.cast(t["dec_height"], pa.int64())), pa.int64()),
             "samples": pc.cast(t["dec_n_samples"], pa.int64()),
+            "frames": pc.cast(t["dec_n_frames"], pa.int64()),
         })
 
     ds = ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
@@ -238,14 +281,16 @@ def q_media_stats(sf_dir: str) -> ray.data.Dataset:
     # single small shuffle over per-batch partials
     def partial(t: pa.Table) -> pa.Table:
         return pa.TableGroupBy(t, ["media_type"]).aggregate(
-            [("n", "sum"), ("decoded", "sum"), ("px", "sum"), ("samples", "sum")]
-        ).rename_columns(["media_type", "n", "decoded", "px", "samples"])
+            [("n", "sum"), ("decoded", "sum"), ("px", "sum"),
+             ("samples", "sum"), ("frames", "sum")]
+        ).rename_columns(["media_type", "n", "decoded", "px", "samples", "frames"])
     return (ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
             .groupby("media_type")
             .aggregate(Sum("n", alias_name="n"),
                        Sum("decoded", alias_name="decoded"),
                        Sum("px", alias_name="px"),
-                       Sum("samples", alias_name="samples")))
+                       Sum("samples", alias_name="samples"),
+                       Sum("frames", alias_name="frames")))
 
 
 def q_media_resize(sf_dir: str) -> ray.data.Dataset:
@@ -271,11 +316,20 @@ def _media_glob(sf_dir: str) -> str:
     return str(fixtures.media_dir(label) / "*.parquet")
 
 
+def q_media_video_frames(sf_dir: str) -> ray.data.Dataset:
+    """Frame-sample video payloads (every 4th frame, first 4)."""
+    ds = _read_media(sf_dir).map_batches(
+        VideoFrameSampleStage, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=MEDIA_BATCH_SIZE, concurrency=MEDIA_CONCURRENCY)
+    return ds
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "media_stats": q_media_stats,
         "media_resize": q_media_resize,   # rows-only
         "media_frames": q_media_frames,   # rows-only
+        "media_video_frames": q_media_video_frames,  # rows-only
     }
 
 
@@ -291,7 +345,8 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*)::BIGINT AS n,
                    COUNT(*)::BIGINT AS decoded,
                    COALESCE(SUM(CAST(width AS BIGINT) * CAST(height AS BIGINT)), 0)::BIGINT AS px,
-                   COALESCE(SUM(CAST(n_samples AS BIGINT)), 0)::BIGINT AS samples
+                   COALESCE(SUM(CAST(n_samples AS BIGINT)), 0)::BIGINT AS samples,
+                   COALESCE(SUM(CAST(n_frames AS BIGINT)), 0)::BIGINT AS frames
             FROM read_parquet('{glob}')
             GROUP BY media_type
         """,

@@ -96,3 +96,17 @@ def test_cli_ingest_and_dry_run(ray_session, tmp_path, capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["mode"] == "dry-run" and out["sinks"]
+
+
+def test_cli_schema_command(ray_session, tmp_path, capsys):
+    from swarm_ray.cli import main
+
+    pattern = str(fixtures.sequences_dir("sf0.001") / "*.parquet")
+    rc = main(["schema", "--input", pattern, "--out", str(tmp_path / "s")])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["mode"] == "schema" and out["sinks"]
+    for sink in out["sinks"]:
+        ds_name, table = sink.split(".")
+        f = tmp_path / "s" / f"sink_dataset={ds_name}" / f"sink_table={table}" / "_schema.json"
+        assert f.exists()

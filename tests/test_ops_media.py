@@ -93,3 +93,30 @@ def test_media_stats_matches_fixture_metadata(ray_session):
         assert got[mt]["decoded"] == d["n"]      # every payload decodes
         assert got[mt]["px"] == d["px"]          # decoded dims == metadata
         assert got[mt]["samples"] == d["samples"]
+
+
+def _vid(w, h, nf, seed=0):
+    frames = np.random.default_rng(seed).integers(0, 256, size=w * h * nf, dtype=np.uint8)
+    return (fixtures.MEDIA_MAGIC_VIDEO + struct.pack("<HHH", w, h, nf)
+            + frames.tobytes()), frames.reshape(nf, w * h)
+
+
+def test_decode_video():
+    vid, frames = _vid(4, 4, 6, seed=5)
+    out = MediaDecodeStage()(_batch([vid]))
+    assert out["dec_ok"].to_pylist() == [True]
+    assert out["dec_width"].to_pylist() == [4]
+    assert out["dec_n_frames"].to_pylist() == [6]
+    assert out["feat_mean"].to_pylist()[0] == pytest.approx(frames.mean())
+
+
+def test_video_frame_sample():
+    from swarm_ray.ops.media import VideoFrameSampleStage
+    vid, frames = _vid(4, 4, 10, seed=6)
+    out = VideoFrameSampleStage(stride=3, n_keep=3)(_batch([vid]))
+    assert out["frame_no"].to_pylist() == [0, 3, 6]
+    assert out["mean_milli"].to_pylist() == [
+        int(frames[f].mean() * 1000) for f in (0, 3, 6)]
+    # image payloads are skipped
+    img, _ = _img(4, 4)
+    assert len(VideoFrameSampleStage()(_batch([img]))) == 0
