@@ -23,7 +23,6 @@ subgroup results.
 from __future__ import annotations
 
 import pyarrow as pa
-import pyarrow.compute as pc
 
 import ray
 import ray.data

@@ -261,7 +261,6 @@ def q_media_stats(sf_dir: str) -> ray.data.Dataset:
     """Per-media-type stats computed from the DECODED headers. The
     oracle recomputes them from the metadata columns — they agree iff
     decode is correct, so the hash-compare covers the decode path."""
-    from .agg import grouped_sum
     ds = decoded(sf_dir)
 
     def project(t: pa.Table) -> pa.Table:

@@ -17,7 +17,6 @@ from __future__ import annotations
 import hashlib
 import re
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 

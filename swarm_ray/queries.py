@@ -17,7 +17,7 @@ from ray.data.aggregate import Count, Sum
 
 from . import fixtures
 from .pipelines.flagship import build_routed
-from .rules.spec import Ruleset, default_ruleset
+from .rules.spec import default_ruleset
 from .stages.enrich import EnrichStage
 from .stages.parse import ParseStage
 

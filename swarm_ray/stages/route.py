@@ -22,10 +22,9 @@ sink fan-out (≙ BigQueryDest, reference pkg/domain/model/policy.go:58-62).
 from __future__ import annotations
 
 import pyarrow as pa
-import pyarrow.compute as pc
 
 from ..rules.compile import CompiledRuleset
-from ..rules.spec import Action, Ruleset
+from ..rules.spec import Ruleset
 from .ids import derive_timestamp, generated_log_id, partition_label
 
 
