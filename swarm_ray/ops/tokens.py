@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "seq_token_topk": q_token_topk,
         "seq_pack": q_seq_pack,        # rows-only
+        "seq_sample": q_seq_sample,
     }
 
 
@@ -162,6 +163,12 @@ def oracle_sql() -> dict[str, str]:
     from ..fixtures import label_for_sf_dir, sequences_dir
     glob = str(sequences_dir(label_for_sf_dir("/root/testdata/sf0.01")) / "*.parquet")
     return {
+        "seq_sample": f"""
+            SELECT source, COUNT(*)::BIGINT AS sampled_rows
+            FROM read_parquet('{glob}')
+            WHERE substr(md5(doc_id), 1, 1) IN ('0', '1')
+            GROUP BY source ORDER BY source
+        """,
         "seq_token_topk": f"""
             SELECT CAST(t AS INTEGER) AS token, COUNT(*)::BIGINT AS n
             FROM (SELECT unnest(tokens) AS t
@@ -171,3 +178,25 @@ def oracle_sql() -> dict[str, str]:
             LIMIT {TOPK}
         """,
     }
+
+
+def q_seq_sample(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic content-hash sampling (~12.5%): keep rows whose
+    md5(doc_id) starts with hex 0 or 1 — the scalable seeded-sample
+    pattern (uniform, reproducible, independent of row order and
+    parallelism, and a pure per-batch filter: no shuffle, no driver
+    RNG). Output: per-source sampled counts, SQL-checked."""
+    import pyarrow.compute as pc
+    from ..stages.ids import md5_hex
+    from .agg import grouped_count
+
+    def sample(batch: pa.Table) -> pa.Table:
+        h = md5_hex(batch["doc_id"].combine_chunks().cast(pa.large_binary()))
+        keep = pc.is_in(pc.utf8_slice_codeunits(h, 0, 1),
+                        value_set=pa.array(["0", "1"]))
+        return batch.filter(keep)
+
+    ds = ray.data.read_parquet(_seq_files(sf_dir), columns=["doc_id", "source"])
+    return grouped_count(
+        ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True),
+        ["source"], alias="sampled_rows")
