@@ -61,7 +61,8 @@ def cmd_ingest(args) -> dict:
         counts = write_dump(routed, args.out)
         return {"mode": "dry-run", "sinks": counts}
     results = run_job(files, args.out, ruleset,
-                      files_per_partition=args.files_per_partition)
+                      files_per_partition=args.files_per_partition,
+                      incremental=args.incremental)
     return {"mode": "ingest", "partitions": len(results),
             "rows_in": sum(r["rows_in"] for r in results),
             "rows_routed": sum(r["rows_routed"] for r in results)}
@@ -109,6 +110,9 @@ def main(argv: list[str] | None = None) -> int:
     pi.add_argument("--files-per-partition", type=int, default=64)
     pi.add_argument("--dry-run", action="store_true",
                     help="dump sink (NDJSON + schema.json) instead of Parquet")
+    pi.add_argument("--incremental", action="store_true",
+                    help="continuous-ingest mode: content-addressed partitions, "
+                         "only files not yet committed are processed")
     pi.set_defaults(fn=cmd_ingest)
 
     ps = sub.add_parser("schema", help="infer + register sink schemas only")

@@ -37,7 +37,7 @@ from ..stages.parse import ParseStage
 from ..stages.route import RouteStage
 from ..sinks.parquet_sink import update_sink_schema, write_routed
 from ..state.checkpoint import (PartitionPlan, commit_partition, pending_partitions,
-                                plan_partitions)
+                                plan_incremental, plan_partitions)
 from .. import fixtures
 
 #: input columns the pipeline needs — prune at the read. (All four are
@@ -160,12 +160,21 @@ def run_partition(plan: PartitionPlan, out_dir: str | Path,
 
 def run_job(input_files: list[str], out_dir: str | Path,
             ruleset: Ruleset | None = None, intel: pa.Table | None = None,
-            *, files_per_partition: int = 64, **build_kwargs) -> list[dict]:
+            *, files_per_partition: int = 64, incremental: bool = False,
+            **build_kwargs) -> list[dict]:
     """Checkpointed job: plan partitions, skip committed ones, run the
     rest. Each partition is one streaming Dataset execution sized to
-    keep the whole cluster busy; the driver loop is control-plane only."""
+    keep the whole cluster busy; the driver loop is control-plane only.
+
+    ``incremental=True`` uses content-addressed partition ids and plans
+    only files no committed partition covers — the continuous-ingest
+    mode where the input file list grows between invocations (≙ the
+    reference's serve/job message loop)."""
     ruleset = ruleset or default_ruleset()
-    plans = plan_partitions(input_files, files_per_partition)
+    if incremental:
+        plans = plan_incremental(out_dir, input_files, files_per_partition)
+    else:
+        plans = plan_partitions(input_files, files_per_partition)
     # lineage guard: a resume must run the SAME ruleset the committed
     # partitions ran, or the output mixes two routing semantics (the
     # manifest records the hash for exactly this check)

@@ -109,3 +109,36 @@ def enqueue_stats(plans: list[PartitionPlan]) -> dict:
             except OSError:
                 pass
     return {"partitions": len(plans), "files": n_files, "bytes": n_bytes}
+
+
+def committed_files(out_dir: str | Path) -> set[str]:
+    """Input files covered by COMMITTED partitions (done-marker present)."""
+    done = set()
+    for m in read_manifests(out_dir):
+        if is_done(out_dir, m["partition_id"]):
+            done.update(m["input_files"])
+    return done
+
+
+def plan_incremental(out_dir: str | Path, input_files: list[str],
+                     files_per_partition: int = 8) -> list[PartitionPlan]:
+    """Incremental / continuous-ingest planning (≙ the reference's
+    serve/job modes processing objects as they arrive). Positional
+    chunk ids break when the file list grows between runs (sorted
+    interleaving shifts chunk boundaries, so a committed id could map
+    to different files and resume would silently skip them). Here:
+
+    * only files NOT covered by a committed manifest are planned;
+    * partition ids are CONTENT-ADDRESSED — md5 of the chunk's file
+      list — so a partition is only ever skipped for exactly the file
+      set it committed.
+    """
+    import hashlib
+    done = committed_files(out_dir)
+    todo = [f for f in sorted(input_files) if f not in done]
+    plans = []
+    for i in range(0, len(todo), files_per_partition):
+        chunk = todo[i:i + files_per_partition]
+        pid = hashlib.md5(json.dumps(chunk).encode()).hexdigest()[:12]
+        plans.append(PartitionPlan(pid, chunk))
+    return plans

@@ -232,3 +232,26 @@ def test_crash_leftovers_do_not_double_rows(tiny_seq_files, tmp_path):
     total = sum(pq.read_metadata(p).num_rows
                 for p in (out / "partition=00000").rglob("*.parquet"))
     assert total == sum(want.values())
+
+
+def test_incremental_ingest_new_files_only(tiny_seq_files, tmp_path):
+    """Continuous-ingest mode: files arriving between runs are planned
+    with content-addressed partition ids; committed files are never
+    reprocessed even though sorting interleaves the new arrivals."""
+    out = tmp_path / "inc_out"
+    first = tiny_seq_files[1:]          # hold one file back ("arrives later")
+    res1 = run_job(first, out, files_per_partition=2, incremental=True)
+    rows1 = sum(r["rows_in"] for r in res1)
+
+    # the held-back file sorts BEFORE the committed ones — positional
+    # chunking would shift every boundary; incremental must plan just it
+    res2 = run_job(tiny_seq_files, out, files_per_partition=2, incremental=True)
+    assert len(res2) == 1  # exactly one new partition (the 1 new file)
+    rows2 = sum(r["rows_in"] for r in res2)
+
+    total_rows = sum(pq.read_metadata(f).num_rows for f in tiny_seq_files)
+    assert rows1 + rows2 == total_rows
+
+    # a third run: nothing new
+    assert run_job(tiny_seq_files, out, files_per_partition=2,
+                   incremental=True) == []
