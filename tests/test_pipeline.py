@@ -4,6 +4,7 @@ checkpoint/resume and idempotency (SURVEY §3.1, §7 steps 2-7)."""
 import shutil
 from pathlib import Path
 
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
@@ -255,3 +256,21 @@ def test_incremental_ingest_new_files_only(tiny_seq_files, tmp_path):
     # a third run: nothing new
     assert run_job(tiny_seq_files, out, files_per_partition=2,
                    incremental=True) == []
+
+
+def test_all_rejected_partition_commits_empty(tmp_path):
+    """A partition whose rows all fail the event filter still commits
+    (zero routed rows, empty sink counts) and resumes as done — the
+    0-match object-reject path at partition granularity."""
+    t = pa.table({
+        "doc_id": [f"cloudtrail/part-00000/doc-{i:08d}.tmp" for i in range(50)],
+        "tokens": pa.array([[1, 2]] * 50, type=pa.list_(pa.int32())),
+        "n_tok": pa.array([2] * 50, type=pa.int32()),
+        "source": ["cloudtrail"] * 50,
+    })
+    src = tmp_path / "all_rejected.parquet"
+    pq.write_table(t, src)
+    res = run_job([str(src)], tmp_path / "out")
+    assert res == [{"partition_id": "00000", "rows_in": 50,
+                    "rows_routed": 0, "sink_counts": {}}]
+    assert run_job([str(src)], tmp_path / "out") == []
