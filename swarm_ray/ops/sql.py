@@ -157,3 +157,13 @@ SELECT g.lang, COUNT(*)::BIGINT AS n_docs
 FROM gated g JOIN keepers k ON g.doc_id = k.doc_id
 GROUP BY g.lang ORDER BY g.lang
 """
+
+
+SQL_DOC_TOKENIZE = """
+SELECT doc_id,
+  list_transform(string_split(text, ' '),
+    w -> CAST(CAST(CONCAT('0x', substr(md5(w), 1, 8)) AS UBIGINT) % 50257 AS INTEGER)
+  ) AS tokens,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+FROM documents
+"""

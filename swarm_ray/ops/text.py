@@ -219,3 +219,54 @@ def q_doc_curation(sf_dir: str) -> ray.data.Dataset:
                              on=("doc_id",))
     return (survivors.groupby("lang")
             .aggregate(_Count(alias_name="n_docs")))
+
+
+# ------------------------------------------------------------ tokenize
+
+TOKENIZE_VOCAB = 50_257
+
+
+class HashTokenizer:
+    """Deterministic hash tokenizer: word → md5-derived id in
+    [0, vocab) — the feature-hashing tokenization used when a trained
+    BPE isn't available (and the bridge from the ``documents`` text
+    table to the engine's ``(tokens, n_tok)`` sequence shape). Actor
+    state: the word→id cache; corpus vocabulary is tiny relative to
+    the corpus, so hashing amortizes to ~zero per batch."""
+
+    def __init__(self, vocab: int = TOKENIZE_VOCAB):
+        self._vocab = vocab
+        self._cache: dict[str, int] = {}
+
+    def _id(self, w: str) -> int:
+        v = self._cache.get(w)
+        if v is None:
+            v = self._cache[w] = (
+                int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % self._vocab)
+        return v
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        toks = [ [self._id(w) for w in t.split(" ")] for t in batch["text"] ]
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].to_numpy(),
+            "tokens": pd.Series(toks, dtype="object"),
+            "n_tok": [len(t) for t in toks],
+        })
+
+
+def q_doc_tokenize(sf_dir: str) -> ray.data.Dataset:
+    """documents.text → (doc_id, tokens: list<int>, n_tok) via the
+    hash tokenizer; SQL-checked token-for-token."""
+    import pyarrow as _pa
+
+    def to_arrow(df: pd.DataFrame) -> "_pa.Table":
+        return _pa.table({
+            "doc_id": _pa.array(df["doc_id"], type=_pa.int64()),
+            "tokens": _pa.array(list(df["tokens"]), type=_pa.list_(_pa.int32())),
+            "n_tok": _pa.array(df["n_tok"], type=_pa.int64()),
+        })
+
+    return (_read_docs(sf_dir)
+            .map_batches(HashTokenizer, batch_format="pandas",
+                         batch_size=2048, concurrency=2)
+            .map_batches(to_arrow, batch_format="pandas", zero_copy_batch=True))

@@ -47,3 +47,20 @@ def test_token_stats():
     assert out["distinct_tokens"].iloc[0] == 3
     # bpe-ish: ab, ab, cd, ',', 12
     assert out["bpeish_tokens"].iloc[0] == 5
+
+
+def test_hash_tokenizer_deterministic_and_bounded():
+    import hashlib
+    import pandas as pd
+    from swarm_ray.ops.text import HashTokenizer, TOKENIZE_VOCAB
+
+    b = pd.DataFrame({"doc_id": [1, 2], "text": ["the cat sat", "the the"]})
+    tk = HashTokenizer()
+    out1 = tk(b.copy())
+    out2 = HashTokenizer()(b.copy())
+    assert list(out1["tokens"]) == list(out2["tokens"])
+    assert out1["n_tok"].tolist() == [3, 2]
+    the_id = int(hashlib.md5(b"the").hexdigest()[:8], 16) % TOKENIZE_VOCAB
+    assert out1["tokens"][0][0] == the_id
+    assert out1["tokens"][1] == [the_id, the_id]
+    assert all(0 <= t < TOKENIZE_VOCAB for toks in out1["tokens"] for t in toks)
