@@ -48,6 +48,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out.update(tokens.queries())
     except ImportError:
         pass
+    try:
+        from . import embed
+        out.update(embed.queries())
+    except ImportError:
+        pass
     return out
 
 

@@ -1,0 +1,114 @@
+"""Batched model inference — the embed stage.
+
+The canonical actor-pool inference pattern for a 100 TB corpus: the
+model loads ONCE per actor in ``__init__`` (here: a seeded projection
+matrix standing in for a real encoder — no ML frameworks ship in this
+container, so the model is a clearly-marked deterministic stub with
+the identical stage signature), and ``__call__`` embeds one Arrow
+batch with a single matmul. Swapping in a real encoder changes
+``_load_model`` / ``_forward`` only — batch sizing, actor lifecycle,
+zero-copy I/O and output schema stay.
+
+Plumbing that IS real and tested:
+* hashed bag-of-words featurization (reuses the hash tokenizer ids),
+* per-actor model state, batched forward pass, L2-normalized output,
+* fixed-size ``list<float>`` embedding column (matches the
+  ``embeddings`` table shape, so downstream ANN/dedup ops compose).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+EMBED_DIM = 64
+EMBED_SEED = 271828
+#: inference batches are model-bound, not IO-bound — size for the model
+EMBED_BATCH_SIZE = 1024
+EMBED_CONCURRENCY = (1, 4)
+
+
+class EmbedStage:
+    """documents.text → embedding via hashed-BoW × seeded projection."""
+
+    def __init__(self, dim: int = EMBED_DIM):
+        self._dim = dim
+        self._model = self._load_model(dim)   # once per actor
+        from .text import HashTokenizer
+        self._tok = HashTokenizer()
+
+    @staticmethod
+    def _load_model(dim: int) -> np.ndarray:
+        # STUB model: seeded Gaussian projection (vocab → dim). A real
+        # encoder would load weights here (e.g. torch.load) — same hook.
+        from .text import TOKENIZE_VOCAB
+        rng = np.random.default_rng(EMBED_SEED)
+        return rng.standard_normal((TOKENIZE_VOCAB, dim)).astype(np.float32)
+
+    def _forward(self, token_ids: list[list[int]]) -> np.ndarray:
+        # batched "forward pass": sum of token embedding rows, L2-normed
+        out = np.zeros((len(token_ids), self._dim), dtype=np.float32)
+        for i, ids in enumerate(token_ids):
+            if ids:
+                out[i] = self._model[ids].sum(axis=0)
+        norms = np.linalg.norm(out, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        return out / norms
+
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
+        ids = [[self._tok._id(w) for w in t.split(" ")] for t in batch["text"]]
+        emb = self._forward(ids)
+        flat = pa.array(emb.reshape(-1), type=pa.float32())
+        col = pa.FixedSizeListArray.from_arrays(flat, self._dim)
+        return pa.table({
+            "doc_id": pa.array(batch["doc_id"].to_numpy(), type=pa.int64()),
+            "embedding": col,
+        })
+
+
+def q_doc_embed(sf_dir: str) -> ray.data.Dataset:
+    """Embed every document (rows-only: float vectors; determinism and
+    composition with ANN pinned by pytest)."""
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+    ).map_batches(EmbedStage, batch_format="pandas",
+                  batch_size=EMBED_BATCH_SIZE, concurrency=EMBED_CONCURRENCY)
+
+
+def q_doc_embed_knn(sf_dir: str, k: int = 5, n_queries: int = 5) -> pd.DataFrame:
+    """Compose embed → brute-force top-k over the FRESHLY EMBEDDED
+    corpus (first n_queries doc_ids as queries) — the end-to-end
+    embed-then-search flow. Discrete output (query, rank, neighbor);
+    rows-only for the driver, pinned against a numpy recompute in
+    pytest."""
+    emb = q_doc_embed(sf_dir).to_pandas()  # documents table is the small side
+    emb = emb.sort_values("doc_id").reset_index(drop=True)
+    m = np.stack([np.asarray(e, dtype=np.float64) for e in emb["embedding"]])
+    ids = emb["doc_id"].to_numpy()
+    q = m[:n_queries]
+    sims = q @ m.T
+    rows = []
+    for j in range(len(q)):
+        order = np.lexsort((ids, -sims[j]))
+        picked = [i for i in order if ids[i] != ids[j]][:k]
+        for rank, i in enumerate(picked, 1):
+            rows.append((int(ids[j]), rank, int(ids[i])))
+    return pd.DataFrame(rows, columns=["query_doc_id", "rank", "neighbor_doc_id"])
+
+
+def queries() -> dict[str, Callable[[str], Any]]:
+    return {
+        "doc_embed": q_doc_embed,          # rows-only (float vectors)
+        "doc_embed_knn": q_doc_embed_knn,  # rows-only (pytest-pinned)
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {}

@@ -1,0 +1,33 @@
+"""Embed stage (stubbed model, real actor-pool inference plumbing)."""
+
+import numpy as np
+import pandas as pd
+
+from swarm_ray.ops.embed import EMBED_DIM, EmbedStage, q_doc_embed, q_doc_embed_knn
+
+
+def test_embed_deterministic_normalized():
+    b = pd.DataFrame({"doc_id": [1, 2, 3],
+                      "text": ["the cat", "the cat", "dog runs fast"]})
+    out1 = EmbedStage()(b.copy())
+    out2 = EmbedStage()(b.copy())
+    e1 = np.stack([np.asarray(e) for e in out1["embedding"].to_pylist()])
+    e2 = np.stack([np.asarray(e) for e in out2["embedding"].to_pylist()])
+    assert np.array_equal(e1, e2)                      # model load is seeded
+    assert np.array_equal(e1[0], e1[1])                # same text, same vector
+    assert not np.array_equal(e1[0], e1[2])
+    assert np.allclose(np.linalg.norm(e1, axis=1), 1.0, atol=1e-6)
+    assert e1.shape[1] == EMBED_DIM
+
+
+def test_embed_dataset_and_knn(ray_session):
+    sf = "/root/testdata/sf0.001"
+    emb = q_doc_embed(sf).to_pandas()
+    assert len(emb) > 0 and len(emb["embedding"].iloc[0]) == EMBED_DIM
+
+    knn = q_doc_embed_knn(sf, k=3, n_queries=3)
+    assert set(knn["query_doc_id"]) == set(emb["doc_id"].sort_values()[:3])
+    for _, ranks in knn.groupby("query_doc_id")["rank"]:
+        assert ranks.tolist() == [1, 2, 3]
+    # no self-matches
+    assert (knn["query_doc_id"] != knn["neighbor_doc_id"]).all()
