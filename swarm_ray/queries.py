@@ -125,7 +125,11 @@ def q_ntok_median(sf_dir: str) -> ray.data.Dataset:
     (ops/agg.py:salted_median) — the skewed-key / non-associative
     group-op pattern, oracle-checked against SQL median()."""
     from .ops.agg import salted_median
-    return salted_median(_read_seq(sf_dir), "source", "n_tok", domain=512)
+    # prune at the read: the shuffle must move (doc_id, source, n_tok)
+    # triples, never the token payload
+    ds = ray.data.read_parquet(_seq_files(sf_dir),
+                               columns=["doc_id", "source", "n_tok"])
+    return salted_median(ds, "source", "n_tok", domain=512)
 
 
 def q_log_id_unique(sf_dir: str) -> ray.data.Dataset:
