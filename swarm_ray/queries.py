@@ -39,12 +39,16 @@ def q_source_counts(sf_dir: str) -> ray.data.Dataset:
     the exchange moves #blocks × #keys partials, not 10^12 rows — also
     the skew treatment for the 55%-hot source key."""
     from .ops.agg import grouped_count
-    return grouped_count(_read_seq(sf_dir), ["source"])
+    ds = ray.data.read_parquet(_seq_files(sf_dir), columns=["source"])
+    return grouped_count(ds, ["source"])
 
 
 def q_parse(sf_dir: str) -> ray.data.Dataset:
-    """M1/S5 — event filter + vectorized regex parse of doc_id."""
-    ds = _read_seq(sf_dir).map_batches(
+    """M1/S5 — event filter + vectorized regex parse of doc_id.
+    Token payload pruned at the read — parse touches metadata only."""
+    ds = ray.data.read_parquet(
+        _seq_files(sf_dir), columns=["doc_id", "source", "n_tok"],
+    ).map_batches(
         ParseStage(default_ruleset()), batch_format="pyarrow", zero_copy_batch=True)
     return ds.select_columns(["doc_id", "source", "n_tok", "part_no", "doc_idx", "ext"])
 
@@ -87,7 +91,7 @@ def q_enrich_counts(sf_dir: str) -> ray.data.Dataset:
     """ST2 — broadcast left-join enrichment over the RAW input (no event
     filter) so the miss path (null severity/tag) is part of the check."""
     intel_ref = ray.put(fixtures.intel_table())
-    ds = _read_seq(sf_dir).map_batches(
+    ds = ray.data.read_parquet(_seq_files(sf_dir), columns=["source"]).map_batches(
         EnrichStage, batch_format="pyarrow", zero_copy_batch=True,
         concurrency=2, fn_constructor_kwargs={"intel_ref": intel_ref})
 
@@ -115,8 +119,8 @@ def q_drop_stats(sf_dir: str) -> ray.data.Dataset:
         return pa.table({"reason": reason})
     from .ops.agg import grouped_count
     return grouped_count(
-        _read_seq(sf_dir).map_batches(classify, batch_format="pyarrow",
-                                      zero_copy_batch=True),
+        ray.data.read_parquet(_seq_files(sf_dir), columns=["doc_id", "source"])
+        .map_batches(classify, batch_format="pyarrow", zero_copy_batch=True),
         ["reason"])
 
 
