@@ -29,10 +29,6 @@ def _seq_files(sf_dir: str) -> list[str]:
     return fixtures.sequences_files(fixtures.label_for_sf_dir(sf_dir))
 
 
-def _read_seq(sf_dir: str) -> ray.data.Dataset:
-    return ray.data.read_parquet(_seq_files(sf_dir))
-
-
 def q_source_counts(sf_dir: str) -> ray.data.Dataset:
     """A1 — per-source input counts. Partial per-batch counts collapse
     each block to ≤#sources rows BEFORE the shuffle (ops/agg.py), so
