@@ -274,3 +274,30 @@ def test_all_rejected_partition_commits_empty(tmp_path):
     assert res == [{"partition_id": "00000", "rows_in": 50,
                     "rows_routed": 0, "sink_counts": {}}]
     assert run_job([str(src)], tmp_path / "out") == []
+
+
+def test_dataloader_streams_sink(tiny_seq_files, tmp_path):
+    """Training-side consumption: stream fixed-token-budget batches out
+    of a written sink; every sequence appears exactly once, whole."""
+    from swarm_ray.pipelines.dataloader import iter_token_batches
+
+    out = tmp_path / "dl_out"
+    run_job(tiny_seq_files[:1], out)
+    sink = next((out / "partition=00000").glob("sink_dataset=my_dataset/sink_table=*"))
+
+    total_docs = 0
+    total_tokens = 0
+    for b in iter_token_batches(sink, batch_tokens=4096):
+        assert b["offsets"][0] == 0 and b["offsets"][-1] == len(b["tokens"])
+        widths = b["offsets"][1:] - b["offsets"][:-1]
+        assert len(widths) == len(b["doc_ids"])
+        # budget respected unless a single long sequence forced it
+        assert len(b["tokens"]) <= 4096 or len(b["doc_ids"]) == 1
+        total_docs += len(b["doc_ids"])
+        total_tokens += len(b["tokens"])
+
+    n = sum(pq.read_metadata(p).num_rows for p in sink.rglob("*.parquet"))
+    t = sum(sum(r["n_tok"] for r in pq.read_table(p, columns=["n_tok"]).to_pylist())
+            for p in sink.rglob("*.parquet"))
+    assert total_docs == n
+    assert total_tokens == t
