@@ -117,10 +117,11 @@ def _fold_topk(g: pd.DataFrame, k: int = TOP_K) -> pd.DataFrame:
 def q_knn_bruteforce(sf_dir: str) -> ray.data.Dataset:
     """Exact top-5 cosine neighbors for the first 10 vectors. Output is
     discrete (query, rank, neighbor) — float sims never leave the plan."""
+    from ..util import autoscaling_pool
     queries_ref = ray.put(_load_queries(sf_dir))
     cand = _read_emb(sf_dir).map_batches(
         BruteForceTopK, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=4096, concurrency=2,
+        batch_size=4096, concurrency=autoscaling_pool(),
         fn_constructor_kwargs={"queries_ref": queries_ref})
     return cand.groupby("query_vec_id").map_groups(_fold_topk, batch_format="pandas")
 
@@ -171,9 +172,10 @@ def q_lsh_ann(sf_dir: str, k: int = TOP_K) -> pd.DataFrame:
     q_ids, q = _load_queries(sf_dir)
     dim = q.shape[1]
     bucketer = LshBucket(dim)
+    from ..util import autoscaling_pool
     triples = _read_emb(sf_dir).map_batches(
         LshBucket, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=2, fn_constructor_kwargs={"dim": dim})
+        concurrency=autoscaling_pool(), fn_constructor_kwargs={"dim": dim})
 
     q_buckets = bucketer.buckets_of(_normalize(q))   # (nq, L)
     probes: dict[int, set[tuple[int, int]]] = {}
@@ -394,9 +396,10 @@ def q_knn_ivf(sf_dir: str) -> ray.data.Dataset:
     q_ids, q = _load_queries(sf_dir)
     qn = _normalize(q)
     probes = np.argsort(-(qn @ cent.T), axis=1)[:, :IVF_NPROBE]
+    from ..util import autoscaling_pool
     state_ref = ray.put((cent, q_ids, qn, probes))
     cand = _read_emb(sf_dir).map_batches(
         IvfScore, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=4096, concurrency=2,
+        batch_size=4096, concurrency=autoscaling_pool(),
         fn_constructor_kwargs={"state_ref": state_ref})
     return cand.groupby("query_vec_id").map_groups(_fold_topk, batch_format="pandas")

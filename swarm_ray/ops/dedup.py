@@ -92,8 +92,10 @@ class SimHash:
 
 
 def q_simhash(sf_dir: str) -> ray.data.Dataset:
+    from ..util import autoscaling_pool
     return _read_docs(sf_dir).map_batches(
-        SimHash, batch_format="pandas", batch_size=2048, concurrency=2)
+        SimHash, batch_format="pandas", batch_size=2048,
+        concurrency=autoscaling_pool())
 
 
 # ------------------------------------------------------------ exact jaccard (oracle-scale)
@@ -203,8 +205,10 @@ def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
 
 
 def minhash_candidate_pairs(sf_dir: str) -> ray.data.Dataset:
+    from ..util import autoscaling_pool
     bands = _read_docs(sf_dir).map_batches(
-        MinHashBands, batch_format="pandas", batch_size=1024, concurrency=2)
+        MinHashBands, batch_format="pandas", batch_size=1024,
+        concurrency=autoscaling_pool())
     pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
         _bucket_pairs, batch_format="pandas")
     # same pair may collide in several bands — dedup (another small shuffle)

@@ -32,7 +32,13 @@ EMBED_DIM = 64
 EMBED_SEED = 271828
 #: inference batches are model-bound, not IO-bound — size for the model
 EMBED_BATCH_SIZE = 1024
-EMBED_CONCURRENCY = (1, 4)
+
+
+def _embed_pool() -> tuple[int, int]:
+    # one model replica per CPU at full autoscale (stub model is tiny;
+    # a real encoder would bound this by memory via frac/cap instead)
+    from ..util import autoscaling_pool
+    return autoscaling_pool(frac=1.0, min_size=1)
 
 
 class EmbedStage:
@@ -79,7 +85,7 @@ def q_doc_embed(sf_dir: str) -> ray.data.Dataset:
     return ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
     ).map_batches(EmbedStage, batch_format="pandas",
-                  batch_size=EMBED_BATCH_SIZE, concurrency=EMBED_CONCURRENCY)
+                  batch_size=EMBED_BATCH_SIZE, concurrency=_embed_pool())
 
 
 def q_doc_embed_knn(sf_dir: str, k: int = 5, n_queries: int = 5) -> pd.DataFrame:

@@ -37,10 +37,15 @@ import ray.data
 
 from .. import fixtures
 
-#: actor-pool sizing for media stages: small batches (payloads are big),
-#: modest pool (decode is memory-bound, not CPU-bound)
+#: media stages use small batches (payloads are big); the actor pool is
+#: cluster-derived with frac=0.5 — decode is memory-bound, so half the
+#: CPUs keeps batch × concurrency inside the worker heap
 MEDIA_BATCH_SIZE = 256
-MEDIA_CONCURRENCY = (1, 4)
+
+
+def _media_pool() -> tuple[int, int]:
+    from ..util import autoscaling_pool
+    return autoscaling_pool(frac=0.5, min_size=1)
 
 
 def _payload_views(batch: pa.Table):
@@ -254,7 +259,7 @@ def _read_media(sf_dir: str) -> ray.data.Dataset:
 def decoded(sf_dir: str) -> ray.data.Dataset:
     return _read_media(sf_dir).map_batches(
         MediaDecodeStage, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=MEDIA_BATCH_SIZE, concurrency=MEDIA_CONCURRENCY)
+        batch_size=MEDIA_BATCH_SIZE, concurrency=_media_pool())
 
 
 def q_media_stats(sf_dir: str) -> ray.data.Dataset:
@@ -298,7 +303,7 @@ def q_media_resize(sf_dir: str) -> ray.data.Dataset:
     instead by tests/test_ops_media.py golden values)."""
     ds = _read_media(sf_dir).map_batches(
         ImageResizeStage, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=MEDIA_BATCH_SIZE, concurrency=MEDIA_CONCURRENCY)
+        batch_size=MEDIA_BATCH_SIZE, concurrency=_media_pool())
     return ds.select_columns(["doc_id", "out_width", "out_height", "pixel_sum"])
 
 
@@ -306,7 +311,7 @@ def q_media_frames(sf_dir: str) -> ray.data.Dataset:
     """Frame-sample audio clips (every 64th sample, first 8)."""
     ds = _read_media(sf_dir).map_batches(
         AudioFrameSampleStage, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=MEDIA_BATCH_SIZE, concurrency=MEDIA_CONCURRENCY)
+        batch_size=MEDIA_BATCH_SIZE, concurrency=_media_pool())
     return ds.select_columns(["doc_id", "sample_rate", "n_samples", "preview"])
 
 
@@ -319,7 +324,7 @@ def q_media_video_frames(sf_dir: str) -> ray.data.Dataset:
     """Frame-sample video payloads (every 4th frame, first 4)."""
     ds = _read_media(sf_dir).map_batches(
         VideoFrameSampleStage, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=MEDIA_BATCH_SIZE, concurrency=MEDIA_CONCURRENCY)
+        batch_size=MEDIA_BATCH_SIZE, concurrency=_media_pool())
     return ds
 
 

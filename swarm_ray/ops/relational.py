@@ -188,10 +188,11 @@ def q_tpch_nation_orders(sf_dir: str) -> ray.data.Dataset:
             return pa.table({"n_name": pa.array(names, type=pa.string()),
                              "total_cents": cents})
 
+    from ..util import autoscaling_pool
     return (ray.data.read_parquet(f"{sf_dir}/orders.parquet",
                                   columns=["o_custkey", "o_totalprice"])
             .map_batches(JoinLookup, batch_format="pyarrow", zero_copy_batch=True,
-                         concurrency=2,
+                         concurrency=autoscaling_pool(),
                          fn_constructor_kwargs={"cust_ref": cust_ref,
                                                 "nation_names": nation_names})
             .groupby("n_name")

@@ -86,10 +86,12 @@ def q_patched_audit(sf_dir: str) -> ray.data.Dataset:
 def q_enrich_counts(sf_dir: str) -> ray.data.Dataset:
     """ST2 — broadcast left-join enrichment over the RAW input (no event
     filter) so the miss path (null severity/tag) is part of the check."""
+    from .util import autoscaling_pool
     intel_ref = ray.put(fixtures.intel_table())
     ds = ray.data.read_parquet(_seq_files(sf_dir), columns=["source"]).map_batches(
         EnrichStage, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=2, fn_constructor_kwargs={"intel_ref": intel_ref})
+        concurrency=autoscaling_pool(),
+        fn_constructor_kwargs={"intel_ref": intel_ref})
 
     # coalesce the miss-path nulls to sentinels so the result schema is
     # null-free and type-stable across block orders (pandas conversion

@@ -1,0 +1,39 @@
+"""Cluster-aware sizing helpers shared by every operator family.
+
+Hard-coded ``concurrency=2`` actor pools are a single-node artifact: on
+a 256-node cluster they would run two actors total and starve the
+stage no matter how much data arrives. Every stateful ``map_batches``
+stage derives its pool from the ACTUAL cluster size at plan-build time
+instead (the same derivation the flagship enrich stage uses,
+``pipelines/flagship.py``) — ≙ the reference sizing its goroutine
+pools from configuration rather than constants
+(``pkg/usecase/usecase.go:33-43``).
+"""
+
+from __future__ import annotations
+
+
+def cluster_cpus(default: int = 8) -> int:
+    """Total cluster CPUs, without auto-initialising Ray."""
+    import ray
+
+    if not ray.is_initialized():
+        return default
+    return int(ray.cluster_resources().get("CPU", default)) or default
+
+
+def autoscaling_pool(frac: float = 1.0, min_size: int = 2,
+                     cap: int | None = None) -> tuple[int, int]:
+    """(min, max) actor-pool size scaled to the cluster.
+
+    ``frac`` is the share of cluster CPUs the stage may occupy at full
+    autoscale (1.0 for CPU-bound stages that should be able to own the
+    cluster; less for memory-bound stages like media decode).
+    ``min_size`` actors spin up immediately; Ray's autoscaling pool
+    adds more only while the stage is the bottleneck, so a generous
+    max costs nothing on small inputs.
+    """
+    hi = max(min_size, int(cluster_cpus() * frac))
+    if cap is not None:
+        hi = min(hi, cap)
+    return (min_size, hi)
