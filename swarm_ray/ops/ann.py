@@ -45,10 +45,16 @@ def _read_emb(sf_dir: str) -> ray.data.Dataset:
 
 
 def _emb_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
-    """list<float> column → (n, dim) float64 matrix. Zero-copy view of
-    the flat values buffer + one reshape when rows are fixed-width
-    (the embedding contract); falls back to to_pylist otherwise."""
+    """list<float> / fixed_size_list<float> column → (n, dim) float64
+    matrix. Zero-copy view of the flat values buffer + one reshape when
+    rows are fixed-width (the embedding contract); falls back to
+    to_pylist otherwise."""
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if pa.types.is_fixed_size_list(arr.type):
+        dim = arr.type.list_size
+        vals = arr.values.to_numpy(zero_copy_only=False)
+        start = arr.offset * dim
+        return vals[start:start + len(arr) * dim].reshape(len(arr), dim).astype(np.float64)
     offs = arr.offsets.to_numpy(zero_copy_only=False)
     widths = np.diff(offs)
     if len(widths) and (widths == widths[0]).all() and arr.null_count == 0:
@@ -77,16 +83,22 @@ def _load_queries(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
 
 class BruteForceTopK:
     """Per-batch scorer: one matmul against the broadcast query matrix,
-    emit the batch-local top-k candidates per query."""
+    emit the batch-local top-k candidates per query.
 
-    def __init__(self, queries_ref, k: int = TOP_K):
+    ``id_col`` lets the same stage score any corpus with an integer id
+    column (vec_id for the embeddings table, doc_id for freshly
+    embedded documents)."""
+
+    def __init__(self, queries_ref, k: int = TOP_K, id_col: str = "vec_id"):
         q_ids, q = ray.get(queries_ref)
         self.q_ids = q_ids
         self.qn = _normalize(q)
         self.k = k
+        self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, emb = _to_matrix(batch)
+        ids = batch[self.id_col].to_numpy()
+        emb = _emb_matrix(batch["embedding"])
         sims = _normalize(emb) @ self.qn.T          # (n_corpus, n_queries)
         out_q, out_v, out_s = [], [], []
         k = min(self.k + 1, len(ids))               # +1: self may be in batch

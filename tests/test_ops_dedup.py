@@ -93,3 +93,78 @@ def test_dup_clusters_consistent_with_pairs(ray_session):
     # cluster representative is the component minimum (itself clustered)
     for d, c in cl.items():
         assert c <= d and cl[c] == c
+
+
+def test_bucket_pairs_star_fallback():
+    from swarm_ray.ops.dedup import MAX_FULL_BUCKET, bucket_pairs_from_ids
+    # small bucket: all pairs, not mega
+    pairs, mega = bucket_pairs_from_ids([3, 1, 2])
+    assert pairs == [(1, 2), (1, 3), (2, 3)] and not mega
+    # singleton: nothing
+    assert bucket_pairs_from_ids([5]) == ([], False)
+    # mega bucket: star pairs around the min id, nothing dropped
+    ids = list(range(500))
+    pairs, mega = bucket_pairs_from_ids(ids)
+    assert mega
+    assert len(pairs) == 499                      # m-1, not m(m-1)/2
+    assert all(a == 0 for a, _ in pairs)          # representative = min id
+    assert {b for _, b in pairs} == set(range(1, 500))
+    # boundary: exactly MAX_FULL_BUCKET members stays all-pairs
+    pairs, mega = bucket_pairs_from_ids(list(range(MAX_FULL_BUCKET)))
+    assert not mega and len(pairs) == MAX_FULL_BUCKET * (MAX_FULL_BUCKET - 1) // 2
+
+
+def _mega_cluster_corpus(tmp_path, n_dup=500, n_other=100, seed=11):
+    """Corpus whose dominant content is one 500-strong duplicate
+    cluster — the boilerplate case that used to be silently dropped."""
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(5000)]
+    boiler = " ".join(rng.choice(vocab, size=80, replace=True))
+    texts = [boiler] * n_dup
+    for _ in range(n_other):
+        texts.append(" ".join(rng.choice(vocab, size=80, replace=True)))
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts,
+                       "lang": "en", "source": "synth",
+                       "n_chars": [len(t) for t in texts]})
+    sf = tmp_path / "sfmega"
+    sf.mkdir()
+    df.to_parquet(sf / "documents.parquet", index=False)
+    return str(sf)
+
+
+def test_minhash_mega_bucket_not_dropped(tmp_path, ray_session):
+    """A 500-duplicate cluster lands in >MAX_FULL_BUCKET LSH buckets;
+    star pairs must still surface and keep the cluster connected."""
+    sf = _mega_cluster_corpus(tmp_path)
+    got = dedup.q_minhash_pairs(sf)
+    # every cluster member appears in at least one verified pair
+    members = set(got["doc_a"]) | set(got["doc_b"])
+    assert set(range(500)) <= members
+    # and the cluster stage groups all 500 into ONE component
+    clusters = dedup.q_dup_clusters_minhash(sf)
+    cl = dict(zip(clusters["doc_id"], clusters["cluster_id"]))
+    assert {cl[d] for d in range(500)} == {0}
+
+
+def test_connected_components_matches_union_find(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from swarm_ray.ops.dedup import connected_components, union_find_clusters
+    # chain + triangle + isolated pair + shared-min overlap
+    pairs = pd.DataFrame({"doc_a": [1, 2, 3, 10, 11, 10, 20, 30, 31],
+                          "doc_b": [2, 3, 4, 11, 12, 12, 21, 31, 32]})
+    got = connected_components(rd.from_arrow(pa.Table.from_pandas(pairs)))
+    assert got.equals(union_find_clusters(pairs))
+    # empty edge set
+    empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                          "doc_b": pd.Series([], dtype="int64")})
+    assert len(connected_components(rd.from_arrow(
+        pa.Table.from_pandas(empty)))) == 0
+
+
+def test_dup_clusters_minhash_matches_union_find(ray_session):
+    sf = "/root/testdata/sf0.001"
+    pairs = dedup.q_minhash_pairs(sf)[["doc_a", "doc_b"]]
+    got = dedup.q_dup_clusters_minhash(sf)
+    want = dedup.union_find_clusters(pairs)
+    assert got.equals(want)

@@ -25,7 +25,7 @@ def test_embed_dataset_and_knn(ray_session):
     emb = q_doc_embed(sf).to_pandas()
     assert len(emb) > 0 and len(emb["embedding"].iloc[0]) == EMBED_DIM
 
-    knn = q_doc_embed_knn(sf, k=3, n_queries=3)
+    knn = q_doc_embed_knn(sf, k=3, n_queries=3).to_pandas()
     assert set(knn["query_doc_id"]) == set(emb["doc_id"].sort_values()[:3])
     for _, ranks in knn.groupby("query_doc_id")["rank"]:
         assert ranks.tolist() == [1, 2, 3]
