@@ -81,8 +81,11 @@ def cmd_schema(args) -> dict:
     ruleset = load_ruleset(args.rules) if args.rules else default_ruleset()
     files = _input_files(args.input)
     routed = build_routed(files, ruleset).limit(args.sample_rows)
-    schema = routed.schema().base_schema
-    from .sinks.parquet_sink import update_sink_schema
+    from .sinks.parquet_sink import sink_file_schema, update_sink_schema
+    # register the ON-DISK file schema (partition cols stripped, ingest
+    # stamps added) so a later ingest into the same out dir widens
+    # cleanly instead of conflicting (ADVICE r1)
+    schema = sink_file_schema(routed.schema().base_schema)
     out = Path(args.out)
     sinks = sorted({(a.dataset, a.table)
                     for r in ruleset.schema_rules for a in r.actions})

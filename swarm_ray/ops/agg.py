@@ -115,7 +115,19 @@ def salted_median(ds: ray.data.Dataset, key: str, value: str,
     def partial_hist(g: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
         import pandas as pd
-        h = np.bincount(g[value].to_numpy(), minlength=domain)
+        v = g[value].to_numpy()
+        # the bounded-domain precondition is load-bearing: an
+        # out-of-range value would give this sub-group a LONGER (or
+        # crash on a negative) histogram and the fold's np.stack would
+        # die with an opaque shape error deep inside map_groups — fail
+        # loudly at the source instead (ADVICE r1)
+        if len(v) and (v.min() < 0 or v.max() >= domain):
+            bad = int(v.min()) if v.min() < 0 else int(v.max())
+            raise ValueError(
+                f"salted_median: {value!r} value {bad} outside the "
+                f"declared domain [0, {domain}) — raise `domain` or "
+                f"clip the input")
+        h = np.bincount(v, minlength=domain)
         return pd.DataFrame({key: [g[key].iloc[0]],
                              "hist": [h.astype(np.int64).tolist()]})
 

@@ -175,6 +175,11 @@ def run_job(input_files: list[str], out_dir: str | Path,
         plans = plan_incremental(out_dir, input_files, files_per_partition)
     else:
         plans = plan_partitions(input_files, files_per_partition)
+    # drop aborted-attempt dirs whose pid the current plan no longer
+    # covers (incremental re-chunking can shift content-addressed pids
+    # — see clean_stale_partitions) so no consumer double-counts them
+    from ..state.checkpoint import clean_stale_partitions
+    clean_stale_partitions(out_dir, {p.partition_id for p in plans})
     # lineage guard: a resume must run the SAME ruleset the committed
     # partitions ran, or the output mixes two routing semantics (the
     # manifest records the hash for exactly this check)

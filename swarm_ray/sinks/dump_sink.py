@@ -39,15 +39,27 @@ def write_dump(routed: ray.data.Dataset, out_dir: str | Path,
     counts: dict[str, int] = {}
     for dataset, table in sinks:
         name = f"{dataset}.{table}"
-        sub = mat.filter(
-            expr=f"sink_dataset == '{dataset}' and sink_table == '{table}'")
+
+        # predicate on the Arrow batch, NOT string interpolation into a
+        # filter expression — sink names come from user-supplied rules
+        # and may contain quotes/metacharacters (ADVICE r1)
+        def match(t, _ds=dataset, _tb=table):
+            import pyarrow.compute as pc
+            return t.filter(pc.and_(pc.equal(t["sink_dataset"], _ds),
+                                    pc.equal(t["sink_table"], _tb)))
+
+        sub = mat.map_batches(match, batch_format="pyarrow",
+                              zero_copy_batch=True)
         if single_file:
             sub = sub.repartition(1)
         sink_dir = out_dir / f"{name}.log"
         sub.write_json(str(sink_dir))
         (out_dir / f"{name}.schema.json").write_text(
             schema_to_json(sub.schema().base_schema))
-        counts[name] = sum(1 for d in sink_dir.glob("*.json")
-                           for _ in open(d))
+        n = 0
+        for d in sink_dir.glob("*.json"):
+            with open(d) as fh:
+                n += sum(1 for _ in fh)
+        counts[name] = n
     (out_dir / "_dump_counts.json").write_text(json.dumps(counts, indent=1))
     return counts

@@ -107,18 +107,68 @@ def sink_counts(routed: ray.data.Dataset) -> pd.DataFrame:
     return out.sort_values(["sink_dataset", "sink_table"]).reset_index(drop=True)
 
 
+def sink_file_schema(routed_schema: pa.Schema) -> pa.Schema:
+    """Schema of the Parquet FILES a sink directory will actually
+    contain: the hive write strips the partition columns
+    (sink_dataset/sink_table) and ``stamp_ingest`` appends the run
+    lineage columns. Registration paths that sample the ROUTED dataset
+    (e.g. the schema CLI) must project through this, or ``_schema.json``
+    records phantom partition columns no sink file carries (ADVICE r1)."""
+    fields = [f for f in routed_schema
+              if f.name not in ("sink_dataset", "sink_table")]
+    names = {f.name for f in fields}
+    if "ingest_id" not in names:
+        fields.append(pa.field("ingest_id", pa.string()))
+    if "ingested_at" not in names:
+        fields.append(pa.field("ingested_at", pa.timestamp("us")))
+    return pa.schema(fields)
+
+
+#: lock acquisition for concurrent schema widens
+_LOCK_TIMEOUT_S = 10.0
+_LOCK_POLL_S = 0.01
+
+
 def update_sink_schema(sink_dir: Path, new_schema: pa.Schema) -> pa.Schema:
     """create-or-widen the persisted sink schema (≙ createOrUpdateTable,
     reference pkg/usecase/bigquery.go:15-45): never narrows, conflicting
-    types raise SchemaConflictError."""
+    types raise SchemaConflictError.
+
+    Concurrent-writer safe: the read-merge-write runs under an O_EXCL
+    lockfile (≙ the reference's BigQuery ETag optimistic-concurrency
+    loop, pkg/usecase/bigquery.go:36-44 — on a shared filesystem the
+    exclusive-create lock is the portable equivalent), so two jobs
+    widening the same sink can't lose each other's columns. A crashed
+    holder's lock is broken after it goes stale (>60 s old)."""
+    import os as _os
     sink_dir.mkdir(parents=True, exist_ok=True)
     schema_file = sink_dir / "_schema.json"
-    if schema_file.exists():
-        current = schema_from_json(schema_file.read_text())
-        merged = unify_widen([current, new_schema])
-    else:
-        merged = new_schema
-    tmp = schema_file.with_suffix(".json.tmp")
-    tmp.write_text(schema_to_json(merged))
-    tmp.replace(schema_file)
+    lock = sink_dir / "_schema.lock"
+    deadline = time.time() + _LOCK_TIMEOUT_S
+    while True:
+        try:
+            fd = _os.open(lock, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
+            _os.close(fd)
+            break
+        except FileExistsError:
+            try:
+                if time.time() - lock.stat().st_mtime > 60:
+                    lock.unlink(missing_ok=True)   # stale holder crashed
+                    continue
+            except OSError:
+                continue                            # raced the release
+            if time.time() > deadline:
+                raise TimeoutError(f"schema lock busy: {lock}")
+            time.sleep(_LOCK_POLL_S)
+    try:
+        if schema_file.exists():
+            current = schema_from_json(schema_file.read_text())
+            merged = unify_widen([current, new_schema])
+        else:
+            merged = new_schema
+        tmp = schema_file.with_suffix(".json.tmp")
+        tmp.write_text(schema_to_json(merged))
+        tmp.replace(schema_file)
+    finally:
+        lock.unlink(missing_ok=True)
     return merged

@@ -120,6 +120,36 @@ def committed_files(out_dir: str | Path) -> set[str]:
     return done
 
 
+def clean_stale_partitions(out_dir: str | Path,
+                           planned_pids: set[str]) -> list[str]:
+    """Remove output dirs of UNCOMMITTED partitions that the current
+    plan does not re-execute.
+
+    Why (ADVICE r1): ``run_partition`` wipes a crashed partition's dir
+    only when the plan re-plans the SAME pid. In incremental mode the
+    pid is content-addressed over the chunk's file list, and newly
+    arrived files shift the sorted chunk boundaries — so a crashed
+    partition's files can re-chunk under a NEW pid, leaving the stale
+    ``partition=<old-pid>`` dir (parquet written, no done marker)
+    forever. Consumers that glob parquet under out_dir (migrate,
+    dataloader) would then double-count those rows. A partition dir
+    with no done marker and no place in the plan is by construction an
+    aborted attempt — deterministic log_ids mean its rows are exactly
+    re-produced by whichever new partitions now cover its files."""
+    import shutil
+    removed: list[str] = []
+    root = Path(out_dir)
+    if not root.exists():
+        return removed
+    for d in sorted(root.glob("partition=*")):
+        pid = d.name.split("=", 1)[1]
+        if pid not in planned_pids and not is_done(out_dir, pid):
+            shutil.rmtree(d, ignore_errors=True)
+            shutil.rmtree(_part_dir(out_dir, pid), ignore_errors=True)
+            removed.append(pid)
+    return removed
+
+
 def plan_incremental(out_dir: str | Path, input_files: list[str],
                      files_per_partition: int = 8) -> list[PartitionPlan]:
     """Incremental / continuous-ingest planning (≙ the reference's

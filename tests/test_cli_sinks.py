@@ -110,3 +110,30 @@ def test_cli_schema_command(ray_session, tmp_path, capsys):
         ds_name, table = sink.split(".")
         f = tmp_path / "s" / f"sink_dataset={ds_name}" / f"sink_table={table}" / "_schema.json"
         assert f.exists()
+
+
+def test_cli_schema_then_ingest_same_outdir(ray_session, tmp_path, capsys):
+    """ADVICE r1: `schema` must register the ON-DISK file schema (no
+    phantom partition cols, ingest stamps present) so a following
+    `ingest` into the same out dir widens cleanly and ends with the
+    schema the sink files actually carry."""
+    from swarm_ray.cli import main
+    from swarm_ray.sinks.schema import schema_from_json
+
+    pattern = str(fixtures.sequences_dir("sf0.001") / "*.parquet")
+    out = tmp_path / "both"
+    assert main(["schema", "--input", pattern, "--out", str(out)]) == 0
+    capsys.readouterr()
+    assert main(["ingest", "--input", pattern, "--out", str(out)]) == 0
+    capsys.readouterr()
+
+    for sink_dir in out.glob("partition=*/sink_dataset=*/sink_table=*"):
+        reg = schema_from_json((sink_dir / "_schema.json").read_text())
+        f = next(sink_dir.glob("*.parquet"))
+        file_names = set(pq.read_schema(f).names)
+        assert set(reg.names) == file_names
+    # the schema command's own registration has no partition columns
+    for d in out.glob("sink_dataset=*/sink_table=*"):
+        reg = schema_from_json((d / "_schema.json").read_text())
+        assert "sink_dataset" not in reg.names
+        assert "ingest_id" in reg.names

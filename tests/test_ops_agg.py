@@ -64,3 +64,13 @@ def test_salted_median_exact(ray_session):
     for s, v in vals.items():
         assert got[s][0] == len(v)
         assert got[s][1] == float(np.median(v))
+
+
+def test_salted_median_rejects_out_of_domain(ray_session):
+    from swarm_ray.ops.agg import salted_median
+    ds = ray.data.from_items(
+        [{"k": "a", "doc_id": f"d{i}", "v": i} for i in range(5)]
+        + [{"k": "a", "doc_id": "dbad", "v": 700}])
+    with pytest.raises(Exception) as ei:
+        salted_median(ds, "k", "v", domain=512).take_all()
+    assert "salted_median" in str(ei.value) and "700" in str(ei.value)

@@ -301,3 +301,50 @@ def test_dataloader_streams_sink(tiny_seq_files, tmp_path):
             for p in sink.rglob("*.parquet"))
     assert total_docs == n
     assert total_tokens == t
+
+
+def test_incremental_crash_rechunk_cleans_stale_partition(tiny_seq_files, tmp_path):
+    """ADVICE r1: in incremental mode a crashed partition's files can
+    re-chunk under a NEW content-addressed pid (new files shift sorted
+    chunk boundaries), so the stale partition=<old-pid> dir would never
+    be cleaned by run_partition — clean_stale_partitions must remove it
+    before execution or consumers globbing parquet double-count."""
+    import shutil as _sh
+
+    # carve the single-file fixture into 4 files so incremental
+    # re-chunking is non-degenerate
+    t = pq.read_table(tiny_seq_files[0])
+    files = []
+    for i in range(4):
+        f = tmp_path / f"in-{i:02d}.parquet"
+        pq.write_table(t.slice(i * 2500, 2500), f)
+        files.append(str(f))
+
+    out = tmp_path / "inc_crash"
+    first = files[1:]
+    tiny_seq_files = files
+
+    # run 1: commit the first batch, then simulate a crashed SECOND
+    # attempt that wrote parquet under a pid the next plan won't have
+    run_job(first, out, files_per_partition=2, incremental=True)
+    committed = {d.name for d in out.glob("partition=*")}
+    stale_dir = out / "partition=deadbeefcafe"
+    src_sink = next(out.glob("partition=*/sink_dataset=*/sink_table=*"))
+    dst_sink = stale_dir / src_sink.parent.name / src_sink.name
+    dst_sink.mkdir(parents=True)
+    _sh.copy(next(src_sink.glob("*.parquet")), dst_sink / "orphan.parquet")
+
+    # run 2: new file arrives; plan re-chunks — the stale dir must go
+    run_job(tiny_seq_files, out, files_per_partition=2, incremental=True)
+    assert not stale_dir.exists()
+    # committed dirs are untouched
+    assert committed <= {d.name for d in out.glob("partition=*")}
+    # and total on-disk rows equal the input exactly (no double count)
+    total = sum(pq.read_metadata(p).num_rows
+                for p in out.rglob("partition=*/**/*.parquet"))
+    want = sum(pq.read_metadata(f).num_rows for f in tiny_seq_files)
+    # rows_in includes rejected .tmp rows which are dropped before sinks
+    routed = sum(n for m in __import__("swarm_ray.state.checkpoint",
+                                       fromlist=["read_manifests"])
+                 .read_manifests(out) for n in m["sink_counts"].values())
+    assert total == routed

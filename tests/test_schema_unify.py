@@ -47,3 +47,49 @@ def test_json_roundtrip():
         ("n_tok", pa.int32()), ("ts", pa.timestamp("us")),
     ])
     assert schema_from_json(schema_to_json(s)).equals(s)
+
+
+def test_concurrent_schema_widens_both_survive(tmp_path):
+    """V7: two jobs widening the same sink concurrently must not lose
+    either widen (≙ the reference's ETag optimistic-concurrency loop,
+    pkg/usecase/bigquery.go:36-44) — the O_EXCL lockfile serializes the
+    read-merge-write."""
+    import threading
+    import pyarrow as pa
+    from swarm_ray.sinks.parquet_sink import update_sink_schema
+
+    base = pa.schema([("a", pa.int64())])
+    update_sink_schema(tmp_path, base)
+
+    n_threads, reps = 8, 10
+    errs = []
+
+    def widen(i):
+        try:
+            for r in range(reps):
+                update_sink_schema(
+                    tmp_path, pa.schema([("a", pa.int64()),
+                                         (f"col_{i}_{r}", pa.string())]))
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=widen, args=(i,)) for i in range(n_threads)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errs
+    from swarm_ray.sinks.schema import schema_from_json
+    final = schema_from_json((tmp_path / "_schema.json").read_text())
+    got = set(final.names)
+    assert {"a"} | {f"col_{i}_{r}" for i in range(n_threads)
+                    for r in range(reps)} <= got
+
+
+def test_sink_file_schema_projection():
+    import pyarrow as pa
+    from swarm_ray.sinks.parquet_sink import sink_file_schema
+    routed = pa.schema([("doc_id", pa.string()), ("sink_dataset", pa.string()),
+                        ("sink_table", pa.string()), ("n_tok", pa.int32())])
+    s = sink_file_schema(routed)
+    assert "sink_dataset" not in s.names and "sink_table" not in s.names
+    assert s.field("ingest_id").type == pa.string()
+    assert s.field("ingested_at").type == pa.timestamp("us")
