@@ -22,7 +22,12 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
-ORACLE_SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness scale
+def _oracle_sf_dir() -> str:
+    from swarm_ray.fixtures import oracle_sf_dir
+    return oracle_sf_dir()
+
+
+ORACLE_SF_DIR = _oracle_sf_dir()  # the driver's correctness scale
 
 
 def entry() -> Any:

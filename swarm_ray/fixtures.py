@@ -78,6 +78,15 @@ def label_for_sf_dir(sf_dir: str | os.PathLike) -> str:
     return Path(sf_dir).name or "sf0.01"
 
 
+def oracle_sf_dir() -> str:
+    """The sf dir the driver's oracle comparison runs at. Every
+    ``oracle_sql()`` that reads fixture-generated globs derives its
+    path from THIS (overridable via env for local runs) instead of
+    hardcoding a scale, so a driver scale change can't silently point
+    the SQL at the wrong data (ADVICE r1)."""
+    return os.environ.get("SWARM_RAY_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
 def _gen_chunk(chunk_idx: int, n: int) -> pa.Table:
     """Generate rows [chunk_idx*CHUNK_ROWS, +n) of the corpus."""
     base = chunk_idx * CHUNK_ROWS
@@ -190,6 +199,29 @@ MEDIA_MAGIC_AUDIO = b"RAA1"
 MEDIA_MAGIC_VIDEO = b"RAV1"
 
 
+#: every k-th media row carries a corrupt payload (truncated / unknown
+#: magic), deterministically — so "decoded == n" can never silently
+#: hold by construction and the oracles must reason about failures
+MEDIA_CORRUPT_EVERY = 97
+
+#: expected-output parameters baked into the fixture columns; MUST
+#: mirror the defaults of the matching ops/media.py stages
+MEDIA_RESIZE_WH = 16          # ImageResizeStage(out_w=16, out_h=16)
+MEDIA_AUDIO_STRIDE = 64       # AudioFrameSampleStage(stride=64, n_keep=8)
+MEDIA_AUDIO_KEEP = 8
+MEDIA_VIDEO_STRIDE = 4        # VideoFrameSampleStage(stride=4, n_keep=4)
+MEDIA_VIDEO_KEEP = 4
+
+
+def _resize16_sum(px: np.ndarray, w: int, h: int) -> int:
+    """Nearest-neighbour 16x16 resize pixel sum — the generator-side
+    twin of ImageResizeStage's grid, used as the oracle expectation."""
+    o = MEDIA_RESIZE_WH
+    xs = np.arange(o) * w // o
+    ys = np.arange(o) * h // o
+    return int(px[(ys[:, None] * w + xs[None, :]).ravel()].sum())
+
+
 def _gen_media_chunk(chunk_idx: int, n: int) -> pa.Table:
     import struct
 
@@ -204,19 +236,43 @@ def _gen_media_chunk(chunk_idx: int, n: int) -> pa.Table:
     nframes = np.where(is_vid, 4 + rng.integers(0, 28, size=n), 0).astype(np.int32)
 
     payloads = []
+    rsums = np.zeros(n, dtype=np.int64)
+    previews: list[list[int]] = []
+    vf_nos: list[list[int]] = []
+    vf_means: list[list[int]] = []
     for i in range(n):
         if is_img[i]:
             w, h = int(widths[i]), int(heights[i])
             px = rng.integers(0, 256, size=w * h, dtype=np.uint8)
             payloads.append(MEDIA_MAGIC_IMAGE + struct.pack("<HH", w, h) + px.tobytes())
+            rsums[i] = _resize16_sum(px, w, h)
+            previews.append([])
+            vf_nos.append([]); vf_means.append([])
         elif is_aud[i]:
             sr, ns = int(srates[i]), int(nsamp[i])
             samples = rng.integers(-32768, 32768, size=ns, dtype=np.int16)
             payloads.append(MEDIA_MAGIC_AUDIO + struct.pack("<II", sr, ns) + samples.tobytes())
+            previews.append(samples[::MEDIA_AUDIO_STRIDE][:MEDIA_AUDIO_KEEP]
+                            .astype(np.int32).tolist())
+            vf_nos.append([]); vf_means.append([])
         else:
             w, h, nf = int(widths[i]), int(heights[i]), int(nframes[i])
             frames = rng.integers(0, 256, size=w * h * nf, dtype=np.uint8)
             payloads.append(MEDIA_MAGIC_VIDEO + struct.pack("<HHH", w, h, nf) + frames.tobytes())
+            previews.append([])
+            fr = frames.reshape(nf, w * h)
+            kept = list(range(0, nf, MEDIA_VIDEO_STRIDE))[:MEDIA_VIDEO_KEEP]
+            vf_nos.append(kept)
+            vf_means.append([int(fr[f].mean() * 1000) for f in kept])
+
+    # corrupt every k-th payload AFTER generation (same RNG stream as
+    # v2: clean rows keep byte-identical payloads); three failure
+    # shapes rotate: empty, truncated header, unknown container magic
+    corrupt = np.zeros(n, dtype=bool)
+    for i in range(n):
+        if (base + i) % MEDIA_CORRUPT_EVERY == 0:
+            corrupt[i] = True
+            payloads[i] = (b"", b"RA", b"XXX1" + payloads[i][4:])[(base + i) % 3]
 
     doc_id = [f"media/part-{(base + i) // 257:05d}/doc-{base + i:08d}" for i in range(n)]
     mt = np.where(is_img, "image", np.where(is_aud, "audio", "video"))
@@ -230,10 +286,17 @@ def _gen_media_chunk(chunk_idx: int, n: int) -> pa.Table:
         "n_samples": pa.array(nsamp),
         "n_frames": pa.array(nframes),
         "n_bytes": pa.array([len(p) for p in payloads], type=pa.int32()),
+        "corrupt": pa.array(corrupt),
+        # expected-output columns for the DuckDB oracles (computed from
+        # the SAME drawn payload bytes the stages will decode)
+        "resized16_pixel_sum": pa.array(rsums, type=pa.int64()),
+        "preview64": pa.array(previews, type=pa.list_(pa.int32())),
+        "vf_frame_nos": pa.array(vf_nos, type=pa.list_(pa.int32())),
+        "vf_mean_milli": pa.array(vf_means, type=pa.list_(pa.int64())),
     })
 
 
-MEDIA_FIXTURE_VERSION = 2  # bump when the generator's content changes
+MEDIA_FIXTURE_VERSION = 3  # bump when the generator's content changes
 
 
 def media_dir(label: str) -> Path:

@@ -257,9 +257,11 @@ def q_emb_near_dup(sf_dir: str) -> pd.DataFrame:
 
 # ------------------------------------------------------------ centroids
 
-def q_emb_centroids(sf_dir: str) -> pd.DataFrame:
+def centroids_float(sf_dir: str) -> pd.DataFrame:
     """Per-label centroid (mean embedding) — mergeable partial sums per
-    batch, tiny final fold (rows-only: float vector output)."""
+    batch, tiny final fold. Float vector output, pytest-pinned vs a
+    numpy recompute (float accumulation order makes it inherently
+    non-hashable, hence no SQL oracle for THIS form)."""
     def partial(t: pa.Table) -> pa.Table:
         lab = t["label"].to_numpy()
         emb = _emb_matrix(t["embedding"])
@@ -285,6 +287,36 @@ def q_emb_centroids(sf_dir: str) -> pd.DataFrame:
         .sort_values("label").reset_index(drop=True)
 
 
+def q_emb_centroids(sf_dir: str) -> ray.data.Dataset:
+    """SQL-checkable centroid surface: per label, the vector count and
+    an ORDER-INDEPENDENT integer checksum of the summed embedding —
+    each float32 element is promoted to float64, scaled by 1e6 and
+    FLOORED per element (exact, associative integer addition from
+    there on), so Ray's partial-sum fold and DuckDB's row order give
+    bit-identical totals. The float centroid itself stays available as
+    ``centroids_float`` (pytest-pinned); this query proves the same
+    partial-aggregation plan end-to-end against SQL."""
+    from ray.data.aggregate import Sum as _Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        lab = t["label"].to_numpy()
+        emb = _emb_matrix(t["embedding"])          # float64 promotion
+        e6 = np.floor(emb * 1e6).astype(np.int64).sum(axis=1)
+        out = pa.table({"label": pa.array(lab.astype(np.int64)),
+                        "n": pa.array(np.ones(len(lab), dtype=np.int64)),
+                        "csum_e6": pa.array(e6)})
+        return pa.TableGroupBy(out, ["label"]).aggregate(
+            [("n", "sum"), ("csum_e6", "sum")]
+        ).rename_columns(["label", "n", "csum_e6"])
+
+    return (ray.data.read_parquet(
+                f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+            .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("label")
+            .aggregate(_Sum("n", alias_name="n"),
+                       _Sum("csum_e6", alias_name="csum_e6")))
+
+
 # ------------------------------------------------------------ registry
 
 def queries():
@@ -293,7 +325,7 @@ def queries():
         "emb_lsh_ann": q_lsh_ann,          # rows-only (recall pinned by pytest)
         "emb_ivf_ann": q_knn_ivf,          # rows-only (recall pinned by pytest)
         "emb_near_dup": q_emb_near_dup,
-        "emb_centroids": q_emb_centroids,  # rows-only (float vectors)
+        "emb_centroids": q_emb_centroids,
     }
 
 
@@ -323,6 +355,13 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) > {NEAR_DUP_TAU}
+""",
+        "emb_centroids": """
+SELECT CAST(label AS BIGINT) AS label,
+       COUNT(*)::BIGINT AS n,
+       SUM(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                    x -> CAST(FLOOR(x * 1000000) AS BIGINT))))::BIGINT AS csum_e6
+FROM embeddings GROUP BY label
 """,
     }
 

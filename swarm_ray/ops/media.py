@@ -251,13 +251,16 @@ class VideoFrameSampleStage:
         })
 
 
-def _read_media(sf_dir: str) -> ray.data.Dataset:
+def _read_media(sf_dir: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    """Media table read with COLUMN PRUNING — the expected-output
+    oracle columns (lists) and metadata a stage doesn't touch must not
+    leave storage for a payload-only transform."""
     label = fixtures.label_for_sf_dir(sf_dir)
-    return ray.data.read_parquet(fixtures.media_files(label))
+    return ray.data.read_parquet(fixtures.media_files(label), columns=columns)
 
 
-def decoded(sf_dir: str) -> ray.data.Dataset:
-    return _read_media(sf_dir).map_batches(
+def decoded(sf_dir: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    return _read_media(sf_dir, columns).map_batches(
         MediaDecodeStage, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=MEDIA_BATCH_SIZE, concurrency=_media_pool())
 
@@ -266,10 +269,20 @@ def q_media_stats(sf_dir: str) -> ray.data.Dataset:
     """Per-media-type stats computed from the DECODED headers. The
     oracle recomputes them from the metadata columns — they agree iff
     decode is correct, so the hash-compare covers the decode path."""
-    ds = decoded(sf_dir)
+    ds = decoded(sf_dir, columns=["media_type", "payload"])
+
+    # explicit partial schema so EMPTY batches emit a typed table —
+    # schema-less empty bundles trip the streaming executor's schema
+    # unification (VERDICT r1 finding 6)
+    stats_schema = pa.schema([
+        ("media_type", pa.string()), ("n", pa.int64()),
+        ("decoded", pa.int64()), ("px", pa.int64()),
+        ("samples", pa.int64()), ("frames", pa.int64())])
 
     def project(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
+        if len(t) == 0:
+            return stats_schema.empty_table()
         return pa.table({
             "media_type": t["media_type"],
             "n": pa.array(np.ones(len(t), dtype=np.int64)),
@@ -284,6 +297,8 @@ def q_media_stats(sf_dir: str) -> ray.data.Dataset:
     from ray.data.aggregate import Sum
     # single small shuffle over per-batch partials
     def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return stats_schema.empty_table()
         return pa.TableGroupBy(t, ["media_type"]).aggregate(
             [("n", "sum"), ("decoded", "sum"), ("px", "sum"),
              ("samples", "sum"), ("frames", "sum")]
@@ -298,18 +313,21 @@ def q_media_stats(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_media_resize(sf_dir: str) -> ray.data.Dataset:
-    """Resize every image to 16×16; returns per-image checksums
-    (deterministic, but not SQL-expressible → rows-only check; pinned
-    instead by tests/test_ops_media.py golden values)."""
-    ds = _read_media(sf_dir).map_batches(
+    """Resize every image to 16×16; returns per-image checksums,
+    SQL-checked against the fixture's expected ``resized16_pixel_sum``
+    column (computed by the generator from the same drawn pixels) and
+    pinned by tests/test_ops_media.py golden values."""
+    ds = _read_media(sf_dir, columns=["doc_id", "payload"]).map_batches(
         ImageResizeStage, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=MEDIA_BATCH_SIZE, concurrency=_media_pool())
     return ds.select_columns(["doc_id", "out_width", "out_height", "pixel_sum"])
 
 
 def q_media_frames(sf_dir: str) -> ray.data.Dataset:
-    """Frame-sample audio clips (every 64th sample, first 8)."""
-    ds = _read_media(sf_dir).map_batches(
+    """Frame-sample audio clips (every 64th sample, first 8);
+    SQL-checked against the fixture's expected ``preview64`` column."""
+    ds = _read_media(sf_dir, columns=["doc_id", "sample_rate", "n_samples",
+                                      "payload"]).map_batches(
         AudioFrameSampleStage, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=MEDIA_BATCH_SIZE, concurrency=_media_pool())
     return ds.select_columns(["doc_id", "sample_rate", "n_samples", "preview"])
@@ -321,8 +339,9 @@ def _media_glob(sf_dir: str) -> str:
 
 
 def q_media_video_frames(sf_dir: str) -> ray.data.Dataset:
-    """Frame-sample video payloads (every 4th frame, first 4)."""
-    ds = _read_media(sf_dir).map_batches(
+    """Frame-sample video payloads (every 4th frame, first 4);
+    SQL-checked against the fixture's expected per-frame lists."""
+    ds = _read_media(sf_dir, columns=["doc_id", "payload"]).map_batches(
         VideoFrameSampleStage, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=MEDIA_BATCH_SIZE, concurrency=_media_pool())
     return ds
@@ -331,27 +350,55 @@ def q_media_video_frames(sf_dir: str) -> ray.data.Dataset:
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "media_stats": q_media_stats,
-        "media_resize": q_media_resize,   # rows-only
-        "media_frames": q_media_frames,   # rows-only
-        "media_video_frames": q_media_video_frames,  # rows-only
+        "media_resize": q_media_resize,
+        "media_frames": q_media_frames,
+        "media_video_frames": q_media_video_frames,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    # the oracle recomputes media_stats from the metadata columns the
-    # generator wrote; Ray computes them from decoded payload headers.
-    # NOTE: fixture glob is materialized lazily by queries(); oracle_sql
-    # callers run after queries(), so the dir exists.
-    glob = _media_glob("/root/testdata/sf0.01")
+    # the oracles recompute each stage's output from the metadata /
+    # expected columns the generator wrote; Ray computes them from the
+    # decoded payload bytes — they agree iff decode/resize/sample are
+    # correct. Corrupt payloads (every 97th row) make "decoded ==
+    # COUNT(*)" impossible by construction, so the SQL must exclude
+    # them exactly where the engine's decode fails.
+    # NOTE: fixture glob derives from the driver's oracle scale
+    # (fixtures.oracle_sf_dir, ADVICE r1) and is materialized lazily by
+    # queries(); oracle_sql callers run after queries().
+    glob = _media_glob(fixtures.oracle_sf_dir())
     return {
         "media_stats": f"""
             SELECT media_type,
                    COUNT(*)::BIGINT AS n,
-                   COUNT(*)::BIGINT AS decoded,
-                   COALESCE(SUM(CAST(width AS BIGINT) * CAST(height AS BIGINT)), 0)::BIGINT AS px,
-                   COALESCE(SUM(CAST(n_samples AS BIGINT)), 0)::BIGINT AS samples,
-                   COALESCE(SUM(CAST(n_frames AS BIGINT)), 0)::BIGINT AS frames
+                   SUM(CASE WHEN corrupt THEN 0 ELSE 1 END)::BIGINT AS decoded,
+                   COALESCE(SUM(CASE WHEN corrupt THEN 0
+                       ELSE CAST(width AS BIGINT) * CAST(height AS BIGINT) END), 0)::BIGINT AS px,
+                   COALESCE(SUM(CASE WHEN corrupt THEN 0
+                       ELSE CAST(n_samples AS BIGINT) END), 0)::BIGINT AS samples,
+                   COALESCE(SUM(CASE WHEN corrupt THEN 0
+                       ELSE CAST(n_frames AS BIGINT) END), 0)::BIGINT AS frames
             FROM read_parquet('{glob}')
             GROUP BY media_type
+        """,
+        "media_resize": f"""
+            SELECT doc_id,
+                   CAST({fixtures.MEDIA_RESIZE_WH} AS INTEGER) AS out_width,
+                   CAST({fixtures.MEDIA_RESIZE_WH} AS INTEGER) AS out_height,
+                   resized16_pixel_sum AS pixel_sum
+            FROM read_parquet('{glob}')
+            WHERE media_type = 'image' AND NOT corrupt
+        """,
+        "media_frames": f"""
+            SELECT doc_id, sample_rate, n_samples, preview64 AS preview
+            FROM read_parquet('{glob}')
+            WHERE media_type = 'audio' AND NOT corrupt
+        """,
+        "media_video_frames": f"""
+            SELECT doc_id,
+                   unnest(vf_frame_nos) AS frame_no,
+                   unnest(vf_mean_milli) AS mean_milli
+            FROM read_parquet('{glob}')
+            WHERE media_type = 'video' AND NOT corrupt
         """,
     }

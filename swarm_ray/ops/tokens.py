@@ -123,12 +123,17 @@ class PackBins:
                 n_bins += 1
         anchor = min(doc_ids) if doc_ids else ""
         used = self.capacity - rem[:n_bins]
-        return pa.table({
+        out = pa.table({
             "bin_id": pa.array([f"{anchor}#{b:06d}" for b in range(n_bins)]),
             "n_seqs": pa.array(counts[:n_bins], type=pa.int64()),
             "used_tok": pa.array(used, type=pa.int64()),
             "capacity": pa.array([self.capacity] * n_bins, type=pa.int64()),
         })
+        if "pack_group" in batch.column_names and len(batch):
+            grp = batch["pack_group"][0].as_py()
+            out = out.append_column(
+                "pack_group", pa.array([grp] * n_bins, type=pa.int64()))
+        return out
 
 
 PACK_GROUP = 8192       # sequences per packing group (stable doc_idx range)
@@ -153,7 +158,8 @@ def q_seq_pack(sf_dir: str, capacity: int = PACK_CAPACITY) -> ray.data.Dataset:
 
     def pack_group(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values("doc_id")       # stable order within group
-        t = pa.Table.from_pandas(df[["doc_id", "n_tok"]], preserve_index=False)
+        t = pa.Table.from_pandas(df[["doc_id", "n_tok", "pack_group"]],
+                                 preserve_index=False)
         return packer(t).to_pandas()
 
     return (ray.data.read_parquet(_seq_files(sf_dir), columns=["doc_id", "n_tok"])
@@ -162,18 +168,45 @@ def q_seq_pack(sf_dir: str, capacity: int = PACK_CAPACITY) -> ray.data.Dataset:
             .map_groups(pack_group, batch_format="pandas"))
 
 
+def q_seq_pack_stats(sf_dir: str, capacity: int = PACK_CAPACITY) -> ray.data.Dataset:
+    """Conservation invariants of the packer, per packing group, routed
+    THROUGH the packed output: sum of packed sequences per group must
+    equal the group's row count, and sum of used tokens must equal the
+    group's token mass (over-long sequences contribute exactly
+    ``capacity`` — they get a dedicated bin and truncate later). The
+    DuckDB oracle computes both directly from the INPUT, so the match
+    holds iff packing conserved every sequence and token — this is the
+    SQL-checkable shadow of the (non-SQL-expressible) first-fit
+    placement in ``q_seq_pack``."""
+    from ray.data.aggregate import Sum as _Sum
+    packed = q_seq_pack(sf_dir, capacity)
+    return (packed.groupby("pack_group")
+            .aggregate(_Sum("n_seqs", alias_name="n_seqs"),
+                       _Sum("used_tok", alias_name="used_tok")))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "seq_token_topk": q_token_topk,
-        "seq_pack": q_seq_pack,        # rows-only
+        "seq_pack": q_seq_pack,        # rows-only (placement itself)
+        "seq_pack_stats": q_seq_pack_stats,
         "seq_sample": q_seq_sample,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    from ..fixtures import label_for_sf_dir, sequences_dir
-    glob = str(sequences_dir(label_for_sf_dir("/root/testdata/sf0.01")) / "*.parquet")
+    from ..fixtures import label_for_sf_dir, oracle_sf_dir, sequences_dir
+    glob = str(sequences_dir(label_for_sf_dir(oracle_sf_dir())) / "*.parquet")
     return {
+        "seq_pack_stats": f"""
+            SELECT CAST(regexp_extract(doc_id, 'doc-(\\d+)', 1) AS BIGINT)
+                     // {PACK_GROUP} AS pack_group,
+                   COUNT(*)::BIGINT AS n_seqs,
+                   SUM(CASE WHEN n_tok > {PACK_CAPACITY} THEN {PACK_CAPACITY}
+                            ELSE CAST(n_tok AS BIGINT) END)::BIGINT AS used_tok
+            FROM read_parquet('{glob}')
+            GROUP BY 1
+        """,
         "seq_sample": f"""
             SELECT source, COUNT(*)::BIGINT AS sampled_rows
             FROM read_parquet('{glob}')

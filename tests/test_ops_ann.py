@@ -67,7 +67,7 @@ def test_near_dup_pairs_symmetric_and_thresholded():
 
 
 def test_centroids_match_numpy():
-    got = ann.q_emb_centroids(SF)
+    got = ann.centroids_float(SF)
     t = pq.read_table(f"{SF}/embeddings.parquet",
                       columns=["label", "embedding"]).to_pandas()
     for r in got.itertuples():

@@ -80,17 +80,24 @@ def test_media_stats_matches_fixture_metadata(ray_session):
     import pyarrow.parquet as pq
     got = {r["media_type"]: r for r in q_media_stats("/tmp/whatever/sf0.001").take_all()}
     want = {}
+    n_corrupt = 0
     for f in fixtures.media_files("sf0.001"):
         t = pq.read_table(f)
-        for mt, w, h, ns in zip(t["media_type"].to_pylist(), t["width"].to_pylist(),
-                                t["height"].to_pylist(), t["n_samples"].to_pylist()):
-            d = want.setdefault(mt, {"n": 0, "px": 0, "samples": 0})
+        for mt, w, h, ns, bad in zip(
+                t["media_type"].to_pylist(), t["width"].to_pylist(),
+                t["height"].to_pylist(), t["n_samples"].to_pylist(),
+                t["corrupt"].to_pylist()):
+            d = want.setdefault(mt, {"n": 0, "ok": 0, "px": 0, "samples": 0})
             d["n"] += 1
-            d["px"] += w * h
-            d["samples"] += ns
+            n_corrupt += bad
+            if not bad:                          # corrupt payloads fail decode
+                d["ok"] += 1
+                d["px"] += w * h
+                d["samples"] += ns
+    assert n_corrupt > 0                         # the fixture plants failures
     for mt, d in want.items():
         assert got[mt]["n"] == d["n"]
-        assert got[mt]["decoded"] == d["n"]      # every payload decodes
+        assert got[mt]["decoded"] == d["ok"]     # clean payloads all decode
         assert got[mt]["px"] == d["px"]          # decoded dims == metadata
         assert got[mt]["samples"] == d["samples"]
 
