@@ -57,6 +57,7 @@ def _core_queries() -> dict[str, Callable[[str], Any]]:
     return {
         "seq_source_counts": q.q_source_counts,
         "seq_parse": q.q_parse,
+        "seq_parse_json": q.q_parse_json,
         "seq_route_counts": q.q_route_counts,
         "seq_routed_rows": q.q_routed_rows,
         "seq_routed_tokens": q.q_routed_tokens,
@@ -88,9 +89,12 @@ def oracle_sql() -> dict[str, str]:
     glob = str(fixtures.sequences_dir(label) / "*.parquet")
     rs = default_ruleset()
 
+    json_glob = str(fixtures.sequences_ndjson_dir(label) / "*.jsonl.gz")
     out = {
         "seq_source_counts": oracle.sql_source_counts(glob),
         "seq_parse": oracle.sql_parse(glob, rs),
+        "seq_parse_json": oracle.sql_parse(
+            glob, rs, cte=oracle.seq_cte_json(json_glob)),
         "seq_route_counts": oracle.sql_route_counts(glob, rs),
         "seq_routed_rows": oracle.sql_routed_rows(glob, rs),
         "seq_routed_tokens": oracle.sql_routed_tokens(glob, rs),

@@ -160,6 +160,50 @@ def sequences_files(label: str) -> list[str]:
     return sorted(str(p) for p in d.glob("*.parquet"))
 
 
+NDJSON_FIXTURE_VERSION = 1
+
+
+def sequences_ndjson_dir(label: str) -> Path:
+    """The sequences corpus re-serialized as gzipped NDJSON — the
+    reference's ACTUAL input format (newline/concatenated JSON docs,
+    optionally gzip-wrapped: ``pkg/usecase/load.go:262-281``) — feeding
+    the JSON ingestion source. Derived file-for-file from the Parquet
+    fixture, so both paths carry identical records and the oracles can
+    cross-check them."""
+    src = sequences_dir(label)
+    n_rows = rows_for_label(label)
+    out = FIXTURE_ROOT / label / "sequences_ndjson"
+    meta = out / "_FIXTURE.json"
+    if meta.exists():
+        try:
+            m = json.loads(meta.read_text())
+            if m["rows"] == n_rows and m.get("version") == NDJSON_FIXTURE_VERSION:
+                return out
+        except Exception:
+            pass
+        shutil.rmtree(out, ignore_errors=True)
+    tmp = out.with_name(out.name + ".tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    tmp.mkdir(parents=True)
+    for p in sorted(src.glob("*.parquet")):
+        df = pq.read_table(p).to_pandas()
+        df["tokens"] = df["tokens"].map(list)
+        df.to_json(tmp / f"{p.stem}.jsonl.gz", orient="records",
+                   lines=True, compression="gzip")
+    (tmp / "_FIXTURE.json").write_text(json.dumps(
+        {"rows": n_rows, "version": NDJSON_FIXTURE_VERSION}))
+    out.parent.mkdir(parents=True, exist_ok=True)
+    if out.exists():
+        shutil.rmtree(tmp, ignore_errors=True)
+    else:
+        os.replace(tmp, out)
+    return out
+
+
+def sequences_ndjson_files(label: str) -> list[str]:
+    return sorted(str(p) for p in sequences_ndjson_dir(label).glob("*.jsonl.gz"))
+
+
 def intel_table() -> pa.Table:
     return pa.table(
         {

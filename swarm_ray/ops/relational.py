@@ -100,10 +100,94 @@ def _sessionize_group(g: pd.DataFrame) -> pd.DataFrame:
 def q_events_sessionize(sf_dir: str) -> ray.data.Dataset:
     """Gap-based sessionization (30-min idle gap): per-user session
     stats. groupby(user).map_groups = the documented Ray pattern for
-    event-time windows; each group sorts locally — no global sort."""
+    event-time windows; each group sorts locally — no global sort.
+
+    Partitioning assumption: one user's events fit one reducer. For
+    bot-grade hot keys that breaks — use ``q_events_sessionize_salted``
+    (identical output, bounded groups)."""
     return (_read_events(sf_dir, ["user_id", "ts", "event_id"])
             .groupby("user_id")
             .map_groups(_sessionize_group, batch_format="pandas"))
+
+
+# ---------------------------------------------------- salted sessionization
+
+def _session_bucket_summary(g: pd.DataFrame) -> pd.DataFrame:
+    """One (user, day-bucket) group → ONE summary row carrying exactly
+    what boundary stitching needs: the bucket's session count and
+    event total, its first/last session sizes and their boundary
+    timestamps, and the max size among INTERIOR sessions (which can
+    never merge across buckets)."""
+    g = g.sort_values(["ts", "event_id"])
+    sid = (g["ts"].diff() > pd.Timedelta(minutes=SESSION_GAP_MIN)).cumsum()
+    counts = sid.value_counts().sort_index()
+    n = len(counts)
+    return pd.DataFrame({
+        "user_id": [g["user_id"].iloc[0]],
+        "day": [g["day"].iloc[0]],
+        "ns": [int(n)],
+        "total": [int(len(g))],
+        "first_n": [int(counts.iloc[0])],
+        "last_n": [int(counts.iloc[-1])],
+        "mid_max": [int(counts.iloc[1:-1].max()) if n > 2 else 0],
+        "first_start": [g["ts"].iloc[0]],
+        "last_end": [g["ts"].iloc[-1]],
+    })
+
+
+def _stitch_user(g: pd.DataFrame) -> pd.DataFrame:
+    """Fold a user's per-bucket summaries (in day order) into exact
+    whole-history session stats: a bucket's first session merges into
+    the running open session iff the actual timestamp gap to the
+    previous bucket's last event is within the session gap."""
+    g = g.sort_values("day")
+    gap = pd.Timedelta(minutes=SESSION_GAP_MIN)
+    n_sessions = 0
+    max_ev = 0
+    open_n = 0
+    prev_end = None
+    for r in g.itertuples(index=False):
+        if prev_end is not None and (r.first_start - prev_end) <= gap:
+            open_n += r.first_n                   # continues the open session
+        else:
+            if open_n:
+                n_sessions += 1
+                max_ev = max(max_ev, open_n)
+            open_n = r.first_n
+        if r.ns >= 2:
+            # the open session ends inside this bucket
+            n_sessions += 1 + (r.ns - 2)
+            max_ev = max(max_ev, open_n, r.mid_max)
+            open_n = r.last_n
+        prev_end = r.last_end
+    if open_n:
+        n_sessions += 1
+        max_ev = max(max_ev, open_n)
+    return pd.DataFrame({
+        "user_id": [g["user_id"].iloc[0]],
+        "n_sessions": [int(n_sessions)],
+        "max_session_events": [int(max_ev)],
+        "total_events": [int(g["total"].sum())],
+    })
+
+
+def q_events_sessionize_salted(sf_dir: str) -> ray.data.Dataset:
+    """Sessionization with a TIME-BUCKET SALT — the hot-user guard
+    (north rule's salted-key handling): a bot user's events split into
+    (user, day) groups, so no reducer ever materializes more than one
+    user-day; per-bucket session summaries (one tiny row each) are
+    then stitched per user, merging sessions that straddle bucket
+    boundaries by their actual timestamp gap. Exact — identical output
+    to ``q_events_sessionize`` (same DuckDB oracle checks both)."""
+    def add_day(t: pa.Table) -> pa.Table:
+        return t.append_column("day", pc.floor_temporal(t["ts"], unit="day"))
+
+    buckets = (_read_events(sf_dir, ["user_id", "ts", "event_id"])
+               .map_batches(add_day, batch_format="pyarrow", zero_copy_batch=True)
+               .groupby(["user_id", "day"])
+               .map_groups(_session_bucket_summary, batch_format="pandas"))
+    return buckets.groupby("user_id").map_groups(
+        _stitch_user, batch_format="pandas")
 
 
 # ------------------------------------------------------------ as-of join
@@ -234,6 +318,7 @@ def queries():
         "events_hourly": q_events_hourly,
         "events_top_users": q_events_top_users,
         "events_sessionize": q_events_sessionize,
+        "events_sessionize_salted": q_events_sessionize_salted,
         "events_asof_click": q_events_asof_click,
         "tpch_pricing": q_tpch_pricing,
         "tpch_nation_orders": q_tpch_nation_orders,
@@ -268,6 +353,24 @@ FROM events GROUP BY user_id
 ORDER BY n DESC, user_id ASC LIMIT 10
 """,
         "events_sessionize": f"""
+WITH o AS (
+  SELECT user_id, ts,
+    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > INTERVAL {SESSION_GAP_MIN} MINUTE THEN 1 ELSE 0 END AS new_session
+  FROM events
+), s AS (
+  SELECT user_id,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM o
+), per AS (
+  SELECT user_id, session_id, COUNT(*) AS n FROM s GROUP BY user_id, session_id
+)
+SELECT user_id, COUNT(*) AS n_sessions, MAX(n) AS max_session_events,
+  CAST(SUM(n) AS BIGINT) AS total_events
+FROM per GROUP BY user_id
+""",
+        "events_sessionize_salted": f"""
 WITH o AS (
   SELECT user_id, ts,
     CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)

@@ -40,6 +40,18 @@ def seq_cte(seq_glob: str) -> str:
             f"FROM read_parquet('{seq_glob}'))")
 
 
+def seq_cte_json(ndjson_glob: str) -> str:
+    """Sequences CTE over the gzipped-NDJSON serialization of the same
+    corpus (S4/S5). JSON carries no Arrow types, so the CTE casts the
+    inferred BIGINTs back to the canonical input schema — exactly the
+    cast the engine's JSON source applies."""
+    return ("WITH seq AS (SELECT doc_id, "
+            "CAST(tokens AS INTEGER[]) AS tokens, "
+            "CAST(n_tok AS INTEGER) AS n_tok, source "
+            f"FROM read_json_auto('{ndjson_glob}', "
+            "format='newline_delimited'))")
+
+
 def event_filter_sql(ruleset: Ruleset) -> str:
     if not ruleset.event_rules:
         return "TRUE"
@@ -106,10 +118,11 @@ def sql_source_counts(seq_glob: str) -> str:
             "GROUP BY source ORDER BY source")
 
 
-def sql_parse(seq_glob: str, ruleset: Ruleset) -> str:
-    """M1/S5 — event filter + vectorized path parse."""
+def sql_parse(seq_glob: str, ruleset: Ruleset, *, cte: str | None = None) -> str:
+    """M1/S5 — event filter + vectorized path parse. ``cte`` overrides
+    the sequences CTE (e.g. ``seq_cte_json`` for the NDJSON source)."""
     return (
-        f"{seq_cte(seq_glob)} "
+        f"{cte or seq_cte(seq_glob)} "
         "SELECT doc_id, source, n_tok, "
         "CAST(regexp_extract(doc_id, 'part-(\\d+)', 1) AS INTEGER) AS part_no, "
         "CAST(regexp_extract(doc_id, 'doc-(\\d+)', 1) AS BIGINT) AS doc_idx, "

@@ -49,6 +49,20 @@ def q_parse(sf_dir: str) -> ray.data.Dataset:
     return ds.select_columns(["doc_id", "source", "n_tok", "part_no", "doc_idx", "ext"])
 
 
+def q_parse_json(sf_dir: str) -> ray.data.Dataset:
+    """S4/S5 literally — the gzipped-NDJSON serialization of the same
+    corpus streamed through ``sources.json_source`` (codec inferred
+    from the extension, schema canonicalized) into the SAME parse
+    stage as the Parquet path. No column pruning is possible on a JSON
+    source (each row is one opaque line) — the documented reason the
+    engine stores Parquet and keeps JSON for ingestion edges."""
+    from .sources.json_source import read_sequences_json
+    files = fixtures.sequences_ndjson_files(fixtures.label_for_sf_dir(sf_dir))
+    ds = read_sequences_json(files).map_batches(
+        ParseStage(default_ruleset()), batch_format="pyarrow", zero_copy_batch=True)
+    return ds.select_columns(["doc_id", "source", "n_tok", "part_no", "doc_idx", "ext"])
+
+
 def q_route_counts(sf_dir: str) -> ray.data.Dataset:
     """A2 — exact per-sink routed counts, via per-batch partials
     (shuffle moves #blocks × #sinks rows only)."""

@@ -51,3 +51,52 @@ def test_asof_timestamp_tie_uses_event_id_order():
     out = _asof_group(g).set_index("error_event_id")
     # order (ts, event_id): click(1), error(2), click(3) → prior = 1
     assert out.loc[2, "prior_click_id"] == 1
+
+
+def test_sessionize_salted_matches_plain(ray_session):
+    from swarm_ray.ops.relational import q_events_sessionize, q_events_sessionize_salted
+    sf = "/root/testdata/sf0.001"
+    plain = (q_events_sessionize(sf).to_pandas()
+             .sort_values("user_id").reset_index(drop=True))
+    salted = (q_events_sessionize_salted(sf).to_pandas()
+              .sort_values("user_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(plain, salted)
+
+
+def test_sessionize_salted_bot_user(ray_session, tmp_path):
+    """Bot-grade hot key: one user with events every few minutes for 30
+    days (sessions chain across midnight boundaries) + normal users.
+    The salted path must agree with the plain path exactly — including
+    sessions that straddle day-bucket boundaries."""
+    import numpy as np
+    from swarm_ray.ops.relational import q_events_sessionize, q_events_sessionize_salted
+
+    rng = np.random.default_rng(5)
+    rows = []
+    eid = 0
+    # bot: bursts of 10 events 2 min apart, burst gaps alternate 20 min
+    # (same session) / 45 min (new session), running for ~30 days
+    t = pd.Timestamp("2024-03-01 23:40:00")   # first burst crosses midnight
+    for burst in range(600):
+        for k in range(10):
+            rows.append((1, t, eid)); eid += 1
+            t += pd.Timedelta(minutes=2)
+        t += pd.Timedelta(minutes=20 if burst % 2 else 45)
+    # normal users
+    for u in range(2, 12):
+        t = pd.Timestamp("2024-03-05") + pd.Timedelta(hours=int(rng.integers(0, 100)))
+        for k in range(int(rng.integers(3, 30))):
+            rows.append((u, t, eid)); eid += 1
+            t += pd.Timedelta(minutes=int(rng.integers(1, 120)))
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_id"])
+    sf = tmp_path / "sfbot"
+    sf.mkdir()
+    df.to_parquet(sf / "events.parquet", index=False)
+
+    plain = (q_events_sessionize(str(sf)).to_pandas()
+             .sort_values("user_id").reset_index(drop=True))
+    salted = (q_events_sessionize_salted(str(sf)).to_pandas()
+              .sort_values("user_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(plain, salted)
+    bot = plain[plain["user_id"] == 1].iloc[0]
+    assert bot["total_events"] == 6000 and bot["n_sessions"] > 100

@@ -1,0 +1,38 @@
+"""NDJSON(+gzip) ingestion source (sources/json_source.py) — S4/S5
+literally: codec inference from extension, canonical schema casts, and
+record-for-record parity with the Parquet path."""
+
+import pandas as pd
+import pyarrow as pa
+
+from swarm_ray import fixtures
+
+
+def test_json_source_canonical_schema(ray_session):
+    from swarm_ray.sources.json_source import CANONICAL_SCHEMA, read_sequences_json
+    files = fixtures.sequences_ndjson_files("sf0.001")
+    assert files and all(f.endswith(".jsonl.gz") for f in files)  # gzip path
+    ds = read_sequences_json(files)
+    assert ds.schema().base_schema == CANONICAL_SCHEMA
+
+
+def test_json_parse_matches_parquet_parse(ray_session):
+    """The same records through the same parse stage from either
+    serialization must be identical — including the token payload."""
+    from swarm_ray.queries import q_parse, q_parse_json
+    from swarm_ray.sources.json_source import read_sequences_json
+
+    sf = "/anything/sf0.001"
+    a = q_parse(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = q_parse_json(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+    # token-array byte equality between the two serializations
+    pq_rows = (pd.concat([pd.read_parquet(f) for f in
+                          fixtures.sequences_files("sf0.001")])
+               .sort_values("doc_id").reset_index(drop=True))
+    js_rows = (read_sequences_json(fixtures.sequences_ndjson_files("sf0.001"))
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert len(pq_rows) == len(js_rows)
+    for x, y in zip(pq_rows["tokens"], js_rows["tokens"]):
+        assert list(x) == list(y)
