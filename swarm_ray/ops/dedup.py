@@ -38,10 +38,13 @@ def _read_docs(sf_dir: str) -> ray.data.Dataset:
 
 # ------------------------------------------------------------ exact dedup
 
-def _hash_batch(batch: pd.DataFrame) -> pd.DataFrame:
-    md5 = hashlib.md5
-    batch["text_md5"] = batch["text"].map(lambda t: md5(t.encode()).hexdigest())
-    return batch[["doc_id", "text_md5"]]
+def _hash_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, md5(text)) pairs — ARROW block out (pandas blocks make
+    the downstream sort aggregate ~20x slower, measured), md5 over
+    zero-copy buffer slices via the id stage's hasher."""
+    from ..stages.ids import md5_hex
+    return pa.table({"doc_id": batch["doc_id"],
+                     "text_md5": md5_hex(batch["text"])})
 
 
 def q_dedup_exact(sf_dir: str) -> ray.data.Dataset:
@@ -49,7 +52,7 @@ def q_dedup_exact(sf_dir: str) -> ray.data.Dataset:
     group (first-wins). The groupby IS the shuffle; only (hash, id)
     pairs move, never the text."""
     return (_read_docs(sf_dir)
-            .map_batches(_hash_batch, batch_format="pandas")
+            .map_batches(_hash_batch, batch_format="pyarrow", zero_copy_batch=True)
             .groupby("text_md5")
             .aggregate(Min("doc_id", alias_name="keeper_doc_id"),
                        Count(alias_name="dup_count")))
@@ -182,7 +185,7 @@ class MinHashBands:
         vals = (sh[:, None] * self.a[None, :] + self.b[None, :]) % MERSENNE
         return vals.min(axis=0)
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
         doc_ids, band_ids, band_hashes = [], [], []
         for doc_id, text in zip(batch["doc_id"], batch["text"]):
             sig = self.signature(text)
@@ -192,8 +195,11 @@ class MinHashBands:
                 doc_ids.append(doc_id)
                 band_ids.append(b)
                 band_hashes.append(h)
-        return pd.DataFrame({"doc_id": doc_ids, "band_id": band_ids,
-                             "band_hash": band_hashes})
+        # ARROW block out: the band-bucket groupby that follows is a
+        # sort aggregate, ~20x slower over pandas blocks (measured)
+        return pa.table({"doc_id": pa.array(doc_ids, type=pa.int64()),
+                         "band_id": pa.array(band_ids, type=pa.int64()),
+                         "band_hash": pa.array(band_hashes, type=pa.string())})
 
 
 #: buckets up to this size emit all pairs; larger ones fall back to
@@ -223,33 +229,75 @@ def bucket_pairs_from_ids(ids, max_full: int = MAX_FULL_BUCKET):
     return [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]], False
 
 
-def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-    """Stage 2 (post band-groupby): emit candidate pairs per bucket."""
-    pairs, is_mega = bucket_pairs_from_ids(group["doc_id"].tolist())
-    if is_mega:
-        _LOG.warning(
-            "minhash LSH mega-bucket (band=%s hash=%s size=%d): emitting "
-            "%d star pairs instead of %d full pairs",
-            group["band_id"].iloc[0], group["band_hash"].iloc[0],
-            len(group), len(pairs), len(group) * (len(group) - 1) // 2)
-    if not pairs:
-        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                             "doc_b": pd.Series([], dtype="int64")})
-    return pd.DataFrame(pairs, columns=["doc_a", "doc_b"])
+_PAIRS_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+
+
+def _block_pairs(t: pa.Table) -> pa.Table:
+    """Stage 2: candidate pairs for EVERY bucket in one hash-partitioned
+    block, vectorized. A ``groupby.map_groups`` here measured 43 s of
+    UDF time at sf0.1 — per-group Python slicing over ~80k
+    mostly-singleton buckets — vs < 0.1 s for this: factorize the
+    (band, hash) key once, count bucket sizes with ``np.bincount``,
+    and run Python only over the (rare) buckets with ≥2 members."""
+    if len(t) == 0:
+        return _PAIRS_SCHEMA.empty_table()
+    band = t["band_id"].to_numpy(zero_copy_only=False)
+    doc = t["doc_id"].to_numpy(zero_copy_only=False)
+    key = pd.factorize(
+        pd.Series(t["band_hash"].to_pandas()).str.cat(band.astype(str), sep="#")
+    )[0]
+    sizes = np.bincount(key)
+    order = np.argsort(key, kind="stable")
+    starts = np.concatenate([[0], np.cumsum(sizes)])
+    out_a, out_b = [], []
+    for k in np.flatnonzero(sizes >= 2):
+        ids = doc[order[starts[k]:starts[k + 1]]]
+        pairs, is_mega = bucket_pairs_from_ids(ids.tolist())
+        if is_mega:
+            _LOG.warning(
+                "minhash LSH mega-bucket (size=%d): emitting %d star pairs "
+                "instead of %d full pairs",
+                len(ids), len(pairs), len(ids) * (len(ids) - 1) // 2)
+        for a, b in pairs:
+            out_a.append(a)
+            out_b.append(b)
+    if not out_a:
+        return _PAIRS_SCHEMA.empty_table()
+    return pa.table({"doc_a": pa.array(out_a, type=pa.int64()),
+                     "doc_b": pa.array(out_b, type=pa.int64())})
 
 
 def minhash_candidate_pairs(sf_dir: str) -> ray.data.Dataset:
-    from ..util import autoscaling_pool
+    from ray.data.context import ShuffleStrategy
+    from ..util import autoscaling_pool, cluster_cpus
     bands = _read_docs(sf_dir).map_batches(
         MinHashBands, batch_format="pandas", batch_size=1024,
         concurrency=autoscaling_pool())
-    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pandas")
-    # same pair may collide in several bands — dedup via an aggregate
-    # (no per-group Python callback; the count column is dropped)
-    return (pairs.groupby(["doc_a", "doc_b"])
-            .aggregate(Count(alias_name="_nb"))
-            .select_columns(["doc_a", "doc_b"]))
+    # co-locate each (band, hash) bucket with a HASH repartition, then
+    # generate pairs block-vectorized; batch_size=None is load-bearing
+    # (one whole block per call, so buckets never straddle a batch)
+    bands.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    bucketed = bands.repartition(max(8, cluster_cpus()),
+                                 keys=["band_id", "band_hash"])
+    pairs = bucketed.map_batches(_block_pairs, batch_format="pyarrow",
+                                 zero_copy_batch=True, batch_size=None)
+
+    # same pair may collide in several bands — dedup by co-locating
+    # each pair with one more keyed repartition, then a block-local
+    # np.unique (sized to the cluster; a default groupby here spun 200
+    # aggregate partitions for a few thousand rows)
+    def block_unique(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _PAIRS_SCHEMA.empty_table()
+        a = t["doc_a"].to_numpy(zero_copy_only=False)
+        b = t["doc_b"].to_numpy(zero_copy_only=False)
+        u = np.unique(np.stack([a, b], axis=1), axis=0)
+        return pa.table({"doc_a": pa.array(u[:, 0]), "doc_b": pa.array(u[:, 1])})
+
+    return (pairs.repartition(max(8, cluster_cpus() // 2),
+                              keys=["doc_a", "doc_b"])
+            .map_batches(block_unique, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=None))
 
 
 def q_minhash_pairs(sf_dir: str) -> pd.DataFrame:

@@ -213,7 +213,7 @@ def q_doc_curation(sf_dir: str) -> ray.data.Dataset:
     probabilistic recall is pytest-pinned instead.
     """
     from ray.data.aggregate import Count as _Count, Min as _Min
-    from .dedup import _hash_batch
+    from ..stages.ids import md5_hex
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text", "lang"])
@@ -225,12 +225,13 @@ def q_doc_curation(sf_dir: str) -> ray.data.Dataset:
         return batch[keep.to_numpy()]
 
     gated = docs.map_batches(gate, batch_format="pandas")
+    # ARROW blocks into the dedup groupby (pandas blocks are ~20x
+    # slower through the sort aggregate, measured)
     hashed = gated.map_batches(
-        lambda b: pd.DataFrame({
-            "doc_id": b["doc_id"],
-            "text_md5": _hash_batch(b.copy())["text_md5"],
-            "lang": b["lang"],
-        }), batch_format="pandas")
+        lambda t: pa.table({"doc_id": t["doc_id"],
+                            "text_md5": md5_hex(t["text"]),
+                            "lang": t["lang"]}),
+        batch_format="pyarrow")
     keepers = (hashed.groupby("text_md5")
                .aggregate(_Min("doc_id", alias_name="doc_id"))
                .select_columns(["doc_id"]))
