@@ -122,8 +122,70 @@ def run_scaling() -> dict:
     }
 
 
+DEDUP_SCALE_DOCS = int(os.environ.get("BENCH_DEDUP_DOCS", "150000"))
+
+
+def run_dedup_bench() -> dict:
+    """One fresh-process leg of the dedup scaling measurement: MinHash
+    LSH candidate+verify and exact dedup over a synthetic documents
+    corpus large enough to amortize fixed Ray overheads."""
+    import ray
+    import ray.data
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from swarm_ray import fixtures
+    from swarm_ray.ops import dedup
+
+    # dup_frac 1%: the scaling measurement targets the dominant
+    # signature/shuffle compute; a dup-heavy corpus instead measures
+    # the (bounded, driver-coordinated) verify of a huge frontier
+    sf = str(fixtures.documents_synth_dir(DEDUP_SCALE_DOCS, dup_frac=0.01))
+    out = {"docs": DEDUP_SCALE_DOCS, "num_cpus": NUM_CPUS}
+    dedup.q_dedup_exact(sf).to_pandas()          # warmup (imports, pools)
+    for name, fn in (("minhash_sec", lambda: dedup.q_minhash_pairs(sf)),
+                     ("exact_sec", lambda: dedup.q_dedup_exact(sf).to_pandas())):
+        times = []
+        for _ in range(2):
+            t0 = time.time()
+            fn()
+            times.append(time.time() - t0)
+        out[name] = round(min(times), 3)
+    ray.shutdown()
+    return out
+
+
+def run_scaling_dedup() -> dict:
+    """8-vs-32-CPU fresh-process scaling of the dedup family (VERDICT
+    r1 item 2) — same synthetic corpus, efficiency = speedup / 4."""
+    lo_cpus, hi_cpus = 8, 32
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_DEDUP_LEG="1")
+        out = subprocess.run([sys.executable, __file__], env=env,
+                             capture_output=True, text=True, check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo = run(lo_cpus)
+    hi = run(hi_cpus)
+    res = {"metric": "dedup scaling efficiency (num_cpus 8 → 32)",
+           "docs": lo["docs"]}
+    for k in ("minhash_sec", "exact_sec"):
+        eff = (lo[k] / hi[k]) / (hi_cpus / lo_cpus)
+        res[k.replace("_sec", "")] = {
+            "sec_8": lo[k], "sec_32": hi[k],
+            "scaling_efficiency": round(eff, 3)}
+    return res
+
+
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if os.environ.get("BENCH_DEDUP_LEG"):
+        print(json.dumps(run_dedup_bench()))
+    elif "--scaling-dedup" in sys.argv:
+        print(json.dumps(run_scaling_dedup()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
         print(json.dumps(run_bench()))

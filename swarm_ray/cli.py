@@ -104,6 +104,9 @@ def cmd_migrate(args) -> dict:
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="swarm_ray")
     p.add_argument("--num-cpus", type=int, default=None)
+    p.add_argument("--auth-rules", default=None,
+                   help="auth policy file (M7): default-allow, any "
+                        "matching deny rule rejects the invocation")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     pi = sub.add_parser("ingest", help="parse → enrich → route → sinks")
@@ -131,6 +134,26 @@ def main(argv: list[str] | None = None) -> int:
     pm.set_defaults(fn=cmd_migrate)
 
     args = p.parse_args(argv)
+
+    if args.auth_rules:
+        # control-plane gate ≙ the reference's auth middleware
+        # (pkg/controller/server/middleware.go:17-46): the invocation
+        # is the "request" — method = subcommand, path = output target
+        import getpass
+        from .rules.auth import AuthPolicyInput, Unauthorized, authorize, load_auth_rules
+        inp = AuthPolicyInput(
+            method=args.cmd,
+            path=str(getattr(args, "out", getattr(args, "dst", ""))),
+            remote=getpass.getuser(),
+            query={k: v for k, v in vars(args).items()
+                   if isinstance(v, (str, int)) and v is not None},
+        )
+        try:
+            authorize(inp, load_auth_rules(args.auth_rules))
+        except Unauthorized as e:
+            print(json.dumps({"error": str(e)}))
+            return 77                      # EX_NOPERM ≙ HTTP 401
+
     owned = _ray_init(args.num_cpus)
     try:
         out = args.fn(args)

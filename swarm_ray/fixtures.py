@@ -160,6 +160,57 @@ def sequences_files(label: str) -> list[str]:
     return sorted(str(p) for p in d.glob("*.parquet"))
 
 
+def documents_synth_dir(n_docs: int, seed: int = 77,
+                        dup_frac: float = 0.05) -> Path:
+    """Synthetic ``documents``-shaped corpus at an arbitrary size — for
+    scaling measurements of the dedup family (the driver's documents
+    table is small; scaling efficiency needs enough work to amortize
+    fixed Ray overheads). ~``dup_frac`` of docs are 1-word-mutated
+    near-duplicates of earlier docs. Deterministic, chunked, cached."""
+    out = FIXTURE_ROOT / f"docs_synth_{n_docs}_d{int(dup_frac * 1000)}"
+    meta = out / "_FIXTURE.json"
+    if meta.exists():
+        try:
+            if json.loads(meta.read_text())["rows"] == n_docs:
+                return out
+        except Exception:
+            pass
+        shutil.rmtree(out, ignore_errors=True)
+    tmp = out.with_name(out.name + ".tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    tmp.mkdir(parents=True)
+    vocab = np.asarray([f"w{i}" for i in range(5000)])
+    chunk = 25_000
+    for c in range((n_docs + chunk - 1) // chunk):
+        n = min(chunk, n_docs - c * chunk)
+        rng = np.random.default_rng([seed, c])
+        words = vocab[rng.integers(0, len(vocab), size=(n, 80))]
+        texts = [" ".join(row) for row in words]
+        # plant near-duplicates of docs earlier in the same chunk
+        n_dup = int(n * dup_frac)
+        for j in range(n_dup):
+            src = int(rng.integers(0, n))
+            w = texts[src].split(" ")
+            w[int(rng.integers(0, 80))] = "CHANGED"
+            texts[(src + 1 + j) % n] = " ".join(w)
+        base = c * chunk
+        t = pa.table({
+            "doc_id": pa.array(np.arange(base, base + n, dtype=np.int64)),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * n),
+            "source": pa.array(["synth"] * n),
+            "n_chars": pa.array([len(x) for x in texts], type=pa.int32()),
+        })
+        pq.write_table(t, tmp / f"documents-{c:04d}.parquet")
+    (tmp / "_FIXTURE.json").write_text(json.dumps({"rows": n_docs, "seed": seed}))
+    out.parent.mkdir(parents=True, exist_ok=True)
+    if out.exists():
+        shutil.rmtree(tmp, ignore_errors=True)
+    else:
+        os.replace(tmp, out)
+    return out
+
+
 NDJSON_FIXTURE_VERSION = 1
 
 

@@ -33,7 +33,13 @@ DOC_COLS = ["doc_id", "text"]
 
 
 def _read_docs(sf_dir: str) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=DOC_COLS)
+    from pathlib import Path
+    single = Path(sf_dir) / "documents.parquet"
+    if single.exists():
+        return ray.data.read_parquet(str(single), columns=DOC_COLS)
+    # multi-file documents corpora (e.g. the synthetic scaling fixture)
+    parts = sorted(str(p) for p in Path(sf_dir).glob("documents-*.parquet"))
+    return ray.data.read_parquet(parts or str(single), columns=DOC_COLS)
 
 
 # ------------------------------------------------------------ exact dedup
@@ -300,39 +306,73 @@ def minhash_candidate_pairs(sf_dir: str) -> ray.data.Dataset:
                          zero_copy_batch=True, batch_size=None))
 
 
+class VerifyJaccard:
+    """Stage-3 verifier actor: holds the broadcast (doc_id → sorted
+    unique shingle hashes) dict; per candidate-pair batch computes the
+    exact k-shingle Jaccard with ``np.intersect1d``."""
+
+    def __init__(self, sets_ref):
+        self.sets = ray.get(sets_ref)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy(zero_copy_only=False)
+        b = t["doc_b"].to_numpy(zero_copy_only=False)
+        jm = np.empty(len(a), dtype=np.int64)
+        for i in range(len(a)):
+            sa, sb = self.sets[a[i]], self.sets[b[i]]
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            jm[i] = (1000 * inter) // (len(sa) + len(sb) - inter)
+        out = pa.table({"doc_a": pa.array(a), "doc_b": pa.array(b),
+                        "jaccard_milli": pa.array(jm)})
+        return out.filter(pc.greater_equal(out["jaccard_milli"],
+                                           JACCARD_TAU_MILLI))
+
+
 def q_minhash_pairs(sf_dir: str) -> pd.DataFrame:
-    """Stage 3: exact-Jaccard verify of the LSH candidates. The
-    candidate set is tiny relative to the corpus; texts for it are
-    fetched via a broadcast filter (semi-join), never an all-pairs scan."""
+    """Stage 3: exact-Jaccard verify of the LSH candidates, with the
+    SAME similarity the LSH approximates (k-shingle Jaccard; the
+    unigram variant lives in q_jaccard_pairs).
+
+    Scale shape: the candidate docs' texts are fetched via a broadcast
+    semi-join filter (never an all-pairs scan), their shingle-hash
+    sets computed IN PARALLEL over corpus batches, and the per-pair
+    intersections run in an actor pool against the broadcast set dict
+    — a serial driver-side verify measured here flattened the 8→32 CPU
+    scaling curve. Assumption (documented): the candidate-doc set is
+    bounded (it is the dedup FRONTIER, orders of magnitude below the
+    corpus); for adversarially large candidate sets, replace the
+    broadcast dict with a two-round repartition join on doc_id."""
+    from ..util import autoscaling_pool
     cand = minhash_candidate_pairs(sf_dir).to_pandas()
     if cand.empty:
         return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard_milli": []})
     need = set(cand["doc_a"]) | set(cand["doc_b"])
     need_arr = pa.array(sorted(need), type=pa.int64())
-    texts = (_read_docs(sf_dir)
-             .map_batches(lambda t: t.filter(pc.is_in(t["doc_id"], value_set=need_arr)),
-                          batch_format="pyarrow")
-             .to_pandas())
-    by_id = dict(zip(texts["doc_id"], texts["text"]))
 
-    def shingle_set(text: str) -> frozenset:
-        w = text.split(" ")
-        if len(w) < SHINGLE_K:
-            return frozenset([" ".join(w)])
-        return frozenset(" ".join(w[i:i + SHINGLE_K])
-                         for i in range(len(w) - SHINGLE_K + 1))
+    def shingles_batch(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["doc_id"], value_set=need_arr))
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        sh = [np.unique(shingle_hashes(x)) for x in t["text"].to_pylist()]
+        return pa.table({"doc_id": pa.array(ids),
+                         "shingles": pa.array([s.tolist() for s in sh],
+                                              type=pa.list_(pa.uint64()))})
 
-    # verify with the SAME similarity the LSH approximates: k-shingle
-    # Jaccard (the unigram variant lives in q_jaccard_pairs)
-    sets = {i: shingle_set(by_id[i]) for i in by_id}
-    jm = []
-    for a, b in zip(cand["doc_a"], cand["doc_b"]):
-        sa, sb = sets[a], sets[b]
-        inter = len(sa & sb)
-        jm.append((1000 * inter) // (len(sa) + len(sb) - inter))
-    cand = cand.assign(jaccard_milli=jm)
-    out = cand[cand["jaccard_milli"] >= JACCARD_TAU_MILLI]
-    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    sets_df = (_read_docs(sf_dir)
+               .map_batches(shingles_batch, batch_format="pyarrow",
+                            zero_copy_batch=True)
+               .to_pandas())
+    sets = {int(r.doc_id): np.asarray(r.shingles, dtype=np.uint64)
+            for r in sets_df.itertuples(index=False)}
+    sets_ref = ray.put(sets)
+
+    verified = (ray.data.from_arrow(
+                    pa.Table.from_pandas(cand, preserve_index=False))
+                .map_batches(VerifyJaccard, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=4096,
+                             concurrency=autoscaling_pool(),
+                             fn_constructor_kwargs={"sets_ref": sets_ref})
+                .to_pandas())
+    return verified.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 # ------------------------------------------------------------ dup clusters

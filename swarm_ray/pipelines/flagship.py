@@ -46,6 +46,25 @@ from .. import fixtures
 INPUT_COLUMNS = ["doc_id", "tokens", "n_tok", "source"]
 
 
+def _is_json_input(paths: list[str] | str) -> bool:
+    ps = [paths] if isinstance(paths, str) else list(paths)
+    return bool(ps) and all(str(p).endswith((".jsonl", ".jsonl.gz", ".json",
+                                             ".json.gz")) for p in ps)
+
+
+def _read_input(paths: list[str] | str,
+                override_num_blocks: int | None = None) -> ray.data.Dataset:
+    """Source dispatch by extension: Parquet (column-pruned — the
+    steady-state format) or NDJSON/+gzip via ``sources.json_source``
+    (the reference's wire format, S4/S5). Both feed the identical
+    parse→enrich→route stages."""
+    if _is_json_input(paths):
+        from ..sources.json_source import read_sequences_json
+        return read_sequences_json(paths, override_num_blocks=override_num_blocks)
+    return ray.data.read_parquet(paths, columns=INPUT_COLUMNS,
+                                 override_num_blocks=override_num_blocks)
+
+
 def build_routed(paths: list[str] | str,
                  ruleset: Ruleset | None = None,
                  intel: pa.Table | None = None,
@@ -73,10 +92,7 @@ def build_routed(paths: list[str] | str,
         ncpu = int(ray.cluster_resources().get("CPU", 8))
         enrich_concurrency = (2, max(2, ncpu // 4))
 
-    ds = ray.data.read_parquet(
-        paths, columns=INPUT_COLUMNS,
-        override_num_blocks=override_num_blocks,
-    )
+    ds = _read_input(paths, override_num_blocks)
     ds = ds.map_batches(
         ParseStage(ruleset), batch_format="pyarrow", zero_copy_batch=True,
         batch_size=batch_size,
@@ -130,7 +146,12 @@ def run_partition(plan: PartitionPlan, out_dir: str | Path,
             # hive-partitioned files already exclude the partition cols.
             update_sink_schema(sink_dir, pq.read_schema(files[0]))
     rows_routed = sum(counts.values())
-    rows_in = sum(pq.read_metadata(f).num_rows for f in plan.input_files)
+    if _is_json_input(plan.input_files):
+        # JSON carries no row-count metadata — one counting pass
+        # (cheap relative to the ingest it reconciles)
+        rows_in = _read_input(plan.input_files).count()
+    else:
+        rows_in = sum(pq.read_metadata(f).num_rows for f in plan.input_files)
 
     # metrics rows (≙ LoadLog/SourceLog/IngestLog,
     # reference pkg/domain/model/bigquery.go:9-39)

@@ -36,3 +36,26 @@ def test_json_parse_matches_parquet_parse(ray_session):
     assert len(pq_rows) == len(js_rows)
     for x, y in zip(pq_rows["tokens"], js_rows["tokens"]):
         assert list(x) == list(y)
+
+
+def test_run_job_over_ndjson_matches_parquet(ray_session, tmp_path):
+    """Full checkpointed ingest over the NDJSON.gz serialization must
+    commit identical per-sink counts to the Parquet-path job."""
+    from swarm_ray.pipelines.flagship import run_job
+
+    pq_files = fixtures.sequences_files("sf0.001")
+    js_files = fixtures.sequences_ndjson_files("sf0.001")
+
+    r_pq = run_job(pq_files, tmp_path / "out_pq",
+                   files_per_partition=len(pq_files))
+    r_js = run_job(js_files, tmp_path / "out_js",
+                   files_per_partition=len(js_files))
+    assert sum(r["rows_in"] for r in r_pq) == sum(r["rows_in"] for r in r_js)
+    agg_pq, agg_js = {}, {}
+    for r in r_pq:
+        for k, v in r["sink_counts"].items():
+            agg_pq[k] = agg_pq.get(k, 0) + v
+    for r in r_js:
+        for k, v in r["sink_counts"].items():
+            agg_js[k] = agg_js.get(k, 0) + v
+    assert agg_pq == agg_js and sum(agg_pq.values()) > 0
