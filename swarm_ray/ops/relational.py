@@ -97,42 +97,94 @@ def _sessionize_group(g: pd.DataFrame) -> pd.DataFrame:
     })
 
 
+def _sessionize_block(df: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized sessionization of one hash-partitioned block (every
+    user's rows are complete within it): one sort, a cumsum of
+    session-break flags, and two C-path groupbys — NO per-user Python.
+    (``groupby().map_groups`` costs ~0.5 ms of slicing per group;
+    at millions of users that dominates everything.)"""
+    if df.empty:
+        return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                             "n_sessions": pd.Series([], dtype="int64"),
+                             "max_session_events": pd.Series([], dtype="int64"),
+                             "total_events": pd.Series([], dtype="int64")})
+    df = df.sort_values(["user_id", "ts", "event_id"])
+    new_user = df["user_id"].ne(df["user_id"].shift())
+    gap = df["ts"].diff() > pd.Timedelta(minutes=SESSION_GAP_MIN)
+    sid = (new_user | gap).cumsum()
+    per_sess = df.groupby(sid, sort=False).agg(
+        user_id=("user_id", "first"), n=("ts", "size"))
+    out = (per_sess.groupby("user_id", sort=False)
+           .agg(n_sessions=("n", "size"), max_session_events=("n", "max"),
+                total_events=("n", "sum"))
+           .reset_index())
+    return out.astype({"user_id": "int64", "n_sessions": "int64",
+                       "max_session_events": "int64", "total_events": "int64"})
+
+
 def q_events_sessionize(sf_dir: str) -> ray.data.Dataset:
     """Gap-based sessionization (30-min idle gap): per-user session
-    stats. groupby(user).map_groups = the documented Ray pattern for
-    event-time windows; each group sorts locally — no global sort.
+    stats. Users are co-located by a keyed hash repartition and each
+    block sessionizes ALL its users vectorized (sort + cumsum + C-path
+    groupbys) — no global sort, no per-user Python callback.
+    ``batch_size=None`` is load-bearing: one whole block per call, so
+    a user never straddles a batch.
 
-    Partitioning assumption: one user's events fit one reducer. For
+    Partitioning assumption: one user's events fit one block. For
     bot-grade hot keys that breaks — use ``q_events_sessionize_salted``
     (identical output, bounded groups)."""
-    return (_read_events(sf_dir, ["user_id", "ts", "event_id"])
-            .groupby("user_id")
-            .map_groups(_sessionize_group, batch_format="pandas"))
+    from ray.data.context import ShuffleStrategy
+    from ..util import cluster_cpus
+    ds = _read_events(sf_dir, ["user_id", "ts", "event_id"])
+    ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    return (ds.repartition(max(8, cluster_cpus()), keys=["user_id"])
+            .map_batches(_sessionize_block, batch_format="pandas",
+                         batch_size=None))
 
 
 # ---------------------------------------------------- salted sessionization
 
-def _session_bucket_summary(g: pd.DataFrame) -> pd.DataFrame:
-    """One (user, day-bucket) group → ONE summary row carrying exactly
+def _bucket_summary_block(df: pd.DataFrame) -> pd.DataFrame:
+    """Summaries for ALL complete (user, day) buckets in one
+    hash-partitioned block, fully vectorized (one sort + C-path
+    groupbys; no per-bucket Python). Each summary row carries exactly
     what boundary stitching needs: the bucket's session count and
-    event total, its first/last session sizes and their boundary
-    timestamps, and the max size among INTERIOR sessions (which can
-    never merge across buckets)."""
-    g = g.sort_values(["ts", "event_id"])
-    sid = (g["ts"].diff() > pd.Timedelta(minutes=SESSION_GAP_MIN)).cumsum()
-    counts = sid.value_counts().sort_index()
-    n = len(counts)
-    return pd.DataFrame({
-        "user_id": [g["user_id"].iloc[0]],
-        "day": [g["day"].iloc[0]],
-        "ns": [int(n)],
-        "total": [int(len(g))],
-        "first_n": [int(counts.iloc[0])],
-        "last_n": [int(counts.iloc[-1])],
-        "mid_max": [int(counts.iloc[1:-1].max()) if n > 2 else 0],
-        "first_start": [g["ts"].iloc[0]],
-        "last_end": [g["ts"].iloc[-1]],
-    })
+    event total, its first/last session sizes and boundary timestamps,
+    and the max size among INTERIOR sessions (which can never merge
+    across buckets)."""
+    if df.empty:
+        return pd.DataFrame({
+            "user_id": pd.Series([], dtype="int64"),
+            "day": pd.Series([], dtype="datetime64[us]"),
+            "ns": pd.Series([], dtype="int64"),
+            "total": pd.Series([], dtype="int64"),
+            "first_n": pd.Series([], dtype="int64"),
+            "last_n": pd.Series([], dtype="int64"),
+            "mid_max": pd.Series([], dtype="int64"),
+            "first_start": pd.Series([], dtype="datetime64[us]"),
+            "last_end": pd.Series([], dtype="datetime64[us]"),
+        })
+    df = df.sort_values(["user_id", "day", "ts", "event_id"])
+    new_bucket = (df["user_id"].ne(df["user_id"].shift())
+                  | df["day"].ne(df["day"].shift()))
+    gap = df["ts"].diff() > pd.Timedelta(minutes=SESSION_GAP_MIN)
+    sid = (new_bucket | gap).cumsum()
+    per = df.groupby(sid, sort=False).agg(
+        user_id=("user_id", "first"), day=("day", "first"),
+        n=("ts", "size"), start=("ts", "first"), end=("ts", "last"))
+    g = per.groupby(["user_id", "day"], sort=False)
+    summ = g.agg(ns=("n", "size"), total=("n", "sum"),
+                 first_n=("n", "first"), last_n=("n", "last"),
+                 first_start=("start", "first"), last_end=("end", "last"))
+    rank = g.cumcount()
+    cnt = g["n"].transform("size")
+    mid = per[(rank > 0) & (rank < cnt - 1)]
+    mid_max = mid.groupby(["user_id", "day"], sort=False)["n"].max()
+    summ["mid_max"] = mid_max.reindex(summ.index).fillna(0)
+    out = summ.reset_index()
+    return out.astype({"user_id": "int64", "ns": "int64", "total": "int64",
+                       "first_n": "int64", "last_n": "int64",
+                       "mid_max": "int64"})
 
 
 def _stitch_user(g: pd.DataFrame) -> pd.DataFrame:
@@ -171,23 +223,48 @@ def _stitch_user(g: pd.DataFrame) -> pd.DataFrame:
     })
 
 
+def _stitch_block(df: pd.DataFrame) -> pd.DataFrame:
+    """Stitch every complete user in one block (pandas groupby.apply —
+    ~10x cheaper per group than a Ray map_groups callback; the input
+    here is per-bucket SUMMARY rows, already ~|events|/|user-days|
+    smaller than the corpus)."""
+    if df.empty:
+        return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                             "n_sessions": pd.Series([], dtype="int64"),
+                             "max_session_events": pd.Series([], dtype="int64"),
+                             "total_events": pd.Series([], dtype="int64")})
+    return (df.sort_values(["user_id", "day"])
+            .groupby("user_id", sort=False, group_keys=False)
+            .apply(_stitch_user)
+            .reset_index(drop=True))
+
+
 def q_events_sessionize_salted(sf_dir: str) -> ray.data.Dataset:
     """Sessionization with a TIME-BUCKET SALT — the hot-user guard
     (north rule's salted-key handling): a bot user's events split into
-    (user, day) groups, so no reducer ever materializes more than one
-    user-day; per-bucket session summaries (one tiny row each) are
-    then stitched per user, merging sessions that straddle bucket
-    boundaries by their actual timestamp gap. Exact — identical output
-    to ``q_events_sessionize`` (same DuckDB oracle checks both)."""
+    (user, day) partitions, so no block ever materializes more than
+    one user-day of the hot key; per-bucket session summaries (one
+    tiny row each, computed block-vectorized) are then stitched per
+    user, merging sessions that straddle bucket boundaries by their
+    actual timestamp gap. Exact — identical output to
+    ``q_events_sessionize`` (same DuckDB oracle checks both)."""
+    from ray.data.context import ShuffleStrategy
+    from ..util import cluster_cpus
+
     def add_day(t: pa.Table) -> pa.Table:
         return t.append_column("day", pc.floor_temporal(t["ts"], unit="day"))
 
-    buckets = (_read_events(sf_dir, ["user_id", "ts", "event_id"])
-               .map_batches(add_day, batch_format="pyarrow", zero_copy_batch=True)
-               .groupby(["user_id", "day"])
-               .map_groups(_session_bucket_summary, batch_format="pandas"))
-    return buckets.groupby("user_id").map_groups(
-        _stitch_user, batch_format="pandas")
+    nparts = max(8, cluster_cpus())
+    ds = _read_events(sf_dir, ["user_id", "ts", "event_id"])
+    ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    buckets = (ds.map_batches(add_day, batch_format="pyarrow",
+                              zero_copy_batch=True)
+               .repartition(nparts, keys=["user_id", "day"])
+               .map_batches(_bucket_summary_block, batch_format="pandas",
+                            batch_size=None))
+    return (buckets.repartition(nparts, keys=["user_id"])
+            .map_batches(_stitch_block, batch_format="pandas",
+                         batch_size=None))
 
 
 # ------------------------------------------------------------ as-of join
@@ -207,14 +284,43 @@ def _asof_group(g: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+def _asof_block(df: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized as-of join for one hash-partitioned block: grouped
+    cummax/ffill/shift are all C-path pandas — no per-user Python."""
+    if df.empty:
+        return pd.DataFrame({"error_event_id": pd.Series([], dtype="int64"),
+                             "user_id": pd.Series([], dtype="int64"),
+                             "prior_click_id": pd.Series([], dtype="int64")})
+    df = df.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    click = df["event_id"].where(df["event_type"] == "click").astype("float64")
+    g = df.assign(_c=click).groupby("user_id", sort=False)
+    running = g["_c"].cummax()
+    prior = (df.assign(_m=running).groupby("user_id", sort=False)["_m"]
+             .ffill())
+    prior = (df.assign(_f=prior).groupby("user_id", sort=False)["_f"]
+             .shift(1))
+    err = df["event_type"] == "error"
+    return pd.DataFrame({
+        "error_event_id": df.loc[err, "event_id"].astype("int64"),
+        "user_id": df.loc[err, "user_id"].astype("int64"),
+        "prior_click_id": prior[err].fillna(-1).astype("int64"),
+    }).reset_index(drop=True)
+
+
 def q_events_asof_click(sf_dir: str) -> ray.data.Dataset:
     """As-of self-join: for every 'error' event, the most recent prior
     'click' of the same user (-1 when none). Semantics pinned as: max
     event_id among clicks strictly earlier in (ts, event_id) order —
-    deterministic under timestamp ties, identical in the SQL window."""
-    return (_read_events(sf_dir, ["user_id", "ts", "event_id", "event_type"])
-            .groupby("user_id")
-            .map_groups(_asof_group, batch_format="pandas"))
+    deterministic under timestamp ties, identical in the SQL window.
+    Same execution shape as sessionize: keyed hash repartition +
+    whole-block vectorized pandas (grouped cummax/ffill/shift)."""
+    from ray.data.context import ShuffleStrategy
+    from ..util import cluster_cpus
+    ds = _read_events(sf_dir, ["user_id", "ts", "event_id", "event_type"])
+    ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    return (ds.repartition(max(8, cluster_cpus()), keys=["user_id"])
+            .map_batches(_asof_block, batch_format="pandas",
+                         batch_size=None))
 
 
 # ------------------------------------------------------------ TPC-H-ish

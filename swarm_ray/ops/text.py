@@ -212,7 +212,6 @@ def q_doc_curation(sf_dir: str) -> ray.data.Dataset:
     stage joins the flow in ``dedup.q_minhash_pairs`` where its
     probabilistic recall is pytest-pinned instead.
     """
-    from ray.data.aggregate import Count as _Count, Min as _Min
     from ..stages.ids import md5_hex
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
@@ -225,25 +224,37 @@ def q_doc_curation(sf_dir: str) -> ray.data.Dataset:
         return batch[keep.to_numpy()]
 
     gated = docs.map_batches(gate, batch_format="pandas")
-    # ARROW blocks into the dedup groupby (pandas blocks are ~20x
-    # slower through the sort aggregate, measured)
+    # ARROW blocks into the shuffle (pandas blocks are ~20x slower
+    # through Ray's aggregates, measured)
     hashed = gated.map_batches(
         lambda t: pa.table({"doc_id": t["doc_id"],
                             "text_md5": md5_hex(t["text"]),
                             "lang": t["lang"]}),
         batch_format="pyarrow")
-    keepers = (hashed.groupby("text_md5")
-               .aggregate(_Min("doc_id", alias_name="doc_id"))
-               .select_columns(["doc_id"]))
-    # re-attach language with a hash join on doc_id — the keeper set is
-    # bounded by DISTINCT CONTENT, which at corpus scale is still far
-    # too large to collect on the driver, so it stays distributed
-    keepers.context.shuffle_strategy = ray.data.context.ShuffleStrategy.HASH_SHUFFLE
-    survivors = keepers.join(hashed.select_columns(["doc_id", "lang"]),
-                             join_type="inner", num_partitions=8,
-                             on=("doc_id",))
-    return (survivors.groupby("lang")
-            .aggregate(_Count(alias_name="n_docs")))
+    # one keyed repartition co-locates every content group WITH its
+    # language column, so keeper selection (min doc_id per content)
+    # and the per-language count partial happen block-locally — no
+    # keeper⋈lang join at all (the keeper set stays distributed; at
+    # corpus scale it is bounded by distinct content, far too large
+    # for the driver)
+    from ray.data.context import ShuffleStrategy
+    from ..util import cluster_cpus
+    hashed.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+    def keeper_lang_counts(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"lang": pd.Series([], dtype="object"),
+                                 "n_docs": pd.Series([], dtype="int64")})
+        keep = df.loc[df.groupby("text_md5", sort=False)["doc_id"].idxmin()]
+        vc = keep["lang"].value_counts()
+        return pd.DataFrame({"lang": vc.index, "n_docs": vc.to_numpy()}) \
+            .astype({"n_docs": "int64"})
+
+    partials = (hashed.repartition(max(8, cluster_cpus()), keys=["text_md5"])
+                .map_batches(keeper_lang_counts, batch_format="pandas",
+                             batch_size=None))
+    from ray.data.aggregate import Sum as _Sum
+    return partials.groupby("lang").aggregate(_Sum("n_docs", alias_name="n_docs"))
 
 
 # ------------------------------------------------------------ tokenize
