@@ -21,6 +21,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_langid": text.q_doc_langid,
         "doc_curation": text.q_doc_curation,
         "doc_tokenize": text.q_doc_tokenize,
+        "doc_split": text.q_doc_split,
         # dedup family
         "doc_dedup_exact": dedup.q_dedup_exact,
         "doc_simhash": dedup.q_simhash,
@@ -66,6 +67,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_langid": sql.SQL_DOC_LANGID,
         "doc_curation": sql.SQL_DOC_CURATION,
         "doc_tokenize": sql.SQL_DOC_TOKENIZE,
+        "doc_split": sql.SQL_DOC_SPLIT,
         "doc_dedup_exact": sql.SQL_DEDUP_EXACT,
         "doc_simhash": sql.SQL_SIMHASH,
         "doc_jaccard_pairs": sql.SQL_JACCARD_PAIRS,

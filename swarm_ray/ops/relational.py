@@ -64,6 +64,43 @@ def q_events_hourly(sf_dir: str) -> ray.data.Dataset:
                        Sum("value_cents", alias_name="value_cents")))
 
 
+# ------------------------------------------------------------ sliding window
+
+SLIDE_MIN = 15          # slide step
+WINDOW_SLIDES = 4       # window length = 4 slides = 1 h
+
+
+def q_events_sliding(sf_dir: str) -> ray.data.Dataset:
+    """SLIDING-window aggregate (1 h window, 15 min slide): every event
+    lands in exactly ``WINDOW_SLIDES`` windows, assigned by a
+    vectorized flat-map (``np.repeat`` + epoch arithmetic — fan-out in
+    Arrow, no Python loop), then per-(type, window-start) count +
+    cents sum via the usual partial-aggregate shuffle. Completes the
+    window family next to the tumbling ``events_hourly``."""
+    slide_us = SLIDE_MIN * 60 * 1_000_000
+
+    def fan_out(t: pa.Table) -> pa.Table:
+        n = len(t)
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        base = (us // slide_us) * slide_us          # newest containing window
+        offs = np.tile(np.arange(WINDOW_SLIDES, dtype=np.int64) * slide_us, n)
+        starts = np.repeat(base, WINDOW_SLIDES) - offs
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": pa.array(np.repeat(et, WINDOW_SLIDES)),
+            "window_start": pa.array(starts).cast(pa.timestamp("us")),
+            "value_cents": pa.array(np.repeat(cents, WINDOW_SLIDES)),
+        })
+
+    return (_read_events(sf_dir, ["ts", "event_type", "value"])
+            .map_batches(fan_out, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby(["event_type", "window_start"])
+            .aggregate(Count(alias_name="n"),
+                       Sum("value_cents", alias_name="value_cents")))
+
+
 # ------------------------------------------------------------ top-k
 
 def q_events_top_users(sf_dir: str) -> ray.data.Dataset:
@@ -422,6 +459,7 @@ def queries():
     return {
         "events_parse_props": q_events_parse_props,
         "events_hourly": q_events_hourly,
+        "events_sliding": q_events_sliding,
         "events_top_users": q_events_top_users,
         "events_sessionize": q_events_sessionize,
         "events_sessionize_salted": q_events_sessionize_salted,
@@ -451,6 +489,15 @@ FROM events
 SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n,
   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events GROUP BY 1, 2
+""",
+        "events_sliding": """
+SELECT event_type,
+  make_timestamp((epoch_us(ts) // 900000000) * 900000000
+                 - i.i * 900000000) AS window_start,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events, (SELECT unnest(range(4)) AS i) AS i
+GROUP BY 1, 2
 """,
         "events_top_users": """
 SELECT user_id, COUNT(*) AS n,

@@ -167,3 +167,18 @@ SELECT doc_id,
   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
 FROM documents
 """
+
+
+SQL_DOC_SPLIT = """
+WITH b AS (
+  SELECT lang,
+    CAST(CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+         AS UBIGINT) % 10 AS INTEGER) AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket = 8 THEN 'val'
+            WHEN bucket = 9 THEN 'test'
+            ELSE 'train' END AS split,
+       lang, COUNT(*)::BIGINT AS n_docs
+FROM b GROUP BY 1, 2
+"""

@@ -257,6 +257,38 @@ def q_doc_curation(sf_dir: str) -> ray.data.Dataset:
     return partials.groupby("lang").aggregate(_Sum("n_docs", alias_name="n_docs"))
 
 
+# ------------------------------------------------------------ train/val/test split
+
+#: content-hash split buckets out of 10: 8 train / 1 val / 1 test
+SPLIT_BUCKETS = {8: "val", 9: "test"}
+
+
+def q_doc_split(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic corpus split: bucket = md5(doc_id) mod 10 →
+    train(<8) / val(8) / test(9); per-(split, lang) counts. The
+    standard reproducible hash-split for training data — independent
+    of row order, parallelism, and corpus growth (a doc never changes
+    split), and a pure per-batch map + tiny count shuffle."""
+    from ray.data.aggregate import Sum as _Sum
+    from ..stages.ids import md5_hex
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks().cast(pa.string())
+        h = md5_hex(ids)
+        bucket = [int(x[:8], 16) % 10 for x in h.to_pylist()]
+        split = [SPLIT_BUCKETS.get(b, "train") for b in bucket]
+        out = pa.table({"split": pa.array(split, type=pa.string()),
+                        "lang": t["lang"]})
+        return pa.TableGroupBy(out, ["split", "lang"]).aggregate(
+            [([], "count_all")]).rename_columns(["split", "lang", "n_docs"])
+
+    return (ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                  columns=["doc_id", "lang"])
+            .map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby(["split", "lang"])
+            .aggregate(_Sum("n_docs", alias_name="n_docs")))
+
+
 # ------------------------------------------------------------ tokenize
 
 TOKENIZE_VOCAB = 50_257

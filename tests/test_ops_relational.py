@@ -100,3 +100,16 @@ def test_sessionize_salted_bot_user(ray_session, tmp_path):
     pd.testing.assert_frame_equal(plain, salted)
     bot = plain[plain["user_id"] == 1].iloc[0]
     assert bot["total_events"] == 6000 and bot["n_sessions"] > 100
+
+
+def test_sliding_window_covers_each_event_four_times(ray_session):
+    from swarm_ray.ops.relational import q_events_hourly, q_events_sliding
+    sf = "/root/testdata/sf0.001"
+    sliding = q_events_sliding(sf).to_pandas()
+    hourly = q_events_hourly(sf).to_pandas()
+    # every event lands in exactly WINDOW_SLIDES windows
+    assert sliding["n"].sum() == 4 * hourly["n"].sum() / 1  # hourly n == total
+    assert sliding["value_cents"].sum() == 4 * hourly["value_cents"].sum()
+    # window starts are aligned to the slide
+    assert (sliding["window_start"].dt.minute % 15 == 0).all()
+    assert (sliding["window_start"].dt.second == 0).all()

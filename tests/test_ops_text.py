@@ -64,3 +64,16 @@ def test_hash_tokenizer_deterministic_and_bounded():
     assert out1["tokens"][0][0] == the_id
     assert out1["tokens"][1] == [the_id, the_id]
     assert all(0 <= t < TOKENIZE_VOCAB for toks in out1["tokens"] for t in toks)
+
+
+def test_doc_split_deterministic_and_proportional(ray_session):
+    from swarm_ray.ops.text import q_doc_split
+    sf = "/root/testdata/sf0.01"
+    a = q_doc_split(sf).to_pandas().sort_values(["split", "lang"]).reset_index(drop=True)
+    b = q_doc_split(sf).to_pandas().sort_values(["split", "lang"]).reset_index(drop=True)
+    assert a.equals(b)                                  # reproducible
+    by_split = a.groupby("split")["n_docs"].sum()
+    total = by_split.sum()
+    assert set(by_split.index) == {"train", "val", "test"}
+    assert 0.7 < by_split["train"] / total < 0.9        # ~80/10/10
+    assert by_split["val"] + by_split["test"] < 0.3 * total
