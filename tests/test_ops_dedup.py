@@ -168,3 +168,19 @@ def test_dup_clusters_minhash_matches_union_find(ray_session):
     got = dedup.q_dup_clusters_minhash(sf)
     want = dedup.union_find_clusters(pairs)
     assert got.equals(want)
+
+
+def test_connected_components_random_graphs(ray_session):
+    """Seeded random graphs (varying density) vs union-find."""
+    import pyarrow as pa
+    import ray.data as rd
+    from swarm_ray.ops.dedup import connected_components, union_find_clusters
+    rng = np.random.default_rng(123)
+    for n_nodes, n_edges in ((40, 20), (60, 120)):
+        a = rng.integers(0, n_nodes, size=n_edges)
+        b = rng.integers(0, n_nodes, size=n_edges)
+        keep = a != b
+        pairs = pd.DataFrame({"doc_a": np.minimum(a, b)[keep].astype("int64"),
+                              "doc_b": np.maximum(a, b)[keep].astype("int64")})
+        got = connected_components(rd.from_arrow(pa.Table.from_pandas(pairs)))
+        assert got.equals(union_find_clusters(pairs))
