@@ -458,6 +458,16 @@ def connected_components(edges: ray.data.Dataset,
     Ray's sort aggregate ~20x slower (measured 27 s vs 1.3 s on the
     same 85k rows).
 
+    Why map_groups HERE when the one-shot stages avoid it: a keyed
+    hash repartition pays a shuffle-actor-pool setup per execution,
+    and an iterative algorithm executes 3 exchanges × O(log n) rounds
+    — the repartition variant measured 6.7x SLOWER end-to-end
+    (43 s vs 6.4 s on the sf0.01 cluster query). The per-group Python
+    cost is bounded by nodes-in-the-edge-set per round, which the
+    O(log n) round count keeps tolerable; if profiles ever show it
+    dominating on a giant edge set, batch the groups per sorted block
+    instead of per key.
+
     Scale shape: every round shuffles only (key, aux, kind) integer
     triples bounded by |edges| + |nodes| — the edge set, which for
     near-dup pairs is orders of magnitude smaller than the corpus; the
