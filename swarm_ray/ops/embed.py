@@ -58,19 +58,26 @@ class EmbedStage:
         rng = np.random.default_rng(EMBED_SEED)
         return rng.standard_normal((TOKENIZE_VOCAB, dim)).astype(np.float32)
 
-    def _forward(self, token_ids: list[list[int]]) -> np.ndarray:
-        # batched "forward pass": sum of token embedding rows, L2-normed
-        out = np.zeros((len(token_ids), self._dim), dtype=np.float32)
-        for i, ids in enumerate(token_ids):
-            if ids:
-                out[i] = self._model[ids].sum(axis=0)
+    def _forward(self, flat_ids: np.ndarray, lens: np.ndarray) -> np.ndarray:
+        # batched "forward pass": segment-sum of token embedding rows
+        # (one gather + np.add.reduceat over the flat id array — no
+        # per-document Python), L2-normed
+        offsets = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        out = np.add.reduceat(self._model[flat_ids], offsets, axis=0) \
+            .astype(np.float32)
         norms = np.linalg.norm(out, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         return out / norms
 
     def __call__(self, batch: pd.DataFrame) -> pa.Table:
-        ids = [[self._tok._id(w) for w in t.split(" ")] for t in batch["text"]]
-        emb = self._forward(ids)
+        if len(batch) == 0:
+            return pa.schema([
+                ("doc_id", pa.int64()),
+                ("embedding", pa.list_(pa.float32(), self._dim)),
+            ]).empty_table()
+        flat, lens = self._tok.flat_ids(batch["text"])
+        emb = self._forward(flat, lens)
         flat = pa.array(emb.reshape(-1), type=pa.float32())
         col = pa.FixedSizeListArray.from_arrays(flat, self._dim)
         return pa.table({

@@ -300,7 +300,16 @@ class HashTokenizer:
     BPE isn't available (and the bridge from the ``documents`` text
     table to the engine's ``(tokens, n_tok)`` sequence shape). Actor
     state: the word→id cache; corpus vocabulary is tiny relative to
-    the corpus, so hashing amortizes to ~zero per batch."""
+    the corpus, so hashing amortizes to ~zero per batch.
+
+    Vectorized: the batch explodes + factorizes once, md5 runs ONLY
+    over cache-missing UNIQUE words, and the token lists are rebuilt
+    as one zero-copy Arrow ListArray over the gathered flat ids.
+    Honest measurement: end-to-end this ties the warm-cache per-row
+    loop (+arrow conversion) on the short-doc fixture (1.0–1.1x) —
+    the structural wins are one fewer pipeline stage, Arrow-native
+    output, and the (flat_ids, lens) form feeding the embed stage's
+    single-reduceat forward pass."""
 
     def __init__(self, vocab: int = TOKENIZE_VOCAB):
         self._vocab = vocab
@@ -313,29 +322,35 @@ class HashTokenizer:
                 int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % self._vocab)
         return v
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        toks = [ [self._id(w) for w in t.split(" ")] for t in batch["text"] ]
-        return pd.DataFrame({
-            "doc_id": batch["doc_id"].to_numpy(),
-            "tokens": pd.Series(toks, dtype="object"),
-            "n_tok": [len(t) for t in toks],
+    def flat_ids(self, texts: pd.Series) -> tuple:
+        """(flat token ids, per-doc lengths) for a text column."""
+        import numpy as np
+        words = texts.str.split(" ")
+        lens = words.str.len().to_numpy().astype(np.int64)
+        ex = words.explode().to_numpy()
+        codes, uniq = pd.factorize(ex)
+        uniq_ids = np.fromiter((self._id(w) for w in uniq),
+                               dtype=np.int32, count=len(uniq))
+        return uniq_ids[codes], lens
+
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
+        import numpy as np
+        flat, lens = self.flat_ids(batch["text"])
+        offsets = np.zeros(len(lens) + 1, dtype=np.int32)
+        np.cumsum(lens, out=offsets[1:])
+        tokens = pa.ListArray.from_arrays(
+            pa.array(offsets), pa.array(flat, type=pa.int32()))
+        return pa.table({
+            "doc_id": pa.array(batch["doc_id"].to_numpy(), type=pa.int64()),
+            "tokens": tokens,
+            "n_tok": pa.array(lens, type=pa.int64()),
         })
 
 
 def q_doc_tokenize(sf_dir: str) -> ray.data.Dataset:
     """documents.text → (doc_id, tokens: list<int>, n_tok) via the
     hash tokenizer; SQL-checked token-for-token."""
-    import pyarrow as _pa
-
-    def to_arrow(df: pd.DataFrame) -> "_pa.Table":
-        return _pa.table({
-            "doc_id": _pa.array(df["doc_id"], type=_pa.int64()),
-            "tokens": _pa.array(list(df["tokens"]), type=_pa.list_(_pa.int32())),
-            "n_tok": _pa.array(df["n_tok"], type=_pa.int64()),
-        })
-
     from ..util import autoscaling_pool
-    return (_read_docs(sf_dir)
-            .map_batches(HashTokenizer, batch_format="pandas",
-                         batch_size=2048, concurrency=autoscaling_pool())
-            .map_batches(to_arrow, batch_format="pandas", zero_copy_batch=True))
+    return _read_docs(sf_dir).map_batches(
+        HashTokenizer, batch_format="pandas",
+        batch_size=2048, concurrency=autoscaling_pool())

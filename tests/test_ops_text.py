@@ -56,14 +56,15 @@ def test_hash_tokenizer_deterministic_and_bounded():
 
     b = pd.DataFrame({"doc_id": [1, 2], "text": ["the cat sat", "the the"]})
     tk = HashTokenizer()
-    out1 = tk(b.copy())
+    out1 = tk(b.copy())                     # now an Arrow table
     out2 = HashTokenizer()(b.copy())
-    assert list(out1["tokens"]) == list(out2["tokens"])
-    assert out1["n_tok"].tolist() == [3, 2]
+    assert out1["tokens"].to_pylist() == out2["tokens"].to_pylist()
+    assert out1["n_tok"].to_pylist() == [3, 2]
     the_id = int(hashlib.md5(b"the").hexdigest()[:8], 16) % TOKENIZE_VOCAB
-    assert out1["tokens"][0][0] == the_id
-    assert out1["tokens"][1] == [the_id, the_id]
-    assert all(0 <= t < TOKENIZE_VOCAB for toks in out1["tokens"] for t in toks)
+    assert out1["tokens"].to_pylist()[0][0] == the_id
+    assert out1["tokens"].to_pylist()[1] == [the_id, the_id]
+    assert all(0 <= t < TOKENIZE_VOCAB
+               for toks in out1["tokens"].to_pylist() for t in toks)
 
 
 def test_doc_split_deterministic_and_proportional(ray_session):
