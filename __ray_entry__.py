@@ -66,6 +66,7 @@ def _core_queries() -> dict[str, Callable[[str], Any]]:
         "seq_drop_stats": q.q_drop_stats,
         "seq_log_id_unique": q.q_log_id_unique,
         "seq_ntok_median": q.q_ntok_median,
+        "seq_ntok_quantiles": q.q_ntok_quantiles,
     }
 
 
@@ -106,6 +107,13 @@ def oracle_sql() -> dict[str, str]:
             f"WITH seq AS (SELECT * FROM read_parquet('{glob}')) "
             "SELECT source, COUNT(*)::BIGINT AS n, "
             "median(n_tok)::DOUBLE AS median FROM seq GROUP BY source"),
+        "seq_ntok_quantiles": (
+            f"WITH seq AS (SELECT * FROM read_parquet('{glob}')) "
+            "SELECT source, COUNT(*)::BIGINT AS n, "
+            "CAST(quantile_disc(n_tok, 0.5) AS BIGINT) AS q500, "
+            "CAST(quantile_disc(n_tok, 0.9) AS BIGINT) AS q900, "
+            "CAST(quantile_disc(n_tok, 0.99) AS BIGINT) AS q990 "
+            "FROM seq GROUP BY source"),
     }
     try:
         from swarm_ray import ops

@@ -145,3 +145,55 @@ def salted_median(ds: ray.data.Dataset, key: str, value: str,
     partials = salted.groupby([key, "_salt"]).map_groups(
         partial_hist, batch_format="pandas")
     return partials.groupby(key).map_groups(fold, batch_format="pandas")
+
+
+def salted_quantiles(ds: ray.data.Dataset, key: str, value: str,
+                     qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+                     *, salt_mod: int = 8, basis: str = "doc_id",
+                     domain: int = 4096) -> "ray.data.Dataset":
+    """Exact per-key DISCRETE quantiles of a bounded-domain int column
+    — the generalization of ``salted_median`` to arbitrary quantile
+    sets, same salted-histogram plan (each reducer sees ≤ 1/salt_mod
+    of a hot key; histograms are associative partials).
+
+    Semantics match DuckDB ``quantile_disc``: the value at 1-based
+    rank ⌈q·n⌉ of the sorted group (boundary computed decimal-safely —
+    q·n like 0.9·10 must not overshoot to rank 10 on float error).
+    Output: (key, n, q50, q90, q99, ... named per mille).
+    """
+    import pandas as pd
+
+    salted = ds.map_batches(add_salt, batch_format="pyarrow",
+                            zero_copy_batch=True,
+                            fn_kwargs={"basis": basis, "mod": salt_mod})
+
+    def partial_hist(g: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        v = g[value].to_numpy()
+        if len(v) and (v.min() < 0 or v.max() >= domain):
+            bad = int(v.min()) if v.min() < 0 else int(v.max())
+            raise ValueError(
+                f"salted_quantiles: {value!r} value {bad} outside the "
+                f"declared domain [0, {domain})")
+        h = np.bincount(v, minlength=domain)
+        return pd.DataFrame({key: [g[key].iloc[0]],
+                             "hist": [h.astype(np.int64).tolist()]})
+
+    col_names = [f"q{int(round(q * 1000)):03d}" for q in qs]
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        import pandas as pd
+        h = np.sum(np.stack([np.asarray(x) for x in g["hist"]]), axis=0)
+        n = int(h.sum())
+        cdf = np.cumsum(h)
+        row = {key: [g[key].iloc[0]], "n": [n]}
+        for q, name in zip(qs, col_names):
+            rank = int(np.ceil(np.round(q * n, 9)))  # decimal-safe ⌈q·n⌉
+            rank = min(max(rank, 1), n)
+            row[name] = [int(np.searchsorted(cdf, rank))]
+        return pd.DataFrame(row)
+
+    partials = salted.groupby([key, "_salt"]).map_groups(
+        partial_hist, batch_format="pandas")
+    return partials.groupby(key).map_groups(fold, batch_format="pandas")

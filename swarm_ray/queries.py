@@ -136,6 +136,16 @@ def q_drop_stats(sf_dir: str) -> ray.data.Dataset:
         ["reason"])
 
 
+def q_ntok_quantiles(sf_dir: str) -> ray.data.Dataset:
+    """Exact per-source n_tok p50/p90/p99 via the same salted-histogram
+    plan (ops/agg.py:salted_quantiles); oracle-checked against DuckDB
+    quantile_disc."""
+    from .ops.agg import salted_quantiles
+    ds = ray.data.read_parquet(_seq_files(sf_dir),
+                               columns=["doc_id", "source", "n_tok"])
+    return salted_quantiles(ds, "source", "n_tok", domain=512)
+
+
 def q_ntok_median(sf_dir: str) -> ray.data.Dataset:
     """Exact per-source n_tok median via salted partial histograms
     (ops/agg.py:salted_median) — the skewed-key / non-associative

@@ -74,3 +74,30 @@ def test_salted_median_rejects_out_of_domain(ray_session):
     with pytest.raises(Exception) as ei:
         salted_median(ds, "k", "v", domain=512).take_all()
     assert "salted_median" in str(ei.value) and "700" in str(ei.value)
+
+
+def test_salted_quantiles_match_duckdb_disc(ray_session):
+    """quantile_disc semantics: value at 1-based rank ceil(q*n) —
+    including the float-boundary case q*n exactly integral."""
+    import duckdb
+    import pandas as pd
+    from swarm_ray.ops.agg import salted_quantiles
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "k": np.repeat(["a", "b"], 110),
+        "doc_id": [f"d{i}" for i in range(220)],
+        "v": np.concatenate([rng.integers(0, 400, 100), np.arange(10),
+                             rng.integers(0, 400, 110)]),
+    })
+    got = (salted_quantiles(ray.data.from_pandas(df), "k", "v", domain=512)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    want = duckdb.sql("""
+        SELECT k, COUNT(*)::BIGINT AS n,
+               CAST(quantile_disc(v, 0.5) AS BIGINT) AS q500,
+               CAST(quantile_disc(v, 0.9) AS BIGINT) AS q900,
+               CAST(quantile_disc(v, 0.99) AS BIGINT) AS q990
+        FROM df GROUP BY k ORDER BY k
+    """).df()
+    for c in ("n", "q500", "q900", "q990"):
+        assert got[c].tolist() == want[c].tolist(), c
