@@ -171,7 +171,10 @@ def documents_synth_dir(n_docs: int, seed: int = 77,
     meta = out / "_FIXTURE.json"
     if meta.exists():
         try:
-            if json.loads(meta.read_text())["rows"] == n_docs:
+            m = json.loads(meta.read_text())
+            # seed participates in cache validity — a different seed
+            # must regenerate, not silently reuse stale data
+            if m["rows"] == n_docs and m.get("seed") == seed:
                 return out
         except Exception:
             pass

@@ -88,6 +88,39 @@ def add_salt(batch: pa.Table, basis: str, mod: int,
     return batch.append_column(salt_col, salt)
 
 
+
+def _salted_hist_partials(ds: ray.data.Dataset, key: str, value: str, *,
+                          salt_mod: int, basis: str, domain: int,
+                          op_name: str) -> "ray.data.Dataset":
+    """Shared salted-histogram plan: add a deterministic salt, then one
+    bounded-domain ``np.bincount`` histogram per (key, salt) sub-group
+    — the associative partial both exact-median and exact-quantiles
+    fold. The bounded-domain precondition is validated at the source:
+    an out-of-range value would give a ragged histogram and an opaque
+    np.stack shape error deep in the fold (ADVICE r1)."""
+    import pandas as pd
+
+    salted = ds.map_batches(add_salt, batch_format="pyarrow",
+                            zero_copy_batch=True,
+                            fn_kwargs={"basis": basis, "mod": salt_mod})
+
+    def partial_hist(g: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        import pandas as pd
+        v = g[value].to_numpy()
+        if len(v) and (v.min() < 0 or v.max() >= domain):
+            bad = int(v.min()) if v.min() < 0 else int(v.max())
+            raise ValueError(
+                f"{op_name}: {value!r} value {bad} outside the declared "
+                f"domain [0, {domain}) — raise `domain` or clip the input")
+        h = np.bincount(v, minlength=domain)
+        return pd.DataFrame({key: [g[key].iloc[0]],
+                             "hist": [h.astype(np.int64).tolist()]})
+
+    return salted.groupby([key, "_salt"]).map_groups(
+        partial_hist, batch_format="pandas")
+
+
 def salted_median(ds: ray.data.Dataset, key: str, value: str,
                   *, salt_mod: int = 8, basis: str = "doc_id",
                   domain: int = 4096) -> "ray.data.Dataset":
@@ -108,29 +141,6 @@ def salted_median(ds: ray.data.Dataset, key: str, value: str,
     """
     import pandas as pd
 
-    salted = ds.map_batches(add_salt, batch_format="pyarrow",
-                            zero_copy_batch=True,
-                            fn_kwargs={"basis": basis, "mod": salt_mod})
-
-    def partial_hist(g: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-        import pandas as pd
-        v = g[value].to_numpy()
-        # the bounded-domain precondition is load-bearing: an
-        # out-of-range value would give this sub-group a LONGER (or
-        # crash on a negative) histogram and the fold's np.stack would
-        # die with an opaque shape error deep inside map_groups — fail
-        # loudly at the source instead (ADVICE r1)
-        if len(v) and (v.min() < 0 or v.max() >= domain):
-            bad = int(v.min()) if v.min() < 0 else int(v.max())
-            raise ValueError(
-                f"salted_median: {value!r} value {bad} outside the "
-                f"declared domain [0, {domain}) — raise `domain` or "
-                f"clip the input")
-        h = np.bincount(v, minlength=domain)
-        return pd.DataFrame({key: [g[key].iloc[0]],
-                             "hist": [h.astype(np.int64).tolist()]})
-
     def fold(g: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
         import pandas as pd
@@ -142,8 +152,9 @@ def salted_median(ds: ray.data.Dataset, key: str, value: str,
         return pd.DataFrame({key: [g[key].iloc[0]], "n": [n],
                              "median": [(lo_i + hi_i) / 2.0]})
 
-    partials = salted.groupby([key, "_salt"]).map_groups(
-        partial_hist, batch_format="pandas")
+    partials = _salted_hist_partials(ds, key, value, salt_mod=salt_mod,
+                                     basis=basis, domain=domain,
+                                     op_name="salted_median")
     return partials.groupby(key).map_groups(fold, batch_format="pandas")
 
 
@@ -163,22 +174,6 @@ def salted_quantiles(ds: ray.data.Dataset, key: str, value: str,
     """
     import pandas as pd
 
-    salted = ds.map_batches(add_salt, batch_format="pyarrow",
-                            zero_copy_batch=True,
-                            fn_kwargs={"basis": basis, "mod": salt_mod})
-
-    def partial_hist(g: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-        v = g[value].to_numpy()
-        if len(v) and (v.min() < 0 or v.max() >= domain):
-            bad = int(v.min()) if v.min() < 0 else int(v.max())
-            raise ValueError(
-                f"salted_quantiles: {value!r} value {bad} outside the "
-                f"declared domain [0, {domain})")
-        h = np.bincount(v, minlength=domain)
-        return pd.DataFrame({key: [g[key].iloc[0]],
-                             "hist": [h.astype(np.int64).tolist()]})
-
     col_names = [f"q{int(round(q * 1000)):03d}" for q in qs]
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
@@ -194,6 +189,7 @@ def salted_quantiles(ds: ray.data.Dataset, key: str, value: str,
             row[name] = [int(np.searchsorted(cdf, rank))]
         return pd.DataFrame(row)
 
-    partials = salted.groupby([key, "_salt"]).map_groups(
-        partial_hist, batch_format="pandas")
+    partials = _salted_hist_partials(ds, key, value, salt_mod=salt_mod,
+                                     basis=basis, domain=domain,
+                                     op_name="salted_quantiles")
     return partials.groupby(key).map_groups(fold, batch_format="pandas")

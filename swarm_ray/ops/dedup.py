@@ -238,18 +238,31 @@ def bucket_pairs_from_ids(ids, max_full: int = MAX_FULL_BUCKET):
     Buckets ≤ ``max_full`` members emit all pairs. A boilerplate-heavy
     corpus puts its WORST duplicates into mega-buckets, so those must
     not be dropped (VERDICT r1 finding 3) — but all-pairs would emit
-    O(m²) rows for one bucket. Oversized buckets fall back to STAR
-    pairs (bucket representative = min id → every other member):
-    m-1 pairs that keep every member connected to the duplicate
-    cluster, so the verify + connected-components stages still surface
-    the whole group, without the quadratic candidate blowup."""
+    O(m²) rows for one bucket. Oversized buckets emit instead:
+
+    * all pairs WITHIN consecutive ``max_full``-sized chunks of the
+      sorted member list (every member still gets full enumeration
+      against ``max_full`` peers), plus
+    * STAR pairs from the bucket-min representative to every member
+      outside its chunk (cross-chunk connectivity).
+
+    Total O(m·max_full/2 + m) — linear in the bucket. Honest recall
+    limit: a cross-chunk member-member near-dup pair is surfaced only
+    transitively (both ends verify against the representative or a
+    chunk peer); if neither end resembles the representative, that
+    single pair is missed. Exact whole-bucket enumeration at any size
+    is the quadratic cost this cap exists to avoid."""
     ids = sorted(ids)
     if len(ids) < 2:
         return [], False
-    if len(ids) > max_full:
-        rep = ids[0]
-        return [(rep, b) for b in ids[1:]], True
-    return [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]], False
+    if len(ids) <= max_full:
+        return [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]], False
+    rep = ids[0]
+    pairs = [(rep, b) for b in ids[max_full:]]      # cross-chunk star
+    for start in range(0, len(ids), max_full):
+        chunk = ids[start:start + max_full]
+        pairs.extend((a, b) for i, a in enumerate(chunk) for b in chunk[i + 1:])
+    return pairs, True
 
 
 _PAIRS_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
@@ -514,10 +527,14 @@ def connected_components(edges: ray.data.Dataset,
         # propagate: node's label offered to itself + every neighbor
         lab_rows = labels.map_batches(
             lambda t: as_label_rows(t, "node", "label"), batch_format="pyarrow")
+        # materialized: BOTH the jump queries and parents read `merged`,
+        # and Ray re-executes un-materialized common sub-plans — without
+        # this the round's dominant propagate shuffle runs twice
         merged = (edges_sym.union(lab_rows)
                   .groupby("key").map_groups(_propagate_group,
                                              batch_format="pyarrow")
-                  .groupby("node").aggregate(_Min("label", alias_name="label")))
+                  .groupby("node").aggregate(_Min("label", alias_name="label"))
+                  .materialize())
         # compress: label(node) ← label(label(node)) — pointer jumping.
         # kind=0 rows: (key=label, aux=node); kind=1: (key=node, aux=label)
         queries = merged.map_batches(

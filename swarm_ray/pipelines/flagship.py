@@ -88,9 +88,9 @@ def build_routed(paths: list[str] | str,
         # fuse), so parse runs as tasks on every CPU and a small pool
         # absorbs the lookups (measured at sf0.1/32 CPUs: median 7.4 s
         # unfused-small vs 9.1 s fused-large, faster in every paired
-        # round).
-        ncpu = int(ray.cluster_resources().get("CPU", 8))
-        enrich_concurrency = (2, max(2, ncpu // 4))
+        # round). frac=0.25 = the shared cluster-derived sizing.
+        from ..util import autoscaling_pool
+        enrich_concurrency = autoscaling_pool(frac=0.25, min_size=2)
 
     ds = _read_input(paths, override_num_blocks)
     ds = ds.map_batches(
@@ -147,9 +147,10 @@ def run_partition(plan: PartitionPlan, out_dir: str | Path,
             update_sink_schema(sink_dir, pq.read_schema(files[0]))
     rows_routed = sum(counts.values())
     if _is_json_input(plan.input_files):
-        # JSON carries no row-count metadata — one counting pass
-        # (cheap relative to the ingest it reconciles)
-        rows_in = _read_input(plan.input_files).count()
+        # JSON carries no row-count metadata — one RAW counting pass
+        # (skips the canonicalizing casts; still one unavoidable
+        # re-decompress, which is the price of a JSON input format)
+        rows_in = ray.data.read_json(plan.input_files).count()
     else:
         rows_in = sum(pq.read_metadata(f).num_rows for f in plan.input_files)
 

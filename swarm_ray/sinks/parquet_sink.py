@@ -153,10 +153,18 @@ def update_sink_schema(sink_dir: Path, new_schema: pa.Schema) -> pa.Schema:
         except FileExistsError:
             try:
                 if time.time() - lock.stat().st_mtime > 60:
-                    lock.unlink(missing_ok=True)   # stale holder crashed
+                    # stale holder crashed. Breaking via unlink would be
+                    # a TOCTOU race (two waiters both unlink → both
+                    # "win" → one widen lost); instead ATOMICALLY take
+                    # the stale lock over with a rename — exactly one
+                    # waiter's rename of the shared path succeeds, and
+                    # only that waiter retries the exclusive create.
+                    broken = f"{lock}.broken-{uuid.uuid4().hex}"
+                    _os.rename(lock, broken)
+                    _os.unlink(broken)
                     continue
             except OSError:
-                continue                            # raced the release
+                pass                                # lost the takeover race
             if time.time() > deadline:
                 raise TimeoutError(f"schema lock busy: {lock}")
             time.sleep(_LOCK_POLL_S)

@@ -120,8 +120,15 @@ def committed_files(out_dir: str | Path) -> set[str]:
     return done
 
 
+#: a partition dir is only reclaimed once untouched this long —
+#: ≙ the reference's 30 m state expiry before another worker may take
+#: over a message (pkg/usecase/usecase.go:39, stateTimeout)
+STALE_GRACE_S = 1800
+
+
 def clean_stale_partitions(out_dir: str | Path,
-                           planned_pids: set[str]) -> list[str]:
+                           planned_pids: set[str],
+                           grace_s: float = STALE_GRACE_S) -> list[str]:
     """Remove output dirs of UNCOMMITTED partitions that the current
     plan does not re-execute.
 
@@ -133,20 +140,36 @@ def clean_stale_partitions(out_dir: str | Path,
     ``partition=<old-pid>`` dir (parquet written, no done marker)
     forever. Consumers that glob parquet under out_dir (migrate,
     dataloader) would then double-count those rows. A partition dir
-    with no done marker and no place in the plan is by construction an
-    aborted attempt — deterministic log_ids mean its rows are exactly
-    re-produced by whichever new partitions now cover its files."""
+    with no done marker and no place in the plan is an aborted attempt
+    — deterministic log_ids mean its rows are exactly re-produced by
+    whichever new partitions now cover its files.
+
+    Concurrent-job guard: a CURRENTLY-RUNNING sibling job's in-flight
+    partition also has no marker and a foreign pid, so reclamation
+    additionally requires the dir to be UNTOUCHED for ``grace_s``
+    (default 30 min ≙ the reference's state expiry window) — a live
+    writer keeps refreshing its files' mtimes; only an abandoned dir
+    goes quiet that long."""
     import shutil
     removed: list[str] = []
     root = Path(out_dir)
     if not root.exists():
         return removed
+    now = time.time()
     for d in sorted(root.glob("partition=*")):
         pid = d.name.split("=", 1)[1]
-        if pid not in planned_pids and not is_done(out_dir, pid):
-            shutil.rmtree(d, ignore_errors=True)
-            shutil.rmtree(_part_dir(out_dir, pid), ignore_errors=True)
-            removed.append(pid)
+        if pid in planned_pids or is_done(out_dir, pid):
+            continue
+        try:
+            newest = max((p.stat().st_mtime for p in d.rglob("*")),
+                         default=d.stat().st_mtime)
+        except OSError:
+            continue                        # raced a concurrent writer
+        if now - newest < grace_s:
+            continue                        # possibly a live sibling job
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(_part_dir(out_dir, pid), ignore_errors=True)
+        removed.append(pid)
     return removed
 
 

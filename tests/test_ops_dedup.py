@@ -102,13 +102,20 @@ def test_bucket_pairs_star_fallback():
     assert pairs == [(1, 2), (1, 3), (2, 3)] and not mega
     # singleton: nothing
     assert bucket_pairs_from_ids([5]) == ([], False)
-    # mega bucket: star pairs around the min id, nothing dropped
+    # mega bucket: chunked all-pairs + cross-chunk star, nothing dropped
     ids = list(range(500))
     pairs, mega = bucket_pairs_from_ids(ids)
     assert mega
-    assert len(pairs) == 499                      # m-1, not m(m-1)/2
-    assert all(a == 0 for a, _ in pairs)          # representative = min id
-    assert {b for _, b in pairs} == set(range(1, 500))
+    m, M = 500, MAX_FULL_BUCKET
+    want = 300 + 19900 + 19900 + 4950             # star + 3 chunk cliques
+    assert len(pairs) == want < m * (m - 1) // 2  # linear, not quadratic
+    assert len(set(pairs)) == len(pairs)          # no duplicate pairs
+    # every member appears, and the rep connects every chunk
+    members = {a for a, _ in pairs} | {b for _, b in pairs}
+    assert members == set(range(500))
+    assert {(0, b) for b in range(M, 500)} <= set(pairs)
+    # members within one chunk get FULL enumeration
+    assert (201, 399) in set(pairs)
     # boundary: exactly MAX_FULL_BUCKET members stays all-pairs
     pairs, mega = bucket_pairs_from_ids(list(range(MAX_FULL_BUCKET)))
     assert not mega and len(pairs) == MAX_FULL_BUCKET * (MAX_FULL_BUCKET - 1) // 2

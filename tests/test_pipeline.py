@@ -328,15 +328,29 @@ def test_incremental_crash_rechunk_cleans_stale_partition(tiny_seq_files, tmp_pa
     # attempt that wrote parquet under a pid the next plan won't have
     run_job(first, out, files_per_partition=2, incremental=True)
     committed = {d.name for d in out.glob("partition=*")}
-    stale_dir = out / "partition=deadbeefcafe"
-    src_sink = next(out.glob("partition=*/sink_dataset=*/sink_table=*"))
-    dst_sink = stale_dir / src_sink.parent.name / src_sink.name
-    dst_sink.mkdir(parents=True)
-    _sh.copy(next(src_sink.glob("*.parquet")), dst_sink / "orphan.parquet")
 
-    # run 2: new file arrives; plan re-chunks — the stale dir must go
+    def plant(pid):
+        d = out / f"partition={pid}"
+        src_sink = next(out.glob("partition=*/sink_dataset=*/sink_table=*"))
+        dst_sink = d / src_sink.parent.name / src_sink.name
+        dst_sink.mkdir(parents=True)
+        _sh.copy(next(src_sink.glob("*.parquet")), dst_sink / "orphan.parquet")
+        return d
+
+    import os as _os
+    import time as _time
+    stale_dir = plant("deadbeefcafe")          # crashed long ago
+    old = _time.time() - 3600
+    for p in [stale_dir, *stale_dir.rglob("*")]:
+        _os.utime(p, (old, old))
+    live_dir = plant("cafebabef00d")           # a SIBLING job mid-write
+
+    # run 2: new file arrives; plan re-chunks — the aged stale dir must
+    # go, the freshly-touched sibling dir must survive the grace window
     run_job(tiny_seq_files, out, files_per_partition=2, incremental=True)
     assert not stale_dir.exists()
+    assert live_dir.exists()
+    _sh.rmtree(live_dir)                       # exclude from row count below
     # committed dirs are untouched
     assert committed <= {d.name for d in out.glob("partition=*")}
     # and total on-disk rows equal the input exactly (no double count)
