@@ -101,6 +101,13 @@ def cmd_migrate(args) -> dict:
     return {"mode": "migrate", **migrate_sink(args.src, args.dst)}
 
 
+def cmd_compact(args) -> dict:
+    from .sinks.compact import compact_sink, recover_compaction
+    recovered = recover_compaction(args.sink)
+    out = compact_sink(args.sink, args.target_rows_per_file)
+    return {"mode": "compact", "recovered": recovered, **out}
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="swarm_ray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -132,6 +139,11 @@ def main(argv: list[str] | None = None) -> int:
     pm.add_argument("--src", required=True)
     pm.add_argument("--dst", required=True)
     pm.set_defaults(fn=cmd_migrate)
+
+    pc_ = sub.add_parser("compact", help="coalesce a sink dir's small part files")
+    pc_.add_argument("--sink", required=True)
+    pc_.add_argument("--target-rows-per-file", type=int, default=512_000)
+    pc_.set_defaults(fn=cmd_compact)
 
     args = p.parse_args(argv)
 

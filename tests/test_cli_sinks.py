@@ -137,3 +137,37 @@ def test_cli_schema_then_ingest_same_outdir(ray_session, tmp_path, capsys):
         reg = schema_from_json((d / "_schema.json").read_text())
         assert "sink_dataset" not in reg.names
         assert "ingest_id" in reg.names
+
+
+def test_compact_sink_roundtrip(ray_session, tmp_path):
+    """Compaction must preserve every row + the schema sidecar, shrink
+    the file count, and recover from a crash between the swap renames."""
+    from swarm_ray.pipelines.flagship import run_job
+    from swarm_ray.sinks.compact import compact_sink, recover_compaction
+
+    files = fixtures.sequences_files("sf0.001")
+    out = tmp_path / "c"
+    run_job(files, out, files_per_partition=len(files))
+    sink = next(out.glob("partition=*/sink_dataset=*/sink_table=*"))
+    before_files = sorted(sink.glob("*.parquet"))
+    rows_before = sum(pq.read_metadata(f).num_rows for f in before_files)
+    ids_before = set()
+    for f in before_files:
+        ids_before.update(pq.read_table(f, columns=["log_id"])["log_id"].to_pylist())
+
+    res = compact_sink(sink, target_rows_per_file=10_000_000)
+    assert res["rows"] == rows_before
+    after_files = sorted(sink.glob("*.parquet"))
+    assert len(after_files) <= len(before_files)
+    ids_after = set()
+    for f in after_files:
+        ids_after.update(pq.read_table(f, columns=["log_id"])["log_id"].to_pylist())
+    assert ids_after == ids_before
+    assert (sink / "_schema.json").exists()       # sidecar carried over
+
+    # crash between the two renames: sink gone, ._pre present → recover
+    pre = sink.with_name(sink.name + "._pre")
+    sink.rename(pre)
+    assert recover_compaction(sink)
+    assert sink.exists() and not pre.exists()
+    assert not recover_compaction(sink)           # idempotent no-op
