@@ -20,7 +20,8 @@ import ray.data
 
 
 def iter_token_batches(sink_dir: str | Path, *, batch_tokens: int = 65_536,
-                       rows_per_read_batch: int = 4096) -> Iterator[dict]:
+                       rows_per_read_batch: int = 4096,
+                       id_col: str = "doc_id") -> Iterator[dict]:
     """Yield dicts ``{"tokens": int32[...], "offsets": int64[...],
     "doc_ids": list[str]}`` where ``tokens`` is the flat concatenation
     of whole sequences totalling ≤ ``batch_tokens`` (a longer single
@@ -29,7 +30,7 @@ def iter_token_batches(sink_dir: str | Path, *, batch_tokens: int = 65_536,
     files = sorted(str(p) for p in Path(sink_dir).rglob("*.parquet"))
     if not files:
         raise FileNotFoundError(f"no parquet under {sink_dir}")
-    ds = ray.data.read_parquet(files, columns=["doc_id", "tokens", "n_tok"])
+    ds = ray.data.read_parquet(files, columns=[id_col, "tokens", "n_tok"])
 
     acc_vals: list[np.ndarray] = []
     acc_offs: list[int] = [0]
@@ -52,7 +53,7 @@ def iter_token_batches(sink_dir: str | Path, *, batch_tokens: int = 65_536,
         col = batch["tokens"].combine_chunks()
         vals = col.values.to_numpy(zero_copy_only=False)
         offs = col.offsets.to_numpy(zero_copy_only=False)
-        docs = batch["doc_id"].to_pylist()
+        docs = batch[id_col].to_pylist()
         for i in range(len(batch)):
             seq = vals[offs[i]:offs[i + 1]]
             if acc_total and acc_total + len(seq) > batch_tokens:

@@ -362,3 +362,48 @@ def test_incremental_crash_rechunk_cleans_stale_partition(tiny_seq_files, tmp_pa
                                        fromlist=["read_manifests"])
                  .read_manifests(out) for n in m["sink_counts"].values())
     assert total == routed
+
+
+def test_packed_shards_write_and_stream(tiny_seq_files, tmp_path):
+    """Pack the corpus into fixed-capacity bins, write the packed
+    shards, check conservation invariants, and stream them back with
+    the dataloader (the complete training-output path)."""
+    import numpy as np
+    import pandas as pd
+    from swarm_ray.ops.tokens import PACK_CAPACITY
+    from swarm_ray.pipelines.dataloader import iter_token_batches
+    from swarm_ray.pipelines.packer import write_packed_shards
+
+    out = tmp_path / "packed"
+    res = write_packed_shards("/ignored/sf0.001", out)
+    assert res["bins"] > 0
+
+    shards = pd.concat([pd.read_parquet(f) for f in out.rglob("*.parquet")],
+                       ignore_index=True)
+    src = pd.concat([pd.read_parquet(f) for f in tiny_seq_files],
+                    ignore_index=True)
+    # every token conserved, exactly once
+    assert shards["n_tok"].sum() == src["n_tok"].sum()
+    assert sum(len(t) for t in shards["tokens"]) == src["n_tok"].sum()
+    # bins respect capacity unless a single over-long sequence
+    over = shards[shards["n_tok"] > PACK_CAPACITY]
+    assert (over["n_seqs"] == 1).all()
+    # every source doc appears exactly once across bins
+    all_docs = [d for lst in shards["doc_ids"] for d in lst]
+    assert sorted(all_docs) == sorted(src["doc_id"])
+    # in-bin sequence offsets are consistent with member lengths
+    r = shards.iloc[int(np.argmax(shards["n_seqs"]))]
+    lens = dict(zip(src["doc_id"], src["n_tok"]))
+    offs = list(r["seq_offsets"])
+    expect = 0
+    for d, o in zip(r["doc_ids"], offs):
+        assert o == expect
+        expect += lens[d]
+    assert expect == r["n_tok"]
+
+    # the dataloader streams packed shards directly (id_col=bin_id)
+    got_tokens = 0
+    for b in iter_token_batches(out, batch_tokens=8192, id_col="bin_id"):
+        got_tokens += len(b["tokens"])
+        assert b["offsets"][-1] == len(b["tokens"])
+    assert got_tokens == src["n_tok"].sum()
