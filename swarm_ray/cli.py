@@ -108,6 +108,43 @@ def cmd_compact(args) -> dict:
     return {"mode": "compact", "recovered": recovered, **out}
 
 
+def cmd_report(args) -> dict:
+    """Summarize a job's ops log (≙ reading the reference's meta table
+    of LoadLog/IngestLog rows, pkg/domain/model/bigquery.go:9-39):
+    per-sink routed totals from the _metrics table plus partition /
+    lineage status from the manifests."""
+    from pathlib import Path
+    import pyarrow.parquet as pq
+    from .state.checkpoint import is_done, read_manifests
+
+    out = Path(args.out)
+    sinks: dict[str, int] = {}
+    n_metric_rows = 0
+    mdir = out / "_metrics"
+    for f in sorted(mdir.glob("*.parquet")) if mdir.exists() else []:
+        for r in pq.read_table(f).to_pylist():
+            key = f"{r['sink_dataset']}.{r['sink_table']}"
+            sinks[key] = sinks.get(key, 0) + r["row_count"]
+            n_metric_rows += 1
+    ms = read_manifests(out)
+    done = [m for m in ms if is_done(out, m["partition_id"])]
+    secs = [m["finished_at"] - m["started_at"] for m in done]
+    return {
+        "mode": "report",
+        "partitions_committed": len(done),
+        "partitions_total": len(ms),
+        "rows_in": sum(m["rows_in"] for m in done),
+        "rows_routed": sum(m["rows_routed"] for m in done),
+        "sinks": dict(sorted(sinks.items())),
+        "ruleset_hashes": sorted({m["ruleset_hash"][:12] for m in done}),
+        "partition_seconds": {
+            "min": round(min(secs), 3) if secs else None,
+            "max": round(max(secs), 3) if secs else None,
+            "mean": round(sum(secs) / len(secs), 3) if secs else None,
+        },
+    }
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="swarm_ray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -144,6 +181,10 @@ def main(argv: list[str] | None = None) -> int:
     pc_.add_argument("--sink", required=True)
     pc_.add_argument("--target-rows-per-file", type=int, default=512_000)
     pc_.set_defaults(fn=cmd_compact)
+
+    pr = sub.add_parser("report", help="summarize a job's metrics + manifests")
+    pr.add_argument("--out", required=True, help="job output dir")
+    pr.set_defaults(fn=cmd_report)
 
     args = p.parse_args(argv)
 

@@ -171,3 +171,22 @@ def test_compact_sink_roundtrip(ray_session, tmp_path):
     assert recover_compaction(sink)
     assert sink.exists() and not pre.exists()
     assert not recover_compaction(sink)           # idempotent no-op
+
+
+def test_cli_report(ray_session, tmp_path, capsys):
+    from swarm_ray.cli import main
+
+    pattern = str(fixtures.sequences_dir("sf0.001") / "*.parquet")
+    out = tmp_path / "r"
+    assert main(["ingest", "--input", pattern, "--out", str(out)]) == 0
+    ingest = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    assert main(["report", "--out", str(out)]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["mode"] == "report"
+    assert rep["partitions_committed"] == rep["partitions_total"] == 1
+    assert rep["rows_in"] == ingest["rows_in"]
+    assert rep["rows_routed"] == ingest["rows_routed"]
+    assert sum(rep["sinks"].values()) == rep["rows_routed"]
+    assert rep["partition_seconds"]["mean"] is not None
+    assert len(rep["ruleset_hashes"]) == 1
