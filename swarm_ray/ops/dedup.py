@@ -27,7 +27,7 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
-from ray.data.aggregate import Count, Min
+from ray.data.aggregate import Min
 
 DOC_COLS = ["doc_id", "text"]
 
