@@ -119,13 +119,16 @@ def cmd_report(args) -> dict:
 
     out = Path(args.out)
     sinks: dict[str, int] = {}
-    n_metric_rows = 0
     mdir = out / "_metrics"
     for f in sorted(mdir.glob("*.parquet")) if mdir.exists() else []:
         for r in pq.read_table(f).to_pylist():
+            # only COMMITTED partitions count: a crash between the
+            # metrics write and the done marker (or a stale pid) must
+            # not inflate the totals past rows_routed
+            if not is_done(out, r["partition_id"]):
+                continue
             key = f"{r['sink_dataset']}.{r['sink_table']}"
             sinks[key] = sinks.get(key, 0) + r["row_count"]
-            n_metric_rows += 1
     ms = read_manifests(out)
     done = [m for m in ms if is_done(out, m["partition_id"])]
     secs = [m["finished_at"] - m["started_at"] for m in done]

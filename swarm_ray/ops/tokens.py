@@ -127,7 +127,6 @@ class PackBins:
         return bin_idx, n_bins, rem, counts
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import numpy as np
         n_tok = batch["n_tok"].to_numpy()
         doc_ids = batch["doc_id"].to_pylist()
         _bin_idx, n_bins, rem, counts = self.assign(n_tok)
@@ -149,6 +148,18 @@ class PackBins:
 PACK_GROUP = 8192       # sequences per packing group (stable doc_idx range)
 
 
+def add_pack_group(batch: pa.Table) -> pa.Table:
+    """Append the STABLE packing-group key (doc_idx // PACK_GROUP) —
+    the single source of the grouping both the pack planner
+    (q_seq_pack) and the shard writer (pipelines/packer.py) use, so
+    they can never diverge."""
+    import pyarrow.compute as pc
+    from ..stages.ids import doc_index
+    idx = doc_index(batch)
+    return batch.append_column(
+        "pack_group", pc.cast(pc.divide(idx, PACK_GROUP), pa.int64()))
+
+
 def q_seq_pack(sf_dir: str, capacity: int = PACK_CAPACITY) -> ray.data.Dataset:
     """Pack sequences into fixed-capacity bins. Packing groups are
     STABLE doc_idx ranges (``doc_idx // PACK_GROUP``), not Ray batch
@@ -156,14 +167,6 @@ def q_seq_pack(sf_dir: str, capacity: int = PACK_CAPACITY) -> ray.data.Dataset:
     splitting / parallelism — bins never span groups (the documented
     partitioning assumption). Returns per-bin stats (rows-only;
     invariants pinned by pytest)."""
-    from ..stages.ids import doc_index
-
-    def add_group(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        idx = doc_index(batch)
-        return batch.append_column(
-            "pack_group", pc.cast(pc.divide(idx, PACK_GROUP), pa.int64()))
-
     packer = PackBins(capacity)
 
     def pack_group(df: pd.DataFrame) -> pd.DataFrame:
@@ -173,7 +176,8 @@ def q_seq_pack(sf_dir: str, capacity: int = PACK_CAPACITY) -> ray.data.Dataset:
         return packer(t).to_pandas()
 
     return (ray.data.read_parquet(_seq_files(sf_dir), columns=["doc_id", "n_tok"])
-            .map_batches(add_group, batch_format="pyarrow", zero_copy_batch=True)
+            .map_batches(add_pack_group, batch_format="pyarrow",
+                         zero_copy_batch=True)
             .groupby("pack_group")
             .map_groups(pack_group, batch_format="pandas"))
 

@@ -30,9 +30,9 @@ import ray.data
 from ..ops.tokens import PACK_CAPACITY, PACK_GROUP, PackBins, _seq_files
 
 
-def _pack_group_to_shard(df: pd.DataFrame, capacity: int) -> pd.DataFrame:
+def _pack_group_to_shard(df: pd.DataFrame, capacity: int) -> pa.Table:
     """One packing group → one row PER BIN: (bin_id, tokens: flat
-    concat, seq_offsets, doc_ids, n_seqs, n_tok)."""
+    int32 concat, seq_offsets, doc_ids, n_seqs, n_tok)."""
     df = df.sort_values("doc_id").reset_index(drop=True)
     n_tok = df["n_tok"].to_numpy().astype(np.int64)
     packer = PackBins(capacity)
@@ -40,7 +40,9 @@ def _pack_group_to_shard(df: pd.DataFrame, capacity: int) -> pd.DataFrame:
 
     # order rows by (bin, original position): one stable argsort, then
     # a single arrow take of the list column concatenates every bin's
-    # tokens contiguously
+    # tokens contiguously — the output stays an Arrow int32 ListArray
+    # end to end (to_pylist would box every token AND widen the column
+    # to list<int64> on the pandas round trip)
     order = np.argsort(bin_idx, kind="stable")
     toks = pa.array(list(df["tokens"]), type=pa.list_(pa.int32()))
     taken = toks.take(pa.array(order))
@@ -53,50 +55,59 @@ def _pack_group_to_shard(df: pd.DataFrame, capacity: int) -> pd.DataFrame:
                           minlength=n_bins).astype(np.int64)
     bin_offsets = np.zeros(n_bins + 1, dtype=np.int64)
     np.cumsum(bin_tok, out=bin_offsets[1:])
-    # int32 offsets always fit: a group is PACK_GROUP sequences of
-    # ≤ ~2^8 tokens — orders of magnitude under 2^31 tokens
+    if bin_offsets[-1] >= 2**31:
+        raise ValueError(
+            f"packing group token mass {bin_offsets[-1]} overflows int32 "
+            "list offsets — lower PACK_GROUP or use LargeListArray here")
     packed = pa.ListArray.from_arrays(
         pa.array(bin_offsets.astype(np.int32)), values)
 
-    # per-bin sequence boundary offsets + member doc ids
+    # per-bin sequence boundary offsets + member doc ids, fully
+    # vectorized: rows are already in bin order, so the within-bin
+    # position is the global running sum minus the bin's start
     grp = int(df["pack_group"].iloc[0])
-    seq_offsets: list[list[int]] = [[] for _ in range(n_bins)]
-    doc_lists: list[list[str]] = [[] for _ in range(n_bins)]
-    pos = np.zeros(n_bins, dtype=np.int64)
+    global_cum = np.cumsum(lens_sorted) - lens_sorted
+    pos_in_bin = global_cum - bin_offsets[bins_sorted]
+    n_seqs = np.bincount(bins_sorted, minlength=n_bins).astype(np.int64)
+    seq_list_offsets = np.zeros(n_bins + 1, dtype=np.int64)
+    np.cumsum(n_seqs, out=seq_list_offsets[1:])
+    seq_offsets = pa.ListArray.from_arrays(
+        pa.array(seq_list_offsets.astype(np.int32)),
+        pa.array(pos_in_bin.astype(np.int32)))
     ids_sorted = df["doc_id"].to_numpy()[order]
-    for L, b, d in zip(lens_sorted, bins_sorted, ids_sorted):
-        seq_offsets[b].append(int(pos[b]))
-        doc_lists[b].append(d)
-        pos[b] += L
+    doc_lists = pa.ListArray.from_arrays(
+        pa.array(seq_list_offsets.astype(np.int32)),
+        pa.array(ids_sorted, type=pa.string()))
 
-    return pd.DataFrame({
-        "bin_id": [f"{grp:08d}#{b:06d}" for b in range(n_bins)],
-        "pack_group": grp,
-        "tokens": packed.to_pylist(),
-        "n_tok": bin_tok,
+    return pa.table({
+        "bin_id": pa.array([f"{grp:08d}#{b:06d}" for b in range(n_bins)]),
+        "pack_group": pa.array(np.full(n_bins, grp, dtype=np.int64)),
+        "tokens": packed,
+        "n_tok": pa.array(bin_tok),
         "seq_offsets": seq_offsets,
         "doc_ids": doc_lists,
-        "n_seqs": np.bincount(bins_sorted, minlength=n_bins).astype(np.int64),
+        "n_seqs": pa.array(n_seqs),
     })
 
 
 def write_packed_shards(sf_dir: str, out_dir: str | Path,
                         capacity: int = PACK_CAPACITY) -> dict:
     """Pack the sequences corpus into fixed-capacity bins and write the
-    packed shards (hive-partitioned by a shard key of the pack group so
-    a failed run resumes per shard). Returns totals for reconciliation."""
-    from ..stages.ids import doc_index
-
-    def add_group(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        idx = doc_index(t)
-        return t.append_column(
-            "pack_group", pc.cast(pc.divide(idx, PACK_GROUP), pa.int64()))
+    packed shards (hive-partitioned by a shard key of the pack group).
+    Reruns start clean and are idempotent (deterministic packing).
+    Returns totals for reconciliation."""
+    from ..ops.tokens import add_pack_group
 
     out_dir = Path(out_dir)
+    # clean start: write_parquet APPENDS, so leftovers from a crashed
+    # attempt would double every bin; deterministic packing makes the
+    # full rerun byte-identical
+    import shutil
+    shutil.rmtree(out_dir, ignore_errors=True)
     ds = (ray.data.read_parquet(_seq_files(sf_dir),
                                 columns=["doc_id", "tokens", "n_tok"])
-          .map_batches(add_group, batch_format="pyarrow", zero_copy_batch=True)
+          .map_batches(add_pack_group, batch_format="pyarrow",
+                       zero_copy_batch=True)
           .groupby("pack_group")
           .map_groups(lambda g: _pack_group_to_shard(g, capacity),
                       batch_format="pandas"))

@@ -66,12 +66,25 @@ def compact_sink(sink_dir: str | Path,
 
 
 def recover_compaction(sink_dir: str | Path) -> bool:
-    """Recover from a crash between the two swap renames: if the sink
-    dir is missing but ``<sink>._pre`` exists, restore it. Returns
-    True if a recovery happened."""
+    """Recover from a crash anywhere in the swap:
+
+    * sink missing + ``._pre`` present → crash BETWEEN the renames:
+      restore the original (the compacted copy in ``._compact`` is
+      discarded — it will be rebuilt).
+    * sink present + ``._pre`` present → crash AFTER the second rename
+      but before cleanup: the sink is already the compacted copy; the
+      leftover ``._pre`` duplicate must be removed or any
+      ``sink_table=*`` glob double-counts every row.
+
+    Returns True if a recovery happened."""
     sink_dir = Path(sink_dir)
     pre = sink_dir.with_name(sink_dir.name + "._pre")
+    tmp = sink_dir.with_name(sink_dir.name + "._compact")
     if not sink_dir.exists() and pre.exists():
         pre.rename(sink_dir)
+        shutil.rmtree(tmp, ignore_errors=True)
+        return True
+    if sink_dir.exists() and pre.exists():
+        shutil.rmtree(pre, ignore_errors=True)
         return True
     return False

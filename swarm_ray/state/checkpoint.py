@@ -169,6 +169,8 @@ def clean_stale_partitions(out_dir: str | Path,
             continue                        # possibly a live sibling job
         shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(_part_dir(out_dir, pid), ignore_errors=True)
+        (Path(out_dir) / "_metrics" / f"partition-{pid}.parquet").unlink(
+            missing_ok=True)                # orphan ops-log row
         removed.append(pid)
     return removed
 

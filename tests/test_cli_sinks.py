@@ -172,6 +172,13 @@ def test_compact_sink_roundtrip(ray_session, tmp_path):
     assert sink.exists() and not pre.exists()
     assert not recover_compaction(sink)           # idempotent no-op
 
+    # crash AFTER the second rename: sink AND ._pre both present — the
+    # duplicate must be removed or sink_table=* globs double-count
+    import shutil as _sh
+    _sh.copytree(sink, pre)
+    assert recover_compaction(sink)
+    assert sink.exists() and not pre.exists()
+
 
 def test_cli_report(ray_session, tmp_path, capsys):
     from swarm_ray.cli import main
@@ -190,3 +197,10 @@ def test_cli_report(ray_session, tmp_path, capsys):
     assert sum(rep["sinks"].values()) == rep["rows_routed"]
     assert rep["partition_seconds"]["mean"] is not None
     assert len(rep["ruleset_hashes"]) == 1
+
+    # metrics of UNCOMMITTED partitions must not inflate the totals
+    (out / "_manifest" / "partition-00000" / "_DONE").unlink()
+    assert main(["report", "--out", str(out)]) == 0
+    rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep2["partitions_committed"] == 0
+    assert rep2["rows_routed"] == 0 and sum(rep2["sinks"].values()) == 0
