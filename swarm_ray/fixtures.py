@@ -279,6 +279,84 @@ def intel_path(label: str = "common") -> Path:
 
 
 # ---------------------------------------------------------------------------
+# Expected-embedding fixture (the doc_embed / doc_embed_knn oracle side)
+# ---------------------------------------------------------------------------
+
+EMBED_FIXTURE_VERSION = 1
+
+
+def doc_embed_expected_dir(sf_dir: str | os.PathLike) -> Path:
+    """Generator-side expected embeddings for ``{sf_dir}/documents``:
+    an INDEPENDENT per-document recompute of the stub encoder (plain
+    Python loop — word→md5 id, one-segment reduceat sum, L2 normalize),
+    written as (doc_id, emb_csum_e6, embedding DOUBLE[]) so DuckDB can
+    (a) hash-check the engine's distributed embed stage via the
+    floor-scaled integer checksum and (b) rank
+    ``list_cosine_similarity`` for the doc_embed_knn oracle
+    (VERDICT r2 item 3). The per-doc float32 kernels mirror the
+    stage's exactly, so the two implementations are bit-identical —
+    the checksum compare is exact, not tolerance-based;
+    tests/test_ops_embed.py pins the bit-equality."""
+    import hashlib
+
+    label = label_for_sf_dir(sf_dir)
+    out = FIXTURE_ROOT / label / "doc_embed_expected"
+    meta = out / "_FIXTURE.json"
+    docs = pq.read_table(Path(sf_dir) / "documents.parquet",
+                         columns=["doc_id", "text"])
+    if meta.exists():
+        try:
+            m = json.loads(meta.read_text())
+            if m["rows"] == len(docs) and m.get("version") == EMBED_FIXTURE_VERSION:
+                return out
+        except Exception:
+            pass
+        shutil.rmtree(out, ignore_errors=True)
+
+    # the stub model, regenerated from its published seed (identical
+    # bits to ops.embed.EmbedStage._load_model — pinned by pytest)
+    from .ops.embed import EMBED_DIM, EMBED_SEED
+    from .ops.text import TOKENIZE_VOCAB
+    rng = np.random.default_rng(EMBED_SEED)
+    model = rng.standard_normal((TOKENIZE_VOCAB, EMBED_DIM)).astype(np.float32)
+
+    ids = docs["doc_id"].to_numpy()
+    emb = np.zeros((len(docs), EMBED_DIM), dtype=np.float32)
+    for i, text in enumerate(docs["text"].to_pylist()):
+        toks = [int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % TOKENIZE_VOCAB
+                for w in text.split(" ")]
+        # one-segment reduceat: same float32 accumulation kernel the
+        # stage applies per segment (a plain `acc += row` loop differs
+        # from reduceat by 1 float32 ulp, which a floor-based checksum
+        # cannot tolerate); composition stays independent — per-doc
+        # here, one flat batched pass in the stage
+        emb[i] = np.add.reduceat(model[np.asarray(toks)], [0], axis=0)[0]
+    norms = np.linalg.norm(emb, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    emb = emb / norms
+    csum = np.floor(emb.astype(np.float64) * 1e6).astype(np.int64).sum(axis=1)
+
+    flat = pa.array(emb.astype(np.float64).reshape(-1), type=pa.float64())
+    t = pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "emb_csum_e6": pa.array(csum),
+        "embedding": pa.FixedSizeListArray.from_arrays(flat, EMBED_DIM),
+    })
+    tmp = out.with_name(out.name + ".tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    tmp.mkdir(parents=True)
+    pq.write_table(t, tmp / "expected.parquet")
+    (tmp / "_FIXTURE.json").write_text(json.dumps(
+        {"rows": len(docs), "version": EMBED_FIXTURE_VERSION}))
+    out.parent.mkdir(parents=True, exist_ok=True)
+    if out.exists():
+        shutil.rmtree(tmp, ignore_errors=True)
+    else:
+        os.replace(tmp, out)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Multimodal media fixture (binary payload columns + typed metadata)
 # ---------------------------------------------------------------------------
 

@@ -95,6 +95,11 @@ def oracle_sql() -> dict[str, str]:
         out.update(tokens.oracle_sql())
     except ImportError:
         pass
+    try:
+        from . import embed
+        out.update(embed.oracle_sql())
+    except ImportError:
+        pass
     return out
 
 

@@ -19,6 +19,7 @@ Plumbing that IS real and tested:
 from __future__ import annotations
 
 from collections.abc import Callable
+from pathlib import Path
 from typing import Any
 
 import numpy as np
@@ -94,13 +95,35 @@ class EmbedStage:
         })
 
 
-def q_doc_embed(sf_dir: str) -> ray.data.Dataset:
-    """Embed every document (rows-only: float vectors; determinism and
-    composition with ANN pinned by pytest)."""
+def doc_embeddings(sf_dir: str) -> ray.data.Dataset:
+    """Embed every document — the float (doc_id, embedding) surface
+    downstream ANN/dedup stages compose with."""
     return ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
     ).map_batches(EmbedStage, batch_format="pandas",
                   batch_size=EMBED_BATCH_SIZE, concurrency=_embed_pool())
+
+
+def q_doc_embed(sf_dir: str) -> ray.data.Dataset:
+    """SQL-checkable embed surface: per document, the floor-scaled
+    integer checksum of its embedding (each float32 element promoted
+    to float64, ×1e6, floored — exact integer addition from there on,
+    the ``emb_centroids`` recipe). The oracle side is the generator's
+    INDEPENDENT per-doc recompute (``fixtures.doc_embed_expected_dir``)
+    — bit-identical float32 math, so the hash compare is exact. The
+    float vectors stay available via ``doc_embeddings`` (pytest-pinned
+    and composed by doc_embed_knn)."""
+    from .. import fixtures
+    fixtures.doc_embed_expected_dir(sf_dir)   # materialize the oracle side
+
+    def csum(t: pa.Table) -> pa.Table:
+        from .ann import _emb_matrix
+        emb = _emb_matrix(t["embedding"])       # float64 promotion
+        e6 = np.floor(emb * 1e6).astype(np.int64).sum(axis=1)
+        return pa.table({"doc_id": t["doc_id"], "emb_csum_e6": pa.array(e6)})
+
+    return doc_embeddings(sf_dir).map_batches(
+        csum, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def q_doc_embed_knn(sf_dir: str, k: int = 5, n_queries: int = 5):
@@ -116,8 +139,10 @@ def q_doc_embed_knn(sf_dir: str, k: int = 5, n_queries: int = 5):
     the driver, invariants pinned by pytest."""
     import pyarrow.compute as pc
     from . import ann
+    from .. import fixtures
     from ..util import autoscaling_pool
 
+    fixtures.doc_embed_expected_dir(sf_dir)   # materialize the oracle side
     qdocs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
         filter=pc.field("doc_id") < n_queries,
@@ -127,7 +152,7 @@ def q_doc_embed_knn(sf_dir: str, k: int = 5, n_queries: int = 5):
     q_ids = q_emb["doc_id"].to_numpy()
     queries_ref = ray.put((q_ids, q))
 
-    cand = q_doc_embed(sf_dir).map_batches(
+    cand = doc_embeddings(sf_dir).map_batches(
         ann.BruteForceTopK, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=4096, concurrency=autoscaling_pool(),
         fn_constructor_kwargs={"queries_ref": queries_ref, "k": k,
@@ -144,10 +169,40 @@ def q_doc_embed_knn(sf_dir: str, k: int = 5, n_queries: int = 5):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
-        "doc_embed": q_doc_embed,          # rows-only (float vectors)
-        "doc_embed_knn": q_doc_embed_knn,  # rows-only (pytest-pinned)
+        "doc_embed": q_doc_embed,          # SQL-checked (integer checksums)
+        "doc_embed_knn": q_doc_embed_knn,  # SQL-checked (cosine rank query)
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    return {}
+    """Both oracles read the generator-side expected-embedding fixture
+    (materialized by queries(); oracle_sql callers run after queries()
+    — same contract as the media oracles)."""
+    from .. import fixtures
+    glob = str(Path(fixtures.FIXTURE_ROOT) /
+               fixtures.label_for_sf_dir(fixtures.oracle_sf_dir()) /
+               "doc_embed_expected" / "*.parquet")
+    return {
+        "doc_embed": f"""
+SELECT doc_id, emb_csum_e6 FROM read_parquet('{glob}')
+""",
+        "doc_embed_knn": f"""
+WITH e AS (
+  SELECT doc_id, embedding FROM read_parquet('{glob}')
+), q AS (
+  SELECT doc_id AS query_doc_id, embedding AS qe FROM e WHERE doc_id < 5
+), scored AS (
+  SELECT q.query_doc_id, e.doc_id,
+    list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                           CAST(e.embedding AS DOUBLE[])) AS sim
+  FROM q JOIN e ON e.doc_id <> q.query_doc_id
+), ranked AS (
+  SELECT query_doc_id, doc_id,
+    ROW_NUMBER() OVER (PARTITION BY query_doc_id
+                       ORDER BY sim DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_doc_id, rank, doc_id AS neighbor_doc_id
+FROM ranked WHERE rank <= 5
+""",
+    }

@@ -3,7 +3,8 @@
 import numpy as np
 import pandas as pd
 
-from swarm_ray.ops.embed import EMBED_DIM, EmbedStage, q_doc_embed, q_doc_embed_knn
+from swarm_ray.ops.embed import (EMBED_DIM, EmbedStage, doc_embeddings,
+                                 q_doc_embed, q_doc_embed_knn)
 
 
 def test_embed_deterministic_normalized():
@@ -22,7 +23,7 @@ def test_embed_deterministic_normalized():
 
 def test_embed_dataset_and_knn(ray_session):
     sf = "/root/testdata/sf0.001"
-    emb = q_doc_embed(sf).to_pandas()
+    emb = doc_embeddings(sf).to_pandas()
     assert len(emb) > 0 and len(emb["embedding"].iloc[0]) == EMBED_DIM
 
     knn = q_doc_embed_knn(sf, k=3, n_queries=3).to_pandas()
@@ -31,3 +32,23 @@ def test_embed_dataset_and_knn(ray_session):
         assert ranks.tolist() == [1, 2, 3]
     # no self-matches
     assert (knn["query_doc_id"] != knn["neighbor_doc_id"]).all()
+
+
+def test_embed_stage_bit_identical_to_fixture_recompute(ray_session):
+    """The distributed stage and the fixture generator's independent
+    per-doc recompute must agree BITWISE — the doc_embed oracle's
+    floor-scaled checksum is exact, so 1-ulp drift means a red oracle."""
+    import pyarrow.parquet as pq
+    from swarm_ray import fixtures
+    sf = "/root/testdata/sf0.001"
+    expected = pq.read_table(
+        fixtures.doc_embed_expected_dir(sf) / "expected.parquet").to_pandas()
+    got = doc_embeddings(sf).to_pandas().sort_values("doc_id")
+    expected = expected.sort_values("doc_id")
+    e_stage = np.stack([np.asarray(e, dtype=np.float64)
+                        for e in got["embedding"]])
+    e_fix = np.stack([np.asarray(e) for e in expected["embedding"]])
+    assert np.array_equal(e_stage, e_fix)
+    # and the checksum surface equals the fixture column
+    cs = q_doc_embed(sf).to_pandas().sort_values("doc_id")
+    assert cs["emb_csum_e6"].tolist() == expected["emb_csum_e6"].tolist()
