@@ -78,6 +78,61 @@ def run_bench() -> dict:
         q_route_counts(SF_DIR).to_pandas()
         queries["route_counts_agg"] = round(time.time() - t0, 3)
 
+        # per-stage split of the same plan (VERDICT r2 item 4): each
+        # prefix of the parse→enrich→route chain executed standalone,
+        # so a regression pins to the stage whose delta moved. Prefix
+        # timings overlap (stage_k includes stage_{k-1}); report the
+        # increments too. Consumed via count() — metadata-free path
+        # that still runs every map stage.
+        from swarm_ray.pipelines.flagship import _read_input
+        from swarm_ray.rules.spec import default_ruleset
+        from swarm_ray.stages.enrich import EnrichStage
+        from swarm_ray.stages.parse import ParseStage
+        from swarm_ray.stages.route import RouteStage
+        from swarm_ray.util import autoscaling_pool
+        from swarm_ray import fixtures as fx
+
+        ruleset = default_ruleset()
+        intel_ref = ray.put(fx.intel_table())
+
+        def staged(depth: int):
+            ds = _read_input(files)
+            if depth >= 1:
+                ds = ds.map_batches(ParseStage(ruleset),
+                                    batch_format="pyarrow",
+                                    zero_copy_batch=True, batch_size=32_768)
+            if depth >= 2:
+                ds = ds.map_batches(
+                    EnrichStage, batch_format="pyarrow", zero_copy_batch=True,
+                    batch_size=32_768, concurrency=autoscaling_pool(frac=0.25),
+                    num_cpus=0.9,
+                    fn_constructor_kwargs={"intel_ref": intel_ref})
+            if depth >= 3:
+                ds = ds.map_batches(RouteStage(ruleset),
+                                    batch_format="pyarrow",
+                                    zero_copy_batch=True, batch_size=32_768)
+            return ds
+
+        import pyarrow as pa
+
+        def force(ds) -> int:
+            # uniform consumer: per-block row counts summed — executes
+            # every stage (a bare .count() on a parquet read would
+            # shortcut to footer metadata and time nothing)
+            return ds.map_batches(
+                lambda t: pa.table({"n": pa.array([len(t)], type=pa.int64())}),
+                batch_format="pyarrow", zero_copy_batch=True).sum("n")
+
+        stage_names = ["read", "parse", "enrich", "route"]
+        prev = 0.0
+        for depth, name in enumerate(stage_names):
+            t0 = time.time()
+            force(staged(depth))
+            dt = time.time() - t0
+            queries[f"stage_{name}"] = round(dt, 3)
+            queries[f"stage_{name}_incr"] = round(dt - prev, 3)
+            prev = dt
+
         try:
             from swarm_ray import ops
             queries.update(ops.bench_queries(SF_DIR))

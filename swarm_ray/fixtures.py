@@ -357,6 +357,243 @@ def doc_embed_expected_dir(sf_dir: str | os.PathLike) -> Path:
 
 
 # ---------------------------------------------------------------------------
+# Expected MinHash-LSH pairs fixture (the doc_minhash_pairs oracle side)
+# ---------------------------------------------------------------------------
+
+MINHASH_FIXTURE_VERSION = 1
+
+
+def minhash_pairs_expected_dir(sf_dir: str | os.PathLike) -> Path:
+    """Generator-side expected output for ``doc_minhash_pairs`` over
+    ``{sf_dir}/documents``: an INDEPENDENT single-process recompute of
+    the full MinHash-LSH pipeline — per-doc signature, per-band bucket
+    dict keyed on the raw signature chunk (no hashing of the chunk at
+    all, where the engine buckets via blake2b of the chunk bytes),
+    chunk+star pair generation for oversized buckets, cross-band set
+    dedup, and exact k-shingle Jaccard verification with Python sets.
+    Given the published permutation seed the LSH output is fully
+    deterministic, so this is an exact differential oracle (the same
+    recipe as ``doc_embed_expected_dir``); the band→bucket→pair
+    topology is re-derived from first principles rather than through
+    the engine's repartition plan. Bit-equality of engine vs recompute
+    is pinned by tests/test_ops_dedup.py."""
+    from .ops.dedup import (BANDS, JACCARD_TAU_MILLI, MAX_FULL_BUCKET,
+                            MERSENNE, NUM_PERM, SHINGLE_K, _perm_params)
+
+    label = label_for_sf_dir(sf_dir)
+    out = FIXTURE_ROOT / label / "minhash_pairs_expected"
+    meta = out / "_FIXTURE.json"
+    docs = pq.read_table(Path(sf_dir) / "documents.parquet",
+                         columns=["doc_id", "text"])
+    if meta.exists():
+        try:
+            m = json.loads(meta.read_text())
+            if (m["rows"] == len(docs)
+                    and m.get("version") == MINHASH_FIXTURE_VERSION):
+                return out
+        except Exception:
+            pass
+        shutil.rmtree(out, ignore_errors=True)
+
+    import hashlib
+
+    a_perm, b_perm = _perm_params(NUM_PERM)   # published seed, shared consts
+    rows_per_band = NUM_PERM // BANDS
+
+    def doc_shingles(text: str) -> list[int]:
+        words = text.split(" ")
+        if len(words) < SHINGLE_K:
+            grams = [" ".join(words)]
+        else:
+            grams = [" ".join(words[i:i + SHINGLE_K])
+                     for i in range(len(words) - SHINGLE_K + 1)]
+        return [int.from_bytes(
+                    hashlib.blake2b(g.encode(), digest_size=8).digest(),
+                    "little") % MERSENNE for g in grams]
+
+    # per-band buckets keyed on the raw signature chunk tuple
+    buckets: dict[tuple, list[int]] = {}
+    shingle_sets: dict[int, set[int]] = {}
+    ids = docs["doc_id"].to_numpy()
+    for doc_id, text in zip(ids, docs["text"].to_pylist()):
+        sh = doc_shingles(text)
+        shingle_sets[int(doc_id)] = set(sh)
+        # universal hash with the engine's uint64 wrap semantics:
+        # ((x*a + b) mod 2^64) mod p, then min over shingles
+        sig = [min(((h * int(a_perm[i]) + int(b_perm[i])) % (1 << 64))
+                   % MERSENNE for h in sh)
+               for i in range(NUM_PERM)]
+        for band in range(BANDS):
+            chunk = tuple(sig[band * rows_per_band:(band + 1) * rows_per_band])
+            buckets.setdefault((band, chunk), []).append(int(doc_id))
+
+    # candidate pairs: full enumeration for small buckets; chunk+star
+    # for oversized ones (mirrors the engine's documented mega-bucket
+    # recall contract); cross-band duplicates collapse via the set
+    cands: set[tuple[int, int]] = set()
+    for members in buckets.values():
+        members = sorted(members)
+        if len(members) < 2:
+            continue
+        if len(members) <= MAX_FULL_BUCKET:
+            cands.update((a, b) for i, a in enumerate(members)
+                         for b in members[i + 1:])
+        else:
+            rep = members[0]
+            cands.update((rep, b) for b in members[MAX_FULL_BUCKET:])
+            for start in range(0, len(members), MAX_FULL_BUCKET):
+                chunk_ids = members[start:start + MAX_FULL_BUCKET]
+                cands.update((a, b) for i, a in enumerate(chunk_ids)
+                             for b in chunk_ids[i + 1:])
+
+    rows = []
+    for a, b in sorted(cands):
+        sa, sb = shingle_sets[a], shingle_sets[b]
+        inter = len(sa & sb)
+        jm = (1000 * inter) // (len(sa) + len(sb) - inter)
+        if jm >= JACCARD_TAU_MILLI:
+            rows.append((a, b, jm))
+    t = pa.table({
+        "doc_a": pa.array([r[0] for r in rows], type=pa.int64()),
+        "doc_b": pa.array([r[1] for r in rows], type=pa.int64()),
+        "jaccard_milli": pa.array([r[2] for r in rows], type=pa.int64()),
+    })
+
+    tmp = out.with_name(out.name + ".tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    tmp.mkdir(parents=True)
+    pq.write_table(t, tmp / "expected.parquet")
+    (tmp / "_FIXTURE.json").write_text(json.dumps(
+        {"rows": len(docs), "version": MINHASH_FIXTURE_VERSION}))
+    out.parent.mkdir(parents=True, exist_ok=True)
+    if out.exists():
+        shutil.rmtree(tmp, ignore_errors=True)
+    else:
+        os.replace(tmp, out)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Expected ANN candidate-set fixtures (emb_lsh_ann / emb_ivf_ann oracles)
+# ---------------------------------------------------------------------------
+
+ANN_FIXTURE_VERSION = 1
+
+
+def _ann_corpus_queries(sf_dir: str | os.PathLike):
+    import pandas as pd
+    t = pq.read_table(Path(sf_dir) / "embeddings.parquet",
+                      columns=["vec_id", "embedding"]) \
+        .to_pandas().sort_values("vec_id")
+    ids = t["vec_id"].to_numpy()
+    m = np.asarray(list(t["embedding"]), dtype=np.float64)
+    from .ops.ann import N_QUERIES
+    qmask = ids < N_QUERIES
+    return ids, m, ids[qmask], m[qmask]
+
+
+def _write_pairs_fixture(out: Path, n_rows: int, version: int,
+                         q_col: np.ndarray, v_col: np.ndarray) -> Path:
+    t = pa.table({"query_vec_id": pa.array(q_col, type=pa.int64()),
+                  "vec_id": pa.array(v_col, type=pa.int64())})
+    tmp = out.with_name(out.name + ".tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    tmp.mkdir(parents=True)
+    pq.write_table(t, tmp / "expected.parquet")
+    (tmp / "_FIXTURE.json").write_text(json.dumps(
+        {"rows": n_rows, "version": version}))
+    out.parent.mkdir(parents=True, exist_ok=True)
+    if out.exists():
+        shutil.rmtree(tmp, ignore_errors=True)
+    else:
+        os.replace(tmp, out)
+    return out
+
+
+def lsh_candidates_expected_dir(sf_dir: str | os.PathLike) -> Path:
+    """Generator-side expected CANDIDATE SET for ``emb_lsh_ann``: which
+    (query, vector) pairs share ≥1 probed bucket (query's bucket ± every
+    1-bit multiprobe flip, per table). The oracle then ranks these
+    candidates in DuckDB by ``list_cosine_similarity`` — so the engine's
+    whole scoring/fold path is cross-checked by SQL, and only the bucket
+    topology comes from this recompute. The sign-projection kernel
+    (``LshBucket.buckets_of``) is shared with the engine — like the
+    published permutation/model seeds of the other differential
+    fixtures, bucket membership must be bit-reproducible, while the
+    probe expansion and candidate join below are re-derived
+    independently of the engine's inverted-index plan."""
+    from .ops.ann import LSH_BITS, LSH_TABLES, LshBucket
+
+    label = label_for_sf_dir(sf_dir)
+    out = FIXTURE_ROOT / label / "lsh_candidates_expected"
+    meta = out / "_FIXTURE.json"
+    ids, m, q_ids, q = _ann_corpus_queries(sf_dir)
+    if meta.exists():
+        try:
+            mt = json.loads(meta.read_text())
+            if mt["rows"] == len(ids) and mt.get("version") == ANN_FIXTURE_VERSION:
+                return out
+        except Exception:
+            pass
+        shutil.rmtree(out, ignore_errors=True)
+
+    bucketer = LshBucket(m.shape[1])
+    corpus_b = bucketer.buckets_of(m)                    # (n, L)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    query_b = bucketer.buckets_of(qn)                    # (nq, L)
+    pairs: set[tuple[int, int]] = set()
+    for j in range(len(q_ids)):
+        for t in range(LSH_TABLES):
+            probes = {int(query_b[j, t])} | {
+                int(query_b[j, t]) ^ (1 << i) for i in range(LSH_BITS)}
+            for v in np.flatnonzero(np.isin(corpus_b[:, t],
+                                            np.asarray(sorted(probes)))):
+                pairs.add((int(q_ids[j]), int(ids[v])))
+    rows = sorted(pairs)
+    return _write_pairs_fixture(
+        out, len(ids), ANN_FIXTURE_VERSION,
+        np.asarray([r[0] for r in rows], dtype=np.int64),
+        np.asarray([r[1] for r in rows], dtype=np.int64))
+
+
+def ivf_candidates_expected_dir(sf_dir: str | os.PathLike) -> Path:
+    """Generator-side expected CANDIDATE SET for ``emb_ivf_ann``: which
+    (query, vector) pairs share a probed coarse list. Same contract as
+    the LSH fixture: the train-on-sample quantizer (published seed +
+    recipe) is shared, the assignment/probe topology is recomputed flat
+    here, and DuckDB does all the ranking."""
+    from .ops.ann import IVF_NPROBE, _train_coarse_centroids
+
+    label = label_for_sf_dir(sf_dir)
+    out = FIXTURE_ROOT / label / "ivf_candidates_expected"
+    meta = out / "_FIXTURE.json"
+    ids, m, q_ids, q = _ann_corpus_queries(sf_dir)
+    if meta.exists():
+        try:
+            mt = json.loads(meta.read_text())
+            if mt["rows"] == len(ids) and mt.get("version") == ANN_FIXTURE_VERSION:
+                return out
+        except Exception:
+            pass
+        shutil.rmtree(out, ignore_errors=True)
+
+    cent = _train_coarse_centroids(str(sf_dir))
+    en = m / np.linalg.norm(m, axis=1, keepdims=True)
+    assign = np.argmax(en @ cent.T, axis=1)              # (n,)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    probes = np.argsort(-(qn @ cent.T), axis=1)[:, :IVF_NPROBE]
+    q_col, v_col = [], []
+    for j in range(len(q_ids)):
+        sel = np.flatnonzero(np.isin(assign, probes[j]))
+        q_col.append(np.full(len(sel), q_ids[j], dtype=np.int64))
+        v_col.append(ids[sel].astype(np.int64))
+    return _write_pairs_fixture(
+        out, len(ids), ANN_FIXTURE_VERSION,
+        np.concatenate(q_col) if q_col else np.empty(0, dtype=np.int64),
+        np.concatenate(v_col) if v_col else np.empty(0, dtype=np.int64))
+
+
+# ---------------------------------------------------------------------------
 # Multimodal media fixture (binary payload columns + typed metadata)
 # ---------------------------------------------------------------------------
 

@@ -26,7 +26,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dedup_exact": dedup.q_dedup_exact,
         "doc_simhash": dedup.q_simhash,
         "doc_jaccard_pairs": dedup.q_jaccard_pairs,
-        "doc_minhash_pairs": dedup.q_minhash_pairs,  # rows-only (LSH)
+        "doc_minhash_pairs": dedup.q_minhash_pairs_checked,
         "doc_dup_clusters": dedup.q_dup_clusters,
     }
     try:
@@ -72,9 +72,20 @@ def oracle_sql() -> dict[str, str]:
         "doc_simhash": sql.SQL_SIMHASH,
         "doc_jaccard_pairs": sql.SQL_JACCARD_PAIRS,
         "doc_dup_clusters": sql.SQL_DUP_CLUSTERS,
-        # doc_minhash_pairs: intentionally no oracle (probabilistic LSH;
-        # recall vs exact Jaccard is pinned by tests/test_ops_dedup.py)
     }
+    # doc_minhash_pairs: differential oracle — the generator-side
+    # independent LSH recompute (fixtures.minhash_pairs_expected_dir,
+    # materialized by the queries() wrapper; deterministic under the
+    # published permutation seed). Recall vs exact Jaccard additionally
+    # pinned by tests/test_ops_dedup.py.
+    from pathlib import Path as _Path
+
+    from .. import fixtures as _fx
+    _glob = str(_Path(_fx.FIXTURE_ROOT) /
+                _fx.label_for_sf_dir(_fx.oracle_sf_dir()) /
+                "minhash_pairs_expected" / "*.parquet")
+    out["doc_minhash_pairs"] = (
+        f"SELECT doc_a, doc_b, jaccard_milli FROM read_parquet('{_glob}')")
     try:
         from . import relational
         out.update(relational.oracle_sql())

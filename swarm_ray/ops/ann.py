@@ -300,6 +300,17 @@ def q_lsh_ann(sf_dir: str, k: int = TOP_K) -> ray.data.Dataset:
     return lsh_ann(_read_emb(sf_dir), q_ids, q, k)
 
 
+def q_lsh_ann_checked(sf_dir: str) -> ray.data.Dataset:
+    """Driver-facing ``emb_lsh_ann``: same engine pipeline, plus it
+    materializes the generator-side expected CANDIDATE-SET fixture so
+    the DuckDB oracle can independently rank those candidates with
+    ``list_cosine_similarity`` (deterministic under the published
+    hyperplane seed — the scoring/fold path is fully SQL-checked)."""
+    from .. import fixtures
+    fixtures.lsh_candidates_expected_dir(sf_dir)
+    return q_lsh_ann(sf_dir)
+
+
 # ------------------------------------------------------------ near-dup pairs
 
 def q_emb_near_dup(sf_dir: str) -> pd.DataFrame:
@@ -386,15 +397,51 @@ def q_emb_centroids(sf_dir: str) -> ray.data.Dataset:
 def queries():
     return {
         "emb_knn": q_knn_bruteforce,
-        "emb_lsh_ann": q_lsh_ann,          # rows-only (recall pinned by pytest)
-        "emb_ivf_ann": q_knn_ivf,          # rows-only (recall pinned by pytest)
+        "emb_lsh_ann": q_lsh_ann_checked,
+        "emb_ivf_ann": q_knn_ivf_checked,
         "emb_near_dup": q_emb_near_dup,
         "emb_centroids": q_emb_centroids,
     }
 
 
+def _candidate_rank_sql(fixture_name: str) -> str:
+    """Differential ANN oracle: the fixture supplies the candidate
+    topology (bucket/list membership — deterministic under published
+    seeds); DuckDB independently scores and ranks the candidates with
+    ``list_cosine_similarity``, cross-checking the engine's entire
+    distributed scoring + fold path."""
+    from pathlib import Path
+
+    from .. import fixtures
+    glob = str(Path(fixtures.FIXTURE_ROOT) /
+               fixtures.label_for_sf_dir(fixtures.oracle_sf_dir()) /
+               fixture_name / "*.parquet")
+    return f"""
+WITH c AS (
+  SELECT query_vec_id, vec_id FROM read_parquet('{glob}')
+  WHERE vec_id <> query_vec_id
+), scored AS (
+  SELECT c.query_vec_id, c.vec_id,
+    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                           CAST(e.embedding AS DOUBLE[])) AS sim
+  FROM c
+  JOIN embeddings q ON q.vec_id = c.query_vec_id
+  JOIN embeddings e ON e.vec_id = c.vec_id
+), ranked AS (
+  SELECT query_vec_id, vec_id,
+    ROW_NUMBER() OVER (PARTITION BY query_vec_id
+                       ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_vec_id, rank, vec_id AS neighbor_vec_id
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 def oracle_sql():
     return {
+        "emb_lsh_ann": _candidate_rank_sql("lsh_candidates_expected"),
+        "emb_ivf_ann": _candidate_rank_sql("ivf_candidates_expected"),
         "emb_knn": f"""
 WITH q AS (
   SELECT vec_id AS query_vec_id, embedding AS qe FROM embeddings
@@ -539,7 +586,15 @@ def q_knn_ivf(sf_dir: str) -> ray.data.Dataset:
     """IVF-bucketed approximate top-k: train-on-sample coarse quantizer,
     per-batch inverted-list pruning, exact re-rank of survivors, same
     global fold as brute force. Recall vs brute force is pinned by
-    tests/test_ops_ann.py (rows-only for the driver)."""
+    tests/test_ops_ann.py."""
     cent = _train_coarse_centroids(sf_dir)
     q_ids, q = _load_queries(sf_dir)
     return knn_ivf(_read_emb(sf_dir), q_ids, q, cent)
+
+
+def q_knn_ivf_checked(sf_dir: str) -> ray.data.Dataset:
+    """Driver-facing ``emb_ivf_ann``: engine pipeline + candidate-set
+    fixture materialization (see ``q_lsh_ann_checked``)."""
+    from .. import fixtures
+    fixtures.ivf_candidates_expected_dir(sf_dir)
+    return q_knn_ivf(sf_dir)

@@ -42,6 +42,18 @@ def _read_docs(sf_dir: str) -> ray.data.Dataset:
     return ray.data.read_parquet(parts or str(single), columns=DOC_COLS)
 
 
+def _docs_count(sf_dir: str) -> int:
+    """Corpus row count from parquet FOOTERS only (no data read) —
+    sizes the keyed partition counts below so a partition stays under
+    the block-split threshold at corpus scale (ADVICE r2)."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+    single = Path(sf_dir) / "documents.parquet"
+    files = [single] if single.exists() else \
+        sorted(Path(sf_dir).glob("documents-*.parquet"))
+    return sum(pq.read_metadata(f).num_rows for f in files)
+
+
 # ------------------------------------------------------------ exact dedup
 
 def _hash_batch(batch: pa.Table) -> pa.Table:
@@ -61,11 +73,16 @@ def q_dedup_exact(sf_dir: str) -> ray.data.Dataset:
     + block-local Arrow aggregate measured 2.6x faster at 1.2M docs
     and scales with partitions instead of sort width."""
     from ray.data.context import ShuffleStrategy
-    from ..util import cluster_cpus
+    from ..util import keyed_partition_count
 
     hashed = _read_docs(sf_dir).map_batches(
         _hash_batch, batch_format="pyarrow", zero_copy_batch=True)
     hashed.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    # partition count scales with CPUs AND bytes entering the shuffle
+    # (~56 B per (md5-hex, id) pair) so one partition never nears the
+    # block-split threshold that would break block_agg's one-whole-
+    # partition-per-call invariant (batch_size=None below)
+    n_parts = keyed_partition_count(_docs_count(sf_dir) * 56)
 
     def block_agg(t: pa.Table) -> pa.Table:
         if len(t) == 0:
@@ -76,7 +93,7 @@ def q_dedup_exact(sf_dir: str) -> ray.data.Dataset:
             [("doc_id", "min"), ("doc_id", "count")]
         ).rename_columns(["text_md5", "keeper_doc_id", "dup_count"])
 
-    return (hashed.repartition(max(8, cluster_cpus()), keys=["text_md5"])
+    return (hashed.repartition(n_parts, keys=["text_md5"])
             .map_batches(block_agg, batch_format="pyarrow",
                          zero_copy_batch=True, batch_size=None))
 
@@ -305,16 +322,19 @@ def _block_pairs(t: pa.Table) -> pa.Table:
 
 def minhash_candidate_pairs(sf_dir: str) -> ray.data.Dataset:
     from ray.data.context import ShuffleStrategy
-    from ..util import autoscaling_pool, cluster_cpus
+    from ..util import autoscaling_pool, keyed_partition_count
     bands = _read_docs(sf_dir).map_batches(
         MinHashBands, batch_format="pandas", batch_size=1024,
         concurrency=autoscaling_pool())
     # co-locate each (band, hash) bucket with a HASH repartition, then
     # generate pairs block-vectorized; batch_size=None is load-bearing
-    # (one whole block per call, so buckets never straddle a batch)
+    # (one whole block per call, so buckets never straddle a batch).
+    # Partition count sized to the band-triple bytes (~50 B × BANDS per
+    # doc) as well as CPUs — see keyed_partition_count (ADVICE r2).
     bands.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    bucketed = bands.repartition(max(8, cluster_cpus()),
-                                 keys=["band_id", "band_hash"])
+    bucketed = bands.repartition(
+        keyed_partition_count(_docs_count(sf_dir) * BANDS * 50),
+        keys=["band_id", "band_hash"])
     pairs = bucketed.map_batches(_block_pairs, batch_format="pyarrow",
                                  zero_copy_batch=True, batch_size=None)
 
@@ -330,7 +350,11 @@ def minhash_candidate_pairs(sf_dir: str) -> ray.data.Dataset:
         u = np.unique(np.stack([a, b], axis=1), axis=0)
         return pa.table({"doc_a": pa.array(u[:, 0]), "doc_b": pa.array(u[:, 1])})
 
-    return (pairs.repartition(max(8, cluster_cpus() // 2),
+    # pair volume is the candidate frontier (not derivable from footers
+    # pre-execution); the CPU-floor count documents that bound — a
+    # frontier big enough to overflow it would already have tripped the
+    # verify stage onto the repartition path, which re-keys by doc
+    return (pairs.repartition(keyed_partition_count(None, floor=4),
                               keys=["doc_a", "doc_b"])
             .map_batches(block_unique, batch_format="pyarrow",
                          zero_copy_batch=True, batch_size=None))
@@ -510,7 +534,7 @@ def _verify_repartition(cand_ds: ray.data.Dataset,
     shingles_a through the second exchange (~0.7 KB/pair) — the price
     of joining without a broadcast, linear in the candidate set."""
     from ray.data.context import ShuffleStrategy
-    from ..util import cluster_cpus
+    from ..util import keyed_partition_count
 
     # unique candidate doc ids: per-block unique → tiny driver union
     def block_ids(t: pa.Table) -> pa.Table:
@@ -547,7 +571,10 @@ def _verify_repartition(cand_ds: ray.data.Dataset,
     pairs_tagged = cand_ds.map_batches(
         tag_pairs, batch_format="pyarrow", zero_copy_batch=True)
 
-    n_parts = max(8, cluster_cpus())
+    # sized to the shingle payload each pair carries (~0.75 KB) so a
+    # partition stays under the block-split threshold (ADVICE r2);
+    # cand_ds is materialized by the caller, so count() is metadata
+    n_parts = keyed_partition_count(cand_ds.count() * 750)
     merged = pairs_tagged.union(sets_tagged)
     merged.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     # round 1: co-locate each pair with doc_a's shingle set; batch_size
@@ -590,6 +617,18 @@ def q_minhash_pairs(sf_dir: str, verify_mode: str = "auto") -> pd.DataFrame:
     if verify_mode == "repartition":
         return _verify_repartition(cand_ds, sf_dir)
     raise ValueError(f"unknown verify_mode: {verify_mode!r}")
+
+
+def q_minhash_pairs_checked(sf_dir: str) -> pd.DataFrame:
+    """Driver-facing ``doc_minhash_pairs``: same engine pipeline, plus
+    it materializes the generator-side expected-pairs fixture so the
+    DuckDB oracle (an independent single-process recompute of the whole
+    LSH plan — ``fixtures.minhash_pairs_expected_dir``) has its table
+    on disk. Deterministic given the published permutation seed, so the
+    oracle compare is exact, not statistical."""
+    from .. import fixtures
+    fixtures.minhash_pairs_expected_dir(sf_dir)
+    return q_minhash_pairs(sf_dir)
 
 
 # ------------------------------------------------------------ dup clusters
@@ -639,8 +678,126 @@ def _jump_group(g: pa.Table) -> pa.Table:
                      "label": pa.array(np.full(len(nodes), p, dtype=np.int64))})
 
 
+_NODE_LABEL_SCHEMA = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+
+
+def _offer_block(t: pa.Table) -> pa.Table:
+    """Blocks-mode propagate: one hash-partitioned block holds label
+    rows (kind=1: key=node, aux=label) next to outgoing edges (kind=0:
+    key=src, aux=dst) for every key in the block. Vectorized: one
+    argsort + searchsorted lookup, no per-group Python."""
+    if len(t) == 0:
+        return _NODE_LABEL_SCHEMA.empty_table()
+    kind = t["kind"].to_numpy(zero_copy_only=False)
+    key = t["key"].to_numpy(zero_copy_only=False)
+    aux = t["aux"].to_numpy(zero_copy_only=False)
+    m1 = kind == 1
+    m0 = ~m1
+    k1, v1 = key[m1], aux[m1]
+    order = np.argsort(k1)
+    k1s, v1s = k1[order], v1[order]
+    pos = np.searchsorted(k1s, key[m0])
+    assert len(pos) == 0 or (k1s[pos] == key[m0]).all(), \
+        "edge src without a label row in its hash partition"
+    return pa.table({
+        "node": pa.array(np.concatenate([k1, aux[m0]]), type=pa.int64()),
+        "label": pa.array(np.concatenate([v1, v1s[pos]]), type=pa.int64()),
+    })
+
+
+def _jump_block(t: pa.Table) -> pa.Table:
+    """Blocks-mode pointer jump: kind=0 rows (key=label(n), aux=n)
+    look up kind=1 rows (key=node, aux=label) block-locally —
+    label(n) ← label(label(n)) in one vectorized lookup."""
+    if len(t) == 0:
+        return _NODE_LABEL_SCHEMA.empty_table()
+    kind = t["kind"].to_numpy(zero_copy_only=False)
+    key = t["key"].to_numpy(zero_copy_only=False)
+    aux = t["aux"].to_numpy(zero_copy_only=False)
+    m1 = kind == 1
+    m0 = ~m1
+    k1, v1 = key[m1], aux[m1]
+    order = np.argsort(k1)
+    k1s, v1s = k1[order], v1[order]
+    pos = np.searchsorted(k1s, key[m0])
+    assert len(pos) == 0 or (k1s[pos] == key[m0]).all(), \
+        "label value without its own label row in its hash partition"
+    return pa.table({"node": pa.array(aux[m0], type=pa.int64()),
+                     "label": pa.array(v1s[pos], type=pa.int64())})
+
+
+def _min_label_block(t: pa.Table) -> pa.Table:
+    if len(t) == 0:
+        return _NODE_LABEL_SCHEMA.empty_table()
+    return pa.TableGroupBy(t, ["node"]).aggregate([("label", "min")]) \
+        .rename_columns(["node", "label"])
+
+
+_EDGES_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+
+
+def _star_forest_block(df: pd.DataFrame) -> pd.DataFrame:
+    """Contract-mode kernel: union-find over ONE block's edges, emit
+    the STAR FOREST (node → min-of-local-component) — same components,
+    ≤ one edge per distinct node. The union of per-block spanning
+    forests preserves global connectivity, so levels can keep
+    shrinking the edge set without ever resolving transitivity
+    globally until the final single block."""
+    if df.empty:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64")})
+    lab = union_find_clusters(df)
+    return pd.DataFrame({"doc_a": lab["doc_id"], "doc_b": lab["cluster_id"]})
+
+
+def _cc_contract(edges: ray.data.Dataset, n_parts: int) -> pd.DataFrame:
+    """Spanning-forest contraction CC: per-block union-find → star
+    forest, shrinking the partition count geometrically (fan-in 8), so
+    the whole resolution is ~log8(n_parts) SINGLE keyed exchanges —
+    versus 3 exchanges × O(log n) pointer-jumping rounds. The final
+    level is one block whose star forest IS the exact component map
+    (min-doc_id representative, byte-identical to union_find_clusters).
+
+    Scale bound, stated: the final merge holds one row per distinct
+    node in the dup frontier on one worker (~16 B/node — 10^8 nodes ≈
+    1.6 GB). For frontiers beyond that, ``mode="blocks"`` (pointer
+    jumping, never materializes more than a hash partition) remains
+    the escape hatch; below it, contraction wins by an order of
+    magnitude (see BASELINE.md §round-3)."""
+    from ray.data.context import ShuffleStrategy
+    edges.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    ds = edges
+    n = n_parts
+    while True:
+        ds = (ds.repartition(n, keys=["doc_a"])
+                .map_batches(_star_forest_block, batch_format="pandas",
+                             batch_size=None)
+                .materialize())
+        if n == 1:
+            break
+        n = max(1, n // 8)
+    out = ds.to_pandas()
+    if out.empty:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "cluster_id": pd.Series([], dtype="int64")})
+    out = out.rename(columns={"doc_a": "doc_id", "doc_b": "cluster_id"})
+    return out.sort_values("doc_id").reset_index(drop=True) \
+        .astype({"doc_id": "int64", "cluster_id": "int64"})
+
+
+#: auto-mode switch: above this many distinct nodes in the edge set,
+#: per-key map_groups Python (O(nodes) per round) loses to whole-block
+#: vectorized rounds. Measured (32 CPUs, random graphs): at 5k nodes
+#: blocks already wins 4.9x (54.8 s vs 269.8 s); at 300 nodes (the
+#: sf0.01 dup frontier) groups wins ~4x (per-round fixed cost ~1.5 s
+#: vs ~4 s for the 3 keyed repartitions). Extrapolated crossover
+#: ~700-1000 nodes — see the mode docstring for the full curve.
+CC_BLOCKS_MIN_NODES = 1_000
+
+
 def connected_components(edges: ray.data.Dataset,
-                         max_iters: int = 64) -> pd.DataFrame:
+                         max_iters: int = 64,
+                         mode: str = "auto") -> pd.DataFrame:
     """DISTRIBUTED connected components over an (doc_a, doc_b) edge
     Dataset: iterative min-label propagation plus pointer-jumping label
     compression (label ← label(label)) each round, so convergence is
@@ -658,15 +815,38 @@ def connected_components(edges: ray.data.Dataset,
     Ray's sort aggregate ~20x slower (measured 27 s vs 1.3 s on the
     same 85k rows).
 
-    Why map_groups HERE when the one-shot stages avoid it: a keyed
-    hash repartition pays a shuffle-actor-pool setup per execution,
-    and an iterative algorithm executes 3 exchanges × O(log n) rounds
-    — the repartition variant measured 6.7x SLOWER end-to-end
-    (43 s vs 6.4 s on the sf0.01 cluster query). The per-group Python
-    cost is bounded by nodes-in-the-edge-set per round, which the
-    O(log n) round count keeps tolerable; if profiles ever show it
-    dominating on a giant edge set, batch the groups per sorted block
-    instead of per key.
+    THREE implementations behind the same interface, picked by
+    ``mode="auto"`` on the DISTINCT NODE COUNT of the edge set (free
+    metadata off the materialized initial labels):
+
+    * ``"groups"`` — per-key ``map_groups`` rounds. Cheap per round
+      (~1.5 s fixed at 32 CPUs: sort-aggregate, no repartition pool
+      spin-up) but the UDF cost is O(nodes) Python per round — right
+      for small dup frontiers (the sf0.01 cluster query, 300 nodes:
+      ~6.4 s total vs ~43 s for the repartition shape).
+    * ``"contract"`` — spanning-forest contraction (``_cc_contract``):
+      per-block union-find emits a star forest, partition count
+      shrinks geometrically, ~log8(parts) SINGLE keyed exchanges
+      total instead of 3 exchanges × O(log n) rounds. The default for
+      any non-tiny frontier; its one stated bound is the final merge
+      block (one row per distinct node on one worker, ~16 B/node —
+      fine to ~10^8 nodes).
+    * ``"blocks"`` — keyed hash repartition + WHOLE-BLOCK vectorized
+      pointer-jumping rounds (argsort + searchsorted label lookup per
+      block, zero per-group Python). Node-count-independent UDF cost
+      and never holds more than a hash partition anywhere — the
+      escape hatch beyond contract's final-merge bound.
+
+    Measured (32 CPUs, seeded random graphs, all modes pinned against
+    union-find): 5k nodes/100k edges — groups 269.8 s, blocks 54.8 s;
+    50k nodes/100k edges — groups exceeds a 600 s cap (one propagate
+    round alone measured 149 s), blocks 169.1 s; 500k nodes/1M edges —
+    both per-round modes exceed a 900 s cap (rounds × exchanges is the
+    structural cost, not Python). Contract replaces rounds with a
+    geometric fan-in — see BASELINE.md §round-3 for its numbers at the
+    same sizes. Groups-mode per-round Python cost fits ~3.5 ms/node on
+    top of its fixed cost, putting the groups↔distributed crossover
+    near ~10^3 nodes (``CC_BLOCKS_MIN_NODES``).
 
     Scale shape: every round shuffles only (key, aux, kind) integer
     triples bounded by |edges| + |nodes| — the edge set, which for
@@ -677,6 +857,13 @@ def connected_components(edges: ray.data.Dataset,
     with ≥1 edge.
     """
     from ray.data.aggregate import Min as _Min
+
+    if mode not in ("auto", "groups", "blocks", "contract"):
+        raise ValueError(f"unknown connected_components mode: {mode!r}")
+
+    if mode == "contract":
+        from ..util import cluster_cpus
+        return _cc_contract(edges, max(8, cluster_cpus()))
 
     empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                           "cluster_id": pd.Series([], dtype="int64")})
@@ -709,6 +896,22 @@ def connected_components(edges: ray.data.Dataset,
               .map_batches(init_labels, batch_format="pyarrow")
               .groupby("node").aggregate(_Min("label", alias_name="label"))
               .materialize())
+
+    if mode == "auto":
+        # groups-mode per-round UDF cost is O(nodes) Python; the node
+        # count is free metadata off the materialized initial labels.
+        # Above the crossover, CONTRACT (geometric fan-in, no rounds)
+        # is the measured winner — blocks stays the explicit escape
+        # hatch for frontiers past contract's final-merge bound.
+        if labels.count() >= CC_BLOCKS_MIN_NODES:
+            from ..util import cluster_cpus
+            return _cc_contract(edges, max(8, cluster_cpus()))
+        mode = "groups"
+    if mode == "blocks":
+        from ray.data.context import ShuffleStrategy
+        from ..util import cluster_cpus
+        edges_sym.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        n_parts = max(8, cluster_cpus())
     prev_sum = None
     for _ in range(max_iters):
         # propagate: node's label offered to itself + every neighbor
@@ -717,11 +920,21 @@ def connected_components(edges: ray.data.Dataset,
         # materialized: BOTH the jump queries and parents read `merged`,
         # and Ray re-executes un-materialized common sub-plans — without
         # this the round's dominant propagate shuffle runs twice
-        merged = (edges_sym.union(lab_rows)
-                  .groupby("key").map_groups(_propagate_group,
-                                             batch_format="pyarrow")
-                  .groupby("node").aggregate(_Min("label", alias_name="label"))
-                  .materialize())
+        if mode == "groups":
+            merged = (edges_sym.union(lab_rows)
+                      .groupby("key").map_groups(_propagate_group,
+                                                 batch_format="pyarrow")
+                      .groupby("node").aggregate(_Min("label", alias_name="label"))
+                      .materialize())
+        else:
+            merged = (edges_sym.union(lab_rows)
+                      .repartition(n_parts, keys=["key"])
+                      .map_batches(_offer_block, batch_format="pyarrow",
+                                   zero_copy_batch=True, batch_size=None)
+                      .repartition(n_parts, keys=["node"])
+                      .map_batches(_min_label_block, batch_format="pyarrow",
+                                   zero_copy_batch=True, batch_size=None)
+                      .materialize())
         # compress: label(node) ← label(label(node)) — pointer jumping.
         # kind=0 rows: (key=label, aux=node); kind=1: (key=node, aux=label)
         queries = merged.map_batches(
@@ -732,9 +945,17 @@ def connected_components(edges: ray.data.Dataset,
             batch_format="pyarrow")
         parents = merged.map_batches(
             lambda t: as_label_rows(t, "node", "label"), batch_format="pyarrow")
-        labels = (queries.union(parents)
-                  .groupby("key").map_groups(_jump_group, batch_format="pyarrow")
-                  .materialize())
+        if mode == "groups":
+            labels = (queries.union(parents)
+                      .groupby("key").map_groups(_jump_group,
+                                                 batch_format="pyarrow")
+                      .materialize())
+        else:
+            labels = (queries.union(parents)
+                      .repartition(n_parts, keys=["key"])
+                      .map_batches(_jump_block, batch_format="pyarrow",
+                                   zero_copy_batch=True, batch_size=None)
+                      .materialize())
         s = labels.sum("label")
         if s == prev_sum:
             break

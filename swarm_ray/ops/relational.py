@@ -32,6 +32,13 @@ def _read_events(sf_dir: str, columns=None) -> ray.data.Dataset:
     return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
 
 
+def _events_count(sf_dir: str) -> int:
+    """Events row count from the parquet footer (no data read) — sizes
+    the keyed partition counts below (see util.keyed_partition_count)."""
+    import pyarrow.parquet as pq
+    return pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+
+
 # ------------------------------------------------------------ parse (M2 analogue)
 
 def q_events_parse_props(sf_dir: str) -> ray.data.Dataset:
@@ -171,10 +178,14 @@ def q_events_sessionize(sf_dir: str) -> ray.data.Dataset:
     bot-grade hot keys that breaks — use ``q_events_sessionize_salted``
     (identical output, bounded groups)."""
     from ray.data.context import ShuffleStrategy
-    from ..util import cluster_cpus
+    from ..util import keyed_partition_count
     ds = _read_events(sf_dir, ["user_id", "ts", "event_id"])
     ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    return (ds.repartition(max(8, cluster_cpus()), keys=["user_id"])
+    # sized to the (user_id, ts, event_id) triple bytes as well as CPUs
+    # so one partition stays under the block-split threshold that would
+    # break the one-whole-partition-per-call invariant (ADVICE r2)
+    return (ds.repartition(keyed_partition_count(_events_count(sf_dir) * 40),
+                           keys=["user_id"])
             .map_batches(_sessionize_block, batch_format="pandas",
                          batch_size=None))
 
@@ -286,12 +297,12 @@ def q_events_sessionize_salted(sf_dir: str) -> ray.data.Dataset:
     actual timestamp gap. Exact — identical output to
     ``q_events_sessionize`` (same DuckDB oracle checks both)."""
     from ray.data.context import ShuffleStrategy
-    from ..util import cluster_cpus
+    from ..util import keyed_partition_count
 
     def add_day(t: pa.Table) -> pa.Table:
         return t.append_column("day", pc.floor_temporal(t["ts"], unit="day"))
 
-    nparts = max(8, cluster_cpus())
+    nparts = keyed_partition_count(_events_count(sf_dir) * 48)
     ds = _read_events(sf_dir, ["user_id", "ts", "event_id"])
     ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     buckets = (ds.map_batches(add_day, batch_format="pyarrow",
@@ -352,10 +363,11 @@ def q_events_asof_click(sf_dir: str) -> ray.data.Dataset:
     Same execution shape as sessionize: keyed hash repartition +
     whole-block vectorized pandas (grouped cummax/ffill/shift)."""
     from ray.data.context import ShuffleStrategy
-    from ..util import cluster_cpus
+    from ..util import keyed_partition_count
     ds = _read_events(sf_dir, ["user_id", "ts", "event_id", "event_type"])
     ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    return (ds.repartition(max(8, cluster_cpus()), keys=["user_id"])
+    return (ds.repartition(keyed_partition_count(_events_count(sf_dir) * 48),
+                           keys=["user_id"])
             .map_batches(_asof_block, batch_format="pandas",
                          batch_size=None))
 

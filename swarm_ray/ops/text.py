@@ -238,7 +238,8 @@ def q_doc_curation(sf_dir: str) -> ray.data.Dataset:
     # corpus scale it is bounded by distinct content, far too large
     # for the driver)
     from ray.data.context import ShuffleStrategy
-    from ..util import cluster_cpus
+    from ..util import keyed_partition_count
+    from .dedup import _docs_count
     hashed.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
 
     def keeper_lang_counts(df: pd.DataFrame) -> pd.DataFrame:
@@ -250,7 +251,11 @@ def q_doc_curation(sf_dir: str) -> ray.data.Dataset:
         return pd.DataFrame({"lang": vc.index, "n_docs": vc.to_numpy()}) \
             .astype({"n_docs": "int64"})
 
-    partials = (hashed.repartition(max(8, cluster_cpus()), keys=["text_md5"])
+    # sized to the (md5, id, lang) row bytes as well as CPUs so one
+    # partition stays under the block-split threshold (ADVICE r2)
+    partials = (hashed.repartition(
+                    keyed_partition_count(_docs_count(sf_dir) * 64),
+                    keys=["text_md5"])
                 .map_batches(keeper_lang_counts, batch_format="pandas",
                              batch_size=None))
     from ray.data.aggregate import Sum as _Sum

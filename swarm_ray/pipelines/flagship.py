@@ -137,7 +137,14 @@ def run_partition(plan: PartitionPlan, out_dir: str | Path,
 
     routed = build_routed(plan.input_files, ruleset, intel,
                           json_row_counter=counter, **build_kwargs)
-    write_routed(routed, part_out, ingest_id=ingest_id)
+    # heartbeat claim file for the long-running execution: a sibling
+    # job's clean_stale_partitions keys on the dir's newest mtime, and
+    # a long shuffle can go >30 min before the first parquet lands —
+    # the beat keeps a live run unreclaimable (ADVICE r2). The short
+    # count/metrics/commit steps after this leave fresh parquet mtimes.
+    from ..state.checkpoint import partition_heartbeat
+    with partition_heartbeat(part_out):
+        write_routed(routed, part_out, ingest_id=ingest_id)
 
     # ONE streaming pass executed; per-sink counts + schemas come from
     # the written Parquet footers — metadata-only, no re-execution, and

@@ -59,6 +59,20 @@ def compact_sink(sink_dir: str | Path,
             shutil.copy2(side, tmp / side.name)
 
     sink_dir.rename(pre)
+    # offline-only contract, now ENFORCED: if an ingest wrote new part
+    # files between the initial glob and the rename, they are sitting
+    # in ._pre and the rmtree below would destroy them — verify ._pre
+    # holds exactly the file set we compacted, else restore and abort
+    # (nothing lost; the sink is back verbatim, extras included).
+    expected = sorted(Path(f).name for f in files)
+    got = sorted(p.name for p in pre.glob("*.parquet"))
+    if got != expected:
+        pre.rename(sink_dir)
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"concurrent writer detected under {sink_dir}: part files "
+            f"changed during compaction ({len(got)} now vs {len(expected)} "
+            f"compacted) — sink restored untouched; re-run when idle")
     tmp.rename(sink_dir)
     shutil.rmtree(pre, ignore_errors=True)
     return {"rows": rows_before, "files_before": len(files),

@@ -144,10 +144,17 @@ def update_sink_schema(sink_dir: Path, new_schema: pa.Schema) -> pa.Schema:
     sink_dir.mkdir(parents=True, exist_ok=True)
     schema_file = sink_dir / "_schema.json"
     lock = sink_dir / "_schema.lock"
+    # ownership token: a >60s-but-alive holder can be taken over by a
+    # waiter; its release must then NOT unlink the new holder's lock
+    # (that would let a third writer enter the read-merge-write and
+    # lose a widen). The token check shrinks that hazard to the µs
+    # between read and unlink — vs the 60 s takeover threshold.
+    token = f"{_os.getpid()}-{uuid.uuid4().hex}"
     deadline = time.time() + _LOCK_TIMEOUT_S
     while True:
         try:
             fd = _os.open(lock, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
+            _os.write(fd, token.encode())
             _os.close(fd)
             break
         except FileExistsError:
@@ -178,5 +185,9 @@ def update_sink_schema(sink_dir: Path, new_schema: pa.Schema) -> pa.Schema:
         tmp.write_text(schema_to_json(merged))
         tmp.replace(schema_file)
     finally:
-        lock.unlink(missing_ok=True)
+        try:
+            if lock.read_text() == token:   # still ours — not taken over
+                lock.unlink(missing_ok=True)
+        except OSError:
+            pass                            # already broken/taken over
     return merged

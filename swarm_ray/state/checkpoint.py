@@ -125,6 +125,52 @@ def committed_files(out_dir: str | Path) -> set[str]:
 #: over a message (pkg/usecase/usecase.go:39, stateTimeout)
 STALE_GRACE_S = 1800
 
+#: claim file a live run keeps touching inside its partition dir
+HEARTBEAT_NAME = "_HEARTBEAT"
+HEARTBEAT_INTERVAL_S = 60.0
+
+
+def partition_heartbeat(part_dir: str | Path,
+                        interval_s: float = HEARTBEAT_INTERVAL_S):
+    """Context manager: drop a ``_HEARTBEAT`` claim file in the
+    partition dir and touch it from a daemon thread every
+    ``interval_s`` while the partition runs. Closes the ADVICE r2 gap
+    where ``clean_stale_partitions`` could reclaim a LIVE sibling's
+    in-flight partition that goes >30 min without any file mtime
+    changing (e.g. a long shuffle before the first parquet lands) —
+    the heartbeat keeps the dir's newest mtime fresh, and reclamation
+    already keys on that. Removed on clean exit; an abandoned dir's
+    heartbeat goes quiet and ages out like any other file."""
+    import contextlib
+    import threading
+
+    @contextlib.contextmanager
+    def _ctx():
+        d = Path(part_dir)
+        d.mkdir(parents=True, exist_ok=True)
+        hb = d / HEARTBEAT_NAME
+        stop = threading.Event()
+
+        def beat():
+            while not stop.wait(interval_s):
+                try:
+                    hb.touch()
+                except OSError:
+                    pass                    # dir raced away; next beat retries
+
+        hb.touch()
+        t = threading.Thread(target=beat, daemon=True,
+                             name=f"heartbeat-{d.name}")
+        t.start()
+        try:
+            yield hb
+        finally:
+            stop.set()
+            t.join(timeout=2)
+            hb.unlink(missing_ok=True)
+
+    return _ctx()
+
 
 def clean_stale_partitions(out_dir: str | Path,
                            planned_pids: set[str],

@@ -22,6 +22,30 @@ def cluster_cpus(default: int = 8) -> int:
     return int(ray.cluster_resources().get("CPU", default)) or default
 
 
+#: target on-heap bytes per keyed partition for stages that require
+#: one-whole-partition-per-map_batches-call (batch_size=None). Half of
+#: Ray's 128 MiB default target block size, so a partition block never
+#: approaches the threshold where the engine would split it — a split
+#: would let a key group straddle two calls and silently break the
+#: block-local aggregation those stages do.
+TARGET_PARTITION_BYTES = 64 << 20
+
+
+def keyed_partition_count(est_bytes: int | None = None,
+                          target_bytes: int = TARGET_PARTITION_BYTES,
+                          floor: int = 8) -> int:
+    """Partition count for keyed repartitions feeding batch_size=None
+    block-local stages (ADVICE r2): scales with BOTH cluster CPUs (so
+    every core gets work) AND the estimated bytes entering the shuffle
+    (so one partition stays well under the block-split threshold at
+    corpus scale). ``est_bytes=None`` → CPU floor only (bounded inputs
+    where the caller documents the size bound instead)."""
+    n = max(floor, cluster_cpus())
+    if est_bytes:
+        n = max(n, -(-est_bytes // target_bytes))   # ceil division
+    return n
+
+
 def autoscaling_pool(frac: float = 1.0, min_size: int = 1,
                      cap: int | None = None) -> tuple[int, int]:
     """(min, max) actor-pool size scaled to the cluster.

@@ -180,6 +180,43 @@ def test_compact_sink_roundtrip(ray_session, tmp_path):
     assert sink.exists() and not pre.exists()
 
 
+def test_compact_sink_aborts_on_concurrent_writer(ray_session, tmp_path,
+                                                  monkeypatch):
+    """The offline-only contract is enforced: a part file that lands
+    between compact's initial glob and the directory swap must abort
+    the swap and restore the sink verbatim — extras included."""
+    import pyarrow as pa
+
+    from swarm_ray.sinks import compact as compact_mod
+
+    sink = tmp_path / "sink_table=t"
+    sink.mkdir()
+    t = pa.table({"x": pa.array([1, 2, 3], type=pa.int64())})
+    pq.write_table(t, sink / "part-a.parquet")
+    pq.write_table(t, sink / "part-b.parquet")
+    (sink / "_schema.json").write_text("{}")      # sidecar → copy2 runs
+
+    real_copy2 = compact_mod.shutil.copy2
+    hit = {"n": 0}
+
+    def racing_copy2(src, dst):
+        # first sidecar copy = the window between glob and rename:
+        # a concurrent ingest drops a new part file into the sink
+        if hit["n"] == 0:
+            pq.write_table(t, sink / "part-concurrent.parquet")
+        hit["n"] += 1
+        return real_copy2(src, dst)
+
+    monkeypatch.setattr(compact_mod.shutil, "copy2", racing_copy2)
+    with pytest.raises(RuntimeError, match="concurrent writer"):
+        compact_mod.compact_sink(sink, target_rows_per_file=10)
+    # sink restored untouched, concurrent file preserved, no residue
+    assert sorted(p.name for p in sink.glob("*.parquet")) == \
+        ["part-a.parquet", "part-b.parquet", "part-concurrent.parquet"]
+    assert not sink.with_name(sink.name + "._pre").exists()
+    assert not sink.with_name(sink.name + "._compact").exists()
+
+
 def test_cli_report(ray_session, tmp_path, capsys):
     from swarm_ray.cli import main
 

@@ -51,6 +51,49 @@ def test_lsh_ann_recall():
     assert recall >= 0.6, f"LSH recall {recall:.2f} below floor"
 
 
+@pytest.mark.parametrize("query_fn,fixture_fn", [
+    ("q_lsh_ann", "lsh_candidates_expected_dir"),
+    ("q_knn_ivf", "ivf_candidates_expected_dir"),
+])
+def test_ann_matches_candidate_rank_oracle(tmp_path, monkeypatch,
+                                           query_fn, fixture_fn):
+    """The engine's distributed bucket→score→fold plan must equal
+    DuckDB ranking the fixture-derived candidate set by
+    list_cosine_similarity (the emb_lsh_ann / emb_ivf_ann oracles)."""
+    import duckdb
+
+    from swarm_ray import fixtures
+
+    monkeypatch.setattr(fixtures, "FIXTURE_ROOT", tmp_path / "fx")
+    got = getattr(ann, query_fn)(SF).to_pandas() \
+        .sort_values(["query_vec_id", "rank"]).reset_index(drop=True)
+    cand = getattr(fixtures, fixture_fn)(SF) / "expected.parquet"
+    want = duckdb.sql(f"""
+        WITH c AS (
+          SELECT query_vec_id, vec_id FROM read_parquet('{cand}')
+          WHERE vec_id <> query_vec_id
+        ), e AS (
+          SELECT vec_id, embedding FROM read_parquet('{SF}/embeddings.parquet')
+        ), scored AS (
+          SELECT c.query_vec_id, c.vec_id,
+            list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                   CAST(e2.embedding AS DOUBLE[])) AS sim
+          FROM c JOIN e q ON q.vec_id = c.query_vec_id
+                 JOIN e e2 ON e2.vec_id = c.vec_id
+        ), ranked AS (
+          SELECT query_vec_id, vec_id,
+            ROW_NUMBER() OVER (PARTITION BY query_vec_id
+                               ORDER BY sim DESC, vec_id ASC) AS rank
+          FROM scored
+        )
+        SELECT query_vec_id, rank, vec_id AS neighbor_vec_id
+        FROM ranked WHERE rank <= {ann.TOP_K}
+        ORDER BY query_vec_id, rank
+    """).df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), want.astype("int64"))
+
+
 def test_near_dup_pairs_symmetric_and_thresholded():
     pairs = ann.q_emb_near_dup(SF)
     assert (pairs["vec_a"] < pairs["vec_b"]).all()

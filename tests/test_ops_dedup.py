@@ -67,6 +67,25 @@ def test_minhash_lsh_recall_and_precision(tmp_path):
     assert len(found) >= 0.9 * len(planted), (len(found), len(planted))
 
 
+def test_minhash_pairs_match_fixture_recompute(tmp_path, monkeypatch):
+    """The engine's distributed LSH pipeline must produce BIT-IDENTICAL
+    pairs to the fixture generator's independent single-process
+    recompute (the doc_minhash_pairs differential oracle)."""
+    import pyarrow.parquet as pq
+
+    from swarm_ray import fixtures
+
+    monkeypatch.setattr(fixtures, "FIXTURE_ROOT", tmp_path / "fx")
+    sf, _ = _planted_corpus(tmp_path)
+    got = dedup.q_minhash_pairs(sf) \
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    exp = pq.read_table(
+        fixtures.minhash_pairs_expected_dir(sf) / "expected.parquet"
+    ).to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    assert len(exp) > 0                        # planted dups must verify
+    pd.testing.assert_frame_equal(got, exp)
+
+
 def test_exact_dedup_on_real_duplicates(tmp_path):
     df = pd.DataFrame({
         "doc_id": [1, 2, 3, 4],
@@ -185,20 +204,22 @@ def test_minhash_verify_large_frontier_no_driver_dict(tmp_path, ray_session,
     assert all(j >= dedup.JACCARD_TAU_MILLI for j in got["jaccard_milli"])
 
 
-def test_connected_components_matches_union_find(ray_session):
+@pytest.mark.parametrize("mode", ["groups", "blocks", "contract"])
+def test_connected_components_matches_union_find(ray_session, mode):
     import pyarrow as pa
     import ray.data as rd
     from swarm_ray.ops.dedup import connected_components, union_find_clusters
     # chain + triangle + isolated pair + shared-min overlap
     pairs = pd.DataFrame({"doc_a": [1, 2, 3, 10, 11, 10, 20, 30, 31],
                           "doc_b": [2, 3, 4, 11, 12, 12, 21, 31, 32]})
-    got = connected_components(rd.from_arrow(pa.Table.from_pandas(pairs)))
+    got = connected_components(rd.from_arrow(pa.Table.from_pandas(pairs)),
+                               mode=mode)
     assert got.equals(union_find_clusters(pairs))
     # empty edge set
     empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                           "doc_b": pd.Series([], dtype="int64")})
     assert len(connected_components(rd.from_arrow(
-        pa.Table.from_pandas(empty)))) == 0
+        pa.Table.from_pandas(empty)), mode=mode)) == 0
 
 
 def test_dup_clusters_minhash_matches_union_find(ray_session):
@@ -209,8 +230,10 @@ def test_dup_clusters_minhash_matches_union_find(ray_session):
     assert got.equals(want)
 
 
-def test_connected_components_random_graphs(ray_session):
-    """Seeded random graphs (varying density) vs union-find."""
+@pytest.mark.parametrize("mode", ["groups", "blocks", "contract"])
+def test_connected_components_random_graphs(ray_session, mode):
+    """Seeded random graphs (varying density) vs union-find, both round
+    implementations."""
     import pyarrow as pa
     import ray.data as rd
     from swarm_ray.ops.dedup import connected_components, union_find_clusters
@@ -221,5 +244,6 @@ def test_connected_components_random_graphs(ray_session):
         keep = a != b
         pairs = pd.DataFrame({"doc_a": np.minimum(a, b)[keep].astype("int64"),
                               "doc_b": np.maximum(a, b)[keep].astype("int64")})
-        got = connected_components(rd.from_arrow(pa.Table.from_pandas(pairs)))
+        got = connected_components(rd.from_arrow(pa.Table.from_pandas(pairs)),
+                                   mode=mode)
         assert got.equals(union_find_clusters(pairs))
