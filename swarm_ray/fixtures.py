@@ -744,3 +744,94 @@ def media_dir(label: str) -> Path:
 
 def media_files(label: str) -> list[str]:
     return sorted(str(p) for p in media_dir(label).glob("*.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# Expected sequence-packing fixture (the seq_pack oracle side)
+# ---------------------------------------------------------------------------
+
+PACK_FIXTURE_VERSION = 1
+
+
+def seq_pack_expected_dir(sf_dir: str | os.PathLike) -> Path:
+    """Generator-side expected output for ``seq_pack``: an INDEPENDENT
+    single-process recompute of the greedy first-fit-decreasing packer
+    over the sequences corpus. The packing plan is fully deterministic
+    — groups are stable doc_idx ranges (``doc_idx // PACK_GROUP``),
+    rows order by doc_id within a group, placement order is length-desc
+    with doc_id order breaking ties — so this is an exact differential
+    oracle (the ``minhash_pairs_expected_dir`` recipe). The placement
+    below is a flat per-sequence first-fit scan over an open-bin
+    remaining-capacity array, re-derived independently of the engine's
+    groupby plan. Bit-equality of engine vs recompute is pinned by
+    tests/test_ops_tokens.py."""
+    from .ops.tokens import PACK_CAPACITY, PACK_GROUP
+
+    label = label_for_sf_dir(sf_dir)
+    out = FIXTURE_ROOT / label / "seq_pack_expected"
+    meta = out / "_FIXTURE.json"
+    t = pq.read_table(sequences_files(label), columns=["doc_id", "n_tok"])
+    if meta.exists():
+        try:
+            m = json.loads(meta.read_text())
+            if (m["rows"] == len(t)
+                    and m.get("version") == PACK_FIXTURE_VERSION):
+                return out
+        except Exception:
+            pass
+        shutil.rmtree(out, ignore_errors=True)
+
+    import pandas as pd
+    df = t.to_pandas().sort_values("doc_id")
+    idx = df["doc_id"].str.extract(r"doc-(\d+)", expand=False).astype("int64")
+    df["pack_group"] = idx // PACK_GROUP
+
+    cols: dict[str, list] = {"bin_id": [], "n_seqs": [], "used_tok": [],
+                             "capacity": [], "pack_group": []}
+    for grp, g in df.groupby("pack_group", sort=True):
+        lens = g["n_tok"].to_numpy().astype(np.int64)
+        rem = np.empty(len(lens), dtype=np.int64)     # open-bin remaining cap
+        counts = np.zeros(len(lens), dtype=np.int64)
+        n_bins = 0
+        for i in np.argsort(-lens, kind="stable"):
+            length = int(lens[i])
+            if length > PACK_CAPACITY:        # over-long: dedicated bin
+                rem[n_bins] = 0
+                counts[n_bins] = 1
+                n_bins += 1
+                continue
+            fits = rem[:n_bins] >= length
+            if n_bins and fits.any():
+                b = int(np.argmax(fits))      # first open bin with room
+                rem[b] -= length
+                counts[b] += 1
+            else:
+                rem[n_bins] = PACK_CAPACITY - length
+                counts[n_bins] = 1
+                n_bins += 1
+        anchor = g["doc_id"].iloc[0]          # min doc_id (group is sorted)
+        cols["bin_id"].extend(f"{anchor}#{b:06d}" for b in range(n_bins))
+        cols["n_seqs"].extend(counts[:n_bins].tolist())
+        cols["used_tok"].extend((PACK_CAPACITY - rem[:n_bins]).tolist())
+        cols["capacity"].extend([PACK_CAPACITY] * n_bins)
+        cols["pack_group"].extend([int(grp)] * n_bins)
+
+    exp = pa.table({
+        "bin_id": pa.array(cols["bin_id"], type=pa.string()),
+        "n_seqs": pa.array(cols["n_seqs"], type=pa.int64()),
+        "used_tok": pa.array(cols["used_tok"], type=pa.int64()),
+        "capacity": pa.array(cols["capacity"], type=pa.int64()),
+        "pack_group": pa.array(cols["pack_group"], type=pa.int64()),
+    })
+    tmp = out.with_name(out.name + ".tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    tmp.mkdir(parents=True)
+    pq.write_table(exp, tmp / "expected.parquet")
+    (tmp / "_FIXTURE.json").write_text(json.dumps(
+        {"rows": len(t), "version": PACK_FIXTURE_VERSION}))
+    out.parent.mkdir(parents=True, exist_ok=True)
+    if out.exists():
+        shutil.rmtree(tmp, ignore_errors=True)
+    else:
+        os.replace(tmp, out)
+    return out

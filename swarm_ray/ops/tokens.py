@@ -12,8 +12,10 @@ training-data pipeline runs on the ACTUAL token arrays (the
   (each input block packs independently, bins never span blocks) —
   the documented partitioning assumption that makes it
   embarrassingly parallel; a global packer would serialize the
-  corpus for ~1% utilization gain. Deterministic per block ⇒
-  rows-only for the driver; invariants pinned by pytest.
+  corpus for ~1% utilization gain. Deterministic per group ⇒
+  SQL-checked against an independent fixture recompute
+  (``fixtures.seq_pack_expected_dir``); invariants also pinned by
+  pytest and by the ``seq_pack_stats`` input-side oracle.
 """
 
 from __future__ import annotations
@@ -182,6 +184,18 @@ def q_seq_pack(sf_dir: str, capacity: int = PACK_CAPACITY) -> ray.data.Dataset:
             .map_groups(pack_group, batch_format="pandas"))
 
 
+def q_seq_pack_checked(sf_dir: str) -> ray.data.Dataset:
+    """Driver-facing ``seq_pack``: same engine pipeline, plus it
+    materializes the generator-side expected-bins fixture so the DuckDB
+    oracle (an independent single-process recompute of the whole
+    deterministic FFD plan — ``fixtures.seq_pack_expected_dir``) has
+    its table on disk. Stable group keys + stable sorts make the
+    placement parallelism-independent, so the oracle compare is exact,
+    not statistical."""
+    fixtures.seq_pack_expected_dir(sf_dir)
+    return q_seq_pack(sf_dir)
+
+
 def q_seq_pack_stats(sf_dir: str, capacity: int = PACK_CAPACITY) -> ray.data.Dataset:
     """Conservation invariants of the packer, per packing group, routed
     THROUGH the packed output: sum of packed sequences per group must
@@ -202,16 +216,28 @@ def q_seq_pack_stats(sf_dir: str, capacity: int = PACK_CAPACITY) -> ray.data.Dat
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "seq_token_topk": q_token_topk,
-        "seq_pack": q_seq_pack,        # rows-only (placement itself)
+        "seq_pack": q_seq_pack_checked,
         "seq_pack_stats": q_seq_pack_stats,
         "seq_sample": q_seq_sample,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    from ..fixtures import label_for_sf_dir, oracle_sf_dir, sequences_dir
+    from ..fixtures import (FIXTURE_ROOT, label_for_sf_dir, oracle_sf_dir,
+                            sequences_dir)
     glob = str(sequences_dir(label_for_sf_dir(oracle_sf_dir())) / "*.parquet")
+    # seq_pack: differential oracle — the generator-side independent
+    # FFD recompute (fixtures.seq_pack_expected_dir, materialized by
+    # the queries() wrapper; deterministic via stable group keys and
+    # sorts). Conservation invariants are additionally SQL-checked
+    # from the raw INPUT via seq_pack_stats below.
+    pack_glob = str(FIXTURE_ROOT / label_for_sf_dir(oracle_sf_dir())
+                    / "seq_pack_expected" / "*.parquet")
     return {
+        "seq_pack": f"""
+            SELECT bin_id, n_seqs, used_tok, capacity, pack_group
+            FROM read_parquet('{pack_glob}')
+        """,
         "seq_pack_stats": f"""
             SELECT CAST(regexp_extract(doc_id, 'doc-(\\d+)', 1) AS BIGINT)
                      // {PACK_GROUP} AS pack_group,

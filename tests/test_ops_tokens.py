@@ -53,3 +53,19 @@ def test_seq_pack_deterministic_across_runs(ray_session):
     total_rows = sum(pq.read_metadata(f).num_rows
                      for f in fixtures.sequences_files("sf0.001"))
     assert a["n_seqs"].sum() == total_rows
+
+
+def test_seq_pack_matches_fixture_recompute(ray_session, tmp_path, monkeypatch):
+    """The engine's distributed groupby-FFD plan must produce
+    BIT-IDENTICAL bins to the fixture generator's independent
+    single-process recompute (the seq_pack differential oracle)."""
+    monkeypatch.setattr(fixtures, "FIXTURE_ROOT", tmp_path / "fx")
+    got = q_seq_pack("/tmp/x/sf0.001").to_pandas() \
+        .sort_values("bin_id").reset_index(drop=True) \
+        [["bin_id", "n_seqs", "used_tok", "capacity", "pack_group"]]
+    exp = pq.read_table(
+        fixtures.seq_pack_expected_dir("/tmp/x/sf0.001") / "expected.parquet"
+    ).to_pandas().sort_values("bin_id").reset_index(drop=True)
+    assert len(exp) > 0
+    import pandas as pd
+    pd.testing.assert_frame_equal(got, exp)
