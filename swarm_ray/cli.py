@@ -189,6 +189,23 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--out", required=True, help="job output dir")
     pr.set_defaults(fn=cmd_report)
 
+    pv = sub.add_parser(
+        "serve", help="push-plane HTTP server: POST /event/pubsub/{cs,swarm} "
+                      "envelopes trigger checkpointed ingest")
+    pv.add_argument("--out", required=True, help="checkpoint/output dir "
+                    "(shared with job mode — push and pull workers may "
+                    "drain the same spool)")
+    pv.add_argument("--rules", help="rules file/dir (YAML or JSON)")
+    pv.add_argument("--host", default="127.0.0.1")
+    pv.add_argument("--port", type=int, default=8080)
+    pv.add_argument("--max-inflight", type=int, default=4,
+                    help="concurrent ingests before shedding 429")
+    pv.add_argument("--request-auth-rules", dest="serve_auth_rules",
+                    help="per-REQUEST auth policy (M7) evaluated over "
+                         "each HTTP request; deny -> 401")
+    from .serve import cmd_serve
+    pv.set_defaults(fn=cmd_serve)
+
     args = p.parse_args(argv)
 
     if args.auth_rules:
