@@ -835,3 +835,77 @@ def seq_pack_expected_dir(sf_dir: str | os.PathLike) -> Path:
     else:
         os.replace(tmp, out)
     return out
+
+
+# ---------------------------------------------------------------------------
+# PII documents fixture (planted emails / phone numbers / IPv4s)
+# ---------------------------------------------------------------------------
+
+PII_FIXTURE_VERSION = 1
+PII_SEED = 4242
+
+_PII_WORDS = ("report", "meeting", "notes", "draft", "summary", "agenda",
+              "update", "review", "plan", "status", "follow", "action")
+_PII_NAMES = ("alex", "sam", "jordan", "casey", "riley", "quinn")
+_PII_DOMAINS = ("example.com", "mail.test", "corp.example.org")
+
+
+def pii_rows_for_label(label: str) -> int:
+    return max(500, rows_for_label(label) // 50)
+
+
+def pii_documents_dir(label: str) -> Path:
+    """Synthetic corpus with PLANTED PII spans (emails, 555-prefixed
+    phone numbers, private-range IPv4s) mixed into word salad — the
+    documents tables carry no PII-shaped strings, and a redaction op
+    verified only on zero-match inputs would prove nothing. Planting
+    is seeded + deterministic, so the engine's Arrow-RE2 redaction and
+    the DuckDB-RE2 oracle both read THIS corpus and must agree
+    span-for-span (both engines compile the same RE2 syntax)."""
+    n_rows = pii_rows_for_label(label)
+    out = FIXTURE_ROOT / label / "pii_documents"
+    meta = out / "_FIXTURE.json"
+    if meta.exists():
+        try:
+            m = json.loads(meta.read_text())
+            if (m["rows"] == n_rows
+                    and m.get("version") == PII_FIXTURE_VERSION):
+                return out
+        except Exception:
+            pass
+        shutil.rmtree(out, ignore_errors=True)
+
+    rng = np.random.default_rng(PII_SEED)
+    texts = []
+    for i in range(n_rows):
+        words = list(rng.choice(_PII_WORDS, size=int(rng.integers(8, 40))))
+        for _ in range(int(rng.integers(0, 3))):       # emails
+            who = _PII_NAMES[int(rng.integers(len(_PII_NAMES)))]
+            dom = _PII_DOMAINS[int(rng.integers(len(_PII_DOMAINS)))]
+            words.insert(int(rng.integers(len(words) + 1)),
+                         f"{who}.{int(rng.integers(100))}@{dom}")
+        for _ in range(int(rng.integers(0, 3))):       # phones
+            words.insert(int(rng.integers(len(words) + 1)),
+                         f"555-{int(rng.integers(1000)):03d}-"
+                         f"{int(rng.integers(10000)):04d}")
+        for _ in range(int(rng.integers(0, 3))):       # IPv4s
+            words.insert(int(rng.integers(len(words) + 1)),
+                         f"10.{int(rng.integers(256))}."
+                         f"{int(rng.integers(256))}.{int(rng.integers(256))}")
+        texts.append(" ".join(words))
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n_rows, dtype=np.int64)),
+        "text": pa.array(texts, type=pa.string()),
+    })
+    tmp = out.with_name(out.name + ".tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    tmp.mkdir(parents=True)
+    pq.write_table(t, tmp / "part-00000.parquet")
+    (tmp / "_FIXTURE.json").write_text(json.dumps(
+        {"rows": n_rows, "version": PII_FIXTURE_VERSION}))
+    out.parent.mkdir(parents=True, exist_ok=True)
+    if out.exists():
+        shutil.rmtree(tmp, ignore_errors=True)
+    else:
+        os.replace(tmp, out)
+    return out

@@ -22,6 +22,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_curation": text.q_doc_curation,
         "doc_tokenize": text.q_doc_tokenize,
         "doc_split": text.q_doc_split,
+        "doc_decontaminate": text.q_doc_decontaminate,
+        "doc_pii_redact": text.q_doc_pii,
         # dedup family
         "doc_dedup_exact": dedup.q_dedup_exact,
         "doc_simhash": dedup.q_simhash,
@@ -58,7 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from . import sql
+    from . import sql, text
 
     out: dict[str, str] = {
         "doc_token_count": sql.SQL_DOC_TOKEN_COUNT,
@@ -68,6 +70,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_curation": sql.SQL_DOC_CURATION,
         "doc_tokenize": sql.SQL_DOC_TOKENIZE,
         "doc_split": sql.SQL_DOC_SPLIT,
+        "doc_decontaminate": sql.SQL_DOC_DECON,
+        "doc_pii_redact": text.pii_oracle_sql(),
         "doc_dedup_exact": sql.SQL_DEDUP_EXACT,
         "doc_simhash": sql.SQL_SIMHASH,
         "doc_jaccard_pairs": sql.SQL_JACCARD_PAIRS,

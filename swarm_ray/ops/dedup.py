@@ -72,12 +72,11 @@ def q_dedup_exact(sf_dir: str) -> ray.data.Dataset:
     is pure overhead (no combining happens): a keyed hash repartition
     + block-local Arrow aggregate measured 2.6x faster at 1.2M docs
     and scales with partitions instead of sort width."""
-    from ray.data.context import ShuffleStrategy
-    from ..util import keyed_partition_count
+    from ..util import enable_hash_shuffle, keyed_partition_count
 
     hashed = _read_docs(sf_dir).map_batches(
         _hash_batch, batch_format="pyarrow", zero_copy_batch=True)
-    hashed.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    enable_hash_shuffle(hashed)
     # partition count scales with CPUs AND bytes entering the shuffle
     # (~56 B per (md5-hex, id) pair) so one partition never nears the
     # block-split threshold that would break block_agg's one-whole-
@@ -321,8 +320,8 @@ def _block_pairs(t: pa.Table) -> pa.Table:
 
 
 def minhash_candidate_pairs(sf_dir: str) -> ray.data.Dataset:
-    from ray.data.context import ShuffleStrategy
-    from ..util import autoscaling_pool, keyed_partition_count
+    from ..util import (autoscaling_pool, enable_hash_shuffle,
+                        keyed_partition_count)
     bands = _read_docs(sf_dir).map_batches(
         MinHashBands, batch_format="pandas", batch_size=1024,
         concurrency=autoscaling_pool())
@@ -331,7 +330,7 @@ def minhash_candidate_pairs(sf_dir: str) -> ray.data.Dataset:
     # (one whole block per call, so buckets never straddle a batch).
     # Partition count sized to the band-triple bytes (~50 B × BANDS per
     # doc) as well as CPUs — see keyed_partition_count (ADVICE r2).
-    bands.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    enable_hash_shuffle(bands)
     bucketed = bands.repartition(
         keyed_partition_count(_docs_count(sf_dir) * BANDS * 50),
         keys=["band_id", "band_hash"])
@@ -533,8 +532,7 @@ def _verify_repartition(cand_ds: ray.data.Dataset,
     hash repartitions, each verified block-locally. Pair rows carry
     shingles_a through the second exchange (~0.7 KB/pair) — the price
     of joining without a broadcast, linear in the candidate set."""
-    from ray.data.context import ShuffleStrategy
-    from ..util import keyed_partition_count
+    from ..util import enable_hash_shuffle, keyed_partition_count
 
     # unique candidate doc ids: per-block unique → tiny driver union
     def block_ids(t: pa.Table) -> pa.Table:
@@ -576,7 +574,7 @@ def _verify_repartition(cand_ds: ray.data.Dataset,
     # cand_ds is materialized by the caller, so count() is metadata
     n_parts = keyed_partition_count(cand_ds.count() * 750)
     merged = pairs_tagged.union(sets_tagged)
-    merged.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    enable_hash_shuffle(merged)
     # round 1: co-locate each pair with doc_a's shingle set; batch_size
     # =None is load-bearing (one whole partition per call, so a key
     # group never straddles a batch — same invariant as _block_pairs)
@@ -764,8 +762,8 @@ def _cc_contract(edges: ray.data.Dataset, n_parts: int) -> pd.DataFrame:
     jumping, never materializes more than a hash partition) remains
     the escape hatch; below it, contraction wins by an order of
     magnitude (see BASELINE.md §round-3)."""
-    from ray.data.context import ShuffleStrategy
-    edges.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    from ..util import enable_hash_shuffle
+    enable_hash_shuffle(edges)
     ds = edges
     n = n_parts
     while True:
@@ -908,9 +906,8 @@ def connected_components(edges: ray.data.Dataset,
             return _cc_contract(edges, max(8, cluster_cpus()))
         mode = "groups"
     if mode == "blocks":
-        from ray.data.context import ShuffleStrategy
-        from ..util import cluster_cpus
-        edges_sym.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        from ..util import cluster_cpus, enable_hash_shuffle
+        enable_hash_shuffle(edges_sym)
         n_parts = max(8, cluster_cpus())
     prev_sum = None
     for _ in range(max_iters):

@@ -177,10 +177,9 @@ def q_events_sessionize(sf_dir: str) -> ray.data.Dataset:
     Partitioning assumption: one user's events fit one block. For
     bot-grade hot keys that breaks — use ``q_events_sessionize_salted``
     (identical output, bounded groups)."""
-    from ray.data.context import ShuffleStrategy
-    from ..util import keyed_partition_count
+    from ..util import enable_hash_shuffle, keyed_partition_count
     ds = _read_events(sf_dir, ["user_id", "ts", "event_id"])
-    ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    enable_hash_shuffle(ds)
     # sized to the (user_id, ts, event_id) triple bytes as well as CPUs
     # so one partition stays under the block-split threshold that would
     # break the one-whole-partition-per-call invariant (ADVICE r2)
@@ -296,15 +295,14 @@ def q_events_sessionize_salted(sf_dir: str) -> ray.data.Dataset:
     user, merging sessions that straddle bucket boundaries by their
     actual timestamp gap. Exact — identical output to
     ``q_events_sessionize`` (same DuckDB oracle checks both)."""
-    from ray.data.context import ShuffleStrategy
-    from ..util import keyed_partition_count
+    from ..util import enable_hash_shuffle, keyed_partition_count
 
     def add_day(t: pa.Table) -> pa.Table:
         return t.append_column("day", pc.floor_temporal(t["ts"], unit="day"))
 
     nparts = keyed_partition_count(_events_count(sf_dir) * 48)
     ds = _read_events(sf_dir, ["user_id", "ts", "event_id"])
-    ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    enable_hash_shuffle(ds)
     buckets = (ds.map_batches(add_day, batch_format="pyarrow",
                               zero_copy_batch=True)
                .repartition(nparts, keys=["user_id", "day"])
@@ -362,10 +360,9 @@ def q_events_asof_click(sf_dir: str) -> ray.data.Dataset:
     deterministic under timestamp ties, identical in the SQL window.
     Same execution shape as sessionize: keyed hash repartition +
     whole-block vectorized pandas (grouped cummax/ffill/shift)."""
-    from ray.data.context import ShuffleStrategy
-    from ..util import keyed_partition_count
+    from ..util import enable_hash_shuffle, keyed_partition_count
     ds = _read_events(sf_dir, ["user_id", "ts", "event_id", "event_type"])
-    ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    enable_hash_shuffle(ds)
     return (ds.repartition(keyed_partition_count(_events_count(sf_dir) * 48),
                            keys=["user_id"])
             .map_batches(_asof_block, batch_format="pandas",
@@ -603,12 +600,12 @@ def q_tpch_priority_revenue(sf_dir: str) -> ray.data.Dataset:
     dimension joins broadcast (q_tpch_nation_orders); fact joins hash
     co-partition both sides on the key — the 100 TB plan, where
     num_partitions scales with the cluster."""
-    from ..util import cluster_cpus
+    from ..util import cluster_cpus, enable_hash_shuffle
     li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
                                columns=["l_orderkey", "l_extendedprice"])
     orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
                                    columns=["o_orderkey", "o_orderpriority"])
-    li.context.shuffle_strategy = ray.data.context.ShuffleStrategy.HASH_SHUFFLE
+    enable_hash_shuffle(li)
 
     def cents(t: pa.Table) -> pa.Table:
         return pa.table({

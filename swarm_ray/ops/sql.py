@@ -182,3 +182,30 @@ SELECT CASE WHEN bucket = 8 THEN 'val'
        lang, COUNT(*)::BIGINT AS n_docs
 FROM b GROUP BY 1, 2
 """
+
+
+# train/eval contamination: verbatim 8-gram overlap between the test
+# split (md5 bucket 9) and train docs (buckets 0-7); val excluded.
+# Shingle semantics match the engine: docs shorter than K words
+# contribute their whole text as the single shingle.
+SQL_DOC_DECON = """
+WITH b AS (
+  SELECT doc_id,
+    CAST(CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+         AS UBIGINT) % 10 AS INTEGER) AS bucket,
+    string_split(text, ' ') AS words
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, bucket,
+    unnest(list_transform(
+      range(1, greatest(len(words) - 7, 1) + 1),
+      i -> array_to_string(words[i:i+7], ' '))) AS shingle
+  FROM b WHERE bucket <> 8
+), t AS (
+  SELECT DISTINCT shingle FROM sh WHERE bucket = 9
+)
+SELECT s.doc_id, COUNT(*)::BIGINT AS n_overlap
+FROM sh s JOIN t USING (shingle)
+WHERE s.bucket < 8
+GROUP BY s.doc_id
+"""

@@ -237,10 +237,9 @@ def q_doc_curation(sf_dir: str) -> ray.data.Dataset:
     # keeper⋈lang join at all (the keeper set stays distributed; at
     # corpus scale it is bounded by distinct content, far too large
     # for the driver)
-    from ray.data.context import ShuffleStrategy
-    from ..util import keyed_partition_count
+    from ..util import enable_hash_shuffle, keyed_partition_count
     from .dedup import _docs_count
-    hashed.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    enable_hash_shuffle(hashed)
 
     def keeper_lang_counts(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
@@ -359,3 +358,168 @@ def q_doc_tokenize(sf_dir: str) -> ray.data.Dataset:
     return _read_docs(sf_dir).map_batches(
         HashTokenizer, batch_format="pandas",
         batch_size=2048, concurrency=autoscaling_pool())
+
+
+# ------------------------------------------------------------ decontamination
+
+#: words per contamination shingle (8-gram overlap is the common
+#: train/eval contamination test in LLM data pipelines)
+DECON_K = 8
+
+
+def q_doc_decontaminate(sf_dir: str) -> ray.data.Dataset:
+    """Train/eval CONTAMINATION check: which training documents share a
+    verbatim ``DECON_K``-word shingle with the held-out test split
+    (the ``doc_split`` buckets: md5(doc_id)%10 — 9=test is the
+    benchmark side, <8=train is the audited side; val is excluded).
+    Output: (doc_id, n_overlap = distinct overlapping shingles) for
+    every contaminated train doc — the standard decontamination pass a
+    pre-training pipeline runs before the corpus ships.
+
+    Scale shape: NO broadcast of the benchmark side (eval suites are
+    small in practice, but a held-out corpus split is not) — both
+    sides' distinct shingles flow into ONE keyed repartition on the
+    shingle string, and membership resolves block-locally (dictionary
+    codes + np.isin); only (train doc_id) ints leave the match stage,
+    then a tiny groupby-count. The same shingle-join shape a 100 TB
+    decontamination run needs, and the same keyed-partition sizing
+    rule as the other block-local stages (util.keyed_partition_count).
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..stages.ids import md5_hex
+    from ..util import enable_hash_shuffle, keyed_partition_count
+    from .agg import grouped_count
+    from .dedup import _docs_count
+
+    def shingle_rows(t: pa.Table) -> pa.Table:
+        """Per-doc DISTINCT shingles, tagged test(0)/train(1). The
+        per-row set build mirrors the measured-and-kept pattern of the
+        MinHash shingler (short docs: a Python set beats explode)."""
+        h = md5_hex(t["doc_id"].combine_chunks().cast(pa.string()))
+        buckets = [int(x[:8], 16) % 10 for x in h.to_pylist()]
+        sh: list[str] = []
+        docs: list[int] = []
+        kinds: list[int] = []
+        for doc, b, text in zip(t["doc_id"].to_pylist(), buckets,
+                                t["text"].to_pylist()):
+            if b == 8:                      # val: neither side
+                continue
+            words = text.split(" ")
+            if len(words) < DECON_K:
+                grams = {" ".join(words)}
+            else:
+                grams = {" ".join(words[i:i + DECON_K])
+                         for i in range(len(words) - DECON_K + 1)}
+            kind = 0 if b == 9 else 1
+            sh.extend(grams)
+            docs.extend([doc] * len(grams))
+            kinds.extend([kind] * len(grams))
+        return pa.table({
+            "shingle": pa.array(sh, type=pa.string()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "kind": pa.array(kinds, type=pa.int8()),
+        })
+
+    _HIT_SCHEMA = pa.schema([("doc_id", pa.int64())])
+
+    def match_block(t: pa.Table) -> pa.Table:
+        # one hash partition = every row of a shingle co-located
+        # (batch_size=None below is load-bearing, as in dedup/curation)
+        if len(t) == 0:
+            return _HIT_SCHEMA.empty_table()
+        kind = t["kind"].to_numpy(zero_copy_only=False)
+        codes = pc.dictionary_encode(t["shingle"].combine_chunks()) \
+            .indices.to_numpy(zero_copy_only=False)
+        hit = np.isin(codes, np.unique(codes[kind == 0])) & (kind == 1)
+        return pa.table({
+            "doc_id": pa.array(
+                t["doc_id"].to_numpy(zero_copy_only=False)[hit],
+                type=pa.int64())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    sh = ds.map_batches(shingle_rows, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    enable_hash_shuffle(sh)
+    # ~50 shingles/doc × ~70 B (shingle string + ints) entering the
+    # shuffle — same byte-aware partition sizing as the dedup stages
+    nparts = keyed_partition_count(_docs_count(sf_dir) * 50 * 70)
+    hits = (sh.repartition(nparts, keys=["shingle"])
+              .map_batches(match_block, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None))
+    return grouped_count(hits, ["doc_id"], alias="n_overlap")
+
+
+# ------------------------------------------------------------ PII redaction
+
+#: RE2 patterns shared verbatim by the Arrow kernels and the DuckDB
+#: oracle (both compile RE2, so the semantics match span-for-span).
+#: Run over the planted-PII fixture corpus (fixtures.pii_documents_dir)
+#: because the documents tables carry no PII-shaped strings — a
+#: redaction op verified only on zero-match inputs proves nothing.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b555-[0-9]{3}-[0-9]{4}\b"
+PII_IP_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+
+def q_doc_pii(sf_dir: str) -> ray.data.Dataset:
+    """PII detection + redaction — the compliance pass a training-data
+    pipeline runs before text ships: per-doc match counts for emails /
+    phone numbers / IPv4s (counted on the ORIGINAL text, per pattern)
+    and the md5 of the redacted text (emails → ``[EMAIL]`` first, then
+    IPs → ``[IP]``, then phones → ``[PHONE]`` — fixed order, shared
+    with the oracle). Pure streaming ``map_batches`` over Arrow RE2
+    kernels (count_substring_regex / replace_substring_regex) — no
+    shuffle, no Python in the hot path; the exact shape this runs at
+    100 TB."""
+    import pyarrow.compute as pc
+
+    from .. import fixtures
+    from ..stages.ids import md5_hex
+
+    def redact(t: pa.Table) -> pa.Table:
+        text = t["text"].combine_chunks()
+        red = pc.replace_substring_regex(text, pattern=PII_EMAIL_RE,
+                                         replacement="[EMAIL]")
+        red = pc.replace_substring_regex(red, pattern=PII_IP_RE,
+                                         replacement="[IP]")
+        red = pc.replace_substring_regex(red, pattern=PII_PHONE_RE,
+                                         replacement="[PHONE]")
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_email": pc.cast(pc.count_substring_regex(
+                text, pattern=PII_EMAIL_RE), pa.int64()),
+            "n_phone": pc.cast(pc.count_substring_regex(
+                text, pattern=PII_PHONE_RE), pa.int64()),
+            "n_ip": pc.cast(pc.count_substring_regex(
+                text, pattern=PII_IP_RE), pa.int64()),
+            "redacted_md5": md5_hex(red),
+        })
+
+    d = fixtures.pii_documents_dir(fixtures.label_for_sf_dir(sf_dir))
+    files = sorted(str(p) for p in d.glob("*.parquet"))
+    return ray.data.read_parquet(files).map_batches(
+        redact, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pii_oracle_sql() -> str:
+    from pathlib import Path
+
+    from .. import fixtures
+
+    glob = str(Path(fixtures.FIXTURE_ROOT)
+               / fixtures.label_for_sf_dir(fixtures.oracle_sf_dir())
+               / "pii_documents" / "*.parquet")
+    return f"""
+SELECT doc_id,
+  len(regexp_extract_all(text, '{PII_EMAIL_RE}'))::BIGINT AS n_email,
+  len(regexp_extract_all(text, '{PII_PHONE_RE}'))::BIGINT AS n_phone,
+  len(regexp_extract_all(text, '{PII_IP_RE}'))::BIGINT AS n_ip,
+  md5(regexp_replace(regexp_replace(regexp_replace(text,
+      '{PII_EMAIL_RE}', '[EMAIL]', 'g'),
+      '{PII_IP_RE}', '[IP]', 'g'),
+      '{PII_PHONE_RE}', '[PHONE]', 'g')) AS redacted_md5
+FROM read_parquet('{glob}')
+"""

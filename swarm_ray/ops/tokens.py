@@ -219,6 +219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_pack": q_seq_pack_checked,
         "seq_pack_stats": q_seq_pack_stats,
         "seq_sample": q_seq_sample,
+        "seq_shuffle": q_seq_shuffle,
     }
 
 
@@ -253,6 +254,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE substr(md5(doc_id), 1, 1) IN ('0', '1')
             GROUP BY source ORDER BY source
         """,
+        "seq_shuffle": f"""
+            WITH k AS (
+              SELECT doc_id, md5(doc_id || '{SHUFFLE_SALT}') AS skey
+              FROM read_parquet('{glob}')
+            )
+            SELECT CAST(row_number() OVER (ORDER BY skey) AS BIGINT) AS rank,
+                   doc_id, skey
+            FROM k ORDER BY skey LIMIT {SHUFFLE_HEAD}
+        """,
         "seq_token_topk": f"""
             SELECT CAST(t AS INTEGER) AS token, COUNT(*)::BIGINT AS n
             FROM (SELECT unnest(tokens) AS t
@@ -284,3 +294,41 @@ def q_seq_sample(sf_dir: str) -> ray.data.Dataset:
     return grouped_count(
         ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True),
         ["source"], alias="sampled_rows")
+
+
+# ------------------------------------------------------------ seeded shuffle
+
+SHUFFLE_SALT = ":shuf1"
+SHUFFLE_HEAD = 100
+
+
+def q_seq_shuffle(sf_dir: str) -> pd.DataFrame:
+    """Deterministic seeded GLOBAL SHUFFLE — the training-order pass
+    run before packing/sharding: shuffle key = md5(doc_id || salt)
+    (reproducible, independent of row order and parallelism; changing
+    the salt is a fresh epoch order), then a DISTRIBUTED sort on the
+    key. Ray's sort is a sample-based range partition — the one
+    all-to-all this op inherently is; at corpus scale the sorted
+    stream writes hive-partitioned shards keyed by digest prefix
+    instead of being collected. The query surface returns the first
+    ``SHUFFLE_HEAD`` rows with their ranks — a bounded, exactly
+    SQL-checkable view of the global order (md5 keys are distinct, so
+    the order is total and ties can't flip)."""
+    import pyarrow.compute as pc
+
+    from ..stages.ids import md5_hex
+
+    def key(t: pa.Table) -> pa.Table:
+        salted = pc.binary_join_element_wise(
+            t["doc_id"].combine_chunks().cast(pa.string()),
+            pa.scalar(SHUFFLE_SALT), pa.scalar(""))
+        return pa.table({"doc_id": t["doc_id"],
+                         "skey": md5_hex(salted)})
+
+    head = (ray.data.read_parquet(_seq_files(sf_dir), columns=["doc_id"])
+            .map_batches(key, batch_format="pyarrow", zero_copy_batch=True)
+            .sort("skey")
+            .limit(SHUFFLE_HEAD)
+            .to_pandas())
+    head.insert(0, "rank", np.arange(1, len(head) + 1, dtype=np.int64))
+    return head

@@ -72,8 +72,8 @@ def write_routed(routed: ray.data.Dataset, out_dir: str | Path,
         # key-based repartition needs the hash-shuffle strategy; flip it
         # on the context THIS dataset captured at creation (the global
         # default stays sort-based for the groupby paths)
-        from ray.data.context import ShuffleStrategy
-        routed.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        from ..util import enable_hash_shuffle
+        enable_hash_shuffle(routed)
         routed = routed.repartition(shuffle_sinks,
                                     keys=["sink_dataset", "sink_table"])
     stamped = routed.map_batches(

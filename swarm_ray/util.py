@@ -46,6 +46,45 @@ def keyed_partition_count(est_bytes: int | None = None,
     return n
 
 
+def enable_hash_shuffle(ds):
+    """Switch a dataset's captured DataContext to the hash-shuffle
+    strategy (required by ``repartition(keys=...)``) AND bound the
+    aggregator-actor resource reservations so multi-exchange plans
+    stay LIVE on small clusters.
+
+    Why the bounds: Ray's hash exchanges run through pools of
+    aggregator ACTORS whose CPU reservation defaults to
+    ``min(1, cluster/2 / num_partitions)`` per partition, and a keyless
+    ``groupby`` defaults to ``default_hash_shuffle_parallelism=200``
+    partitions / 64 aggregators. A plan with TWO exchanges (keyed
+    repartition → block-local stage → groupby, the standard shape
+    here) then reserves ``2 × cluster/2`` = every CPU in the cluster
+    for idle-capable actors, and the upstream map tasks that must feed
+    them can never schedule — a permanent starvation deadlock on a
+    4-CPU test cluster (observed: the decontamination pipeline hung
+    >120 s; each exchange alone finished in seconds).
+
+    The fix caps each exchange at ~1/6 of the cluster (reservation
+    only — aggregators may still use idle CPU; under-reservation
+    costs nothing for liveness) so several exchanges plus their
+    feeding map stages always co-schedule, and scales the DEFAULT
+    groupby partition count with the cluster instead of the fixed 200
+    (on a 4-CPU box, 200 partitions means 64 actor processes for a
+    10-row partial-aggregate merge; on a 256-node cluster the
+    cluster-derived count grows past it automatically)."""
+    from ray.data.context import ShuffleStrategy
+
+    ncpu = cluster_cpus()
+    nparts = max(8, ncpu)
+    per_part = min(1.0, max(0.01, (ncpu / 6) / nparts))
+    ctx = ds.context
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = per_part
+    ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = per_part
+    ctx.default_hash_shuffle_parallelism = nparts
+    return ds
+
+
 def autoscaling_pool(frac: float = 1.0, min_size: int = 1,
                      cap: int | None = None) -> tuple[int, int]:
     """(min, max) actor-pool size scaled to the cluster.

@@ -78,3 +78,75 @@ def test_doc_split_deterministic_and_proportional(ray_session):
     assert set(by_split.index) == {"train", "val", "test"}
     assert 0.7 < by_split["train"] / total < 0.9        # ~80/10/10
     assert by_split["val"] + by_split["test"] < 0.3 * total
+
+
+# ------------------------------------------------------------ decontamination
+
+def test_decontaminate_detects_planted_overlap(ray_session, tmp_path):
+    """A train doc sharing a verbatim 8-gram with a test-split doc must
+    be flagged with the exact distinct-overlap count; clean train docs
+    and val docs must not appear."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from swarm_ray.ops.text import DECON_K, q_doc_decontaminate
+
+    def bucket(doc_id: int) -> int:
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 10
+
+    ids = list(range(200))
+    test_id = next(i for i in ids if bucket(i) == 9)
+    val_id = next(i for i in ids if bucket(i) == 8)
+    train = [i for i in ids if bucket(i) < 8]
+    leaked, clean = train[0], train[1]
+
+    secret = " ".join(f"w{j}" for j in range(DECON_K))      # one 8-gram
+    texts = {}
+    for i in ids:
+        texts[i] = f"filler{i} " + " ".join(f"x{i}y{j}" for j in range(10))
+    texts[test_id] = f"benchmark question {secret} answer choices"
+    texts[leaked] = f"scraped page containing {secret} verbatim copy"
+    texts[val_id] = f"val doc containing {secret} must not count"
+
+    t = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                  "text": pa.array([texts[i] for i in ids])})
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+    got = q_doc_decontaminate(str(tmp_path)).to_pandas()
+    assert got["doc_id"].tolist() == [leaked]
+    assert got["n_overlap"].tolist() == [1]
+    assert clean not in set(got["doc_id"])
+
+
+# ------------------------------------------------------------ PII redaction
+
+def test_pii_redaction_exact_spans(ray_session, tmp_path, monkeypatch):
+    """Planted PII is counted per type and fully redacted — no pattern
+    survives in any redacted text."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from swarm_ray import fixtures
+    from swarm_ray.ops.text import (PII_EMAIL_RE, PII_IP_RE, PII_PHONE_RE,
+                                    q_doc_pii)
+
+    monkeypatch.setattr(fixtures, "FIXTURE_ROOT", tmp_path / "fx")
+    out = q_doc_pii("/tmp/x/sf0.001").to_pandas()
+    assert (out[["n_email", "n_phone", "n_ip"]].sum() > 0).all()
+
+    # re-read the fixture and redact serially with Python re — every
+    # original match must be gone, placeholders present where counted
+    src = pq.read_table(
+        fixtures.pii_documents_dir("sf0.001") / "part-00000.parquet"
+    ).to_pandas().merge(out, on="doc_id")
+    for _, r in src.head(200).iterrows():
+        red = re.sub(PII_EMAIL_RE, "[EMAIL]", r["text"])
+        red = re.sub(PII_IP_RE, "[IP]", red)
+        red = re.sub(PII_PHONE_RE, "[PHONE]", red)
+        assert not re.search(PII_EMAIL_RE, red)
+        assert len(re.findall(r"\[EMAIL\]", red)) == r["n_email"]
+        assert len(re.findall(r"\[PHONE\]", red)) == r["n_phone"]
+        assert len(re.findall(r"\[IP\]", red)) == r["n_ip"]
