@@ -23,6 +23,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tokenize": text.q_doc_tokenize,
         "doc_split": text.q_doc_split,
         "doc_decontaminate": text.q_doc_decontaminate,
+        "doc_repetition": text.q_doc_repetition,
+        "doc_tfidf_top": text.q_doc_tfidf_top,
         "doc_pii_redact": text.q_doc_pii,
         # dedup family
         "doc_dedup_exact": dedup.q_dedup_exact,
@@ -71,6 +73,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_tokenize": sql.SQL_DOC_TOKENIZE,
         "doc_split": sql.SQL_DOC_SPLIT,
         "doc_decontaminate": sql.SQL_DOC_DECON,
+        "doc_repetition": sql.SQL_DOC_REPETITION,
+        "doc_tfidf_top": sql.SQL_DOC_TFIDF_TOP,
         "doc_pii_redact": text.pii_oracle_sql(),
         "doc_dedup_exact": sql.SQL_DEDUP_EXACT,
         "doc_simhash": sql.SQL_SIMHASH,

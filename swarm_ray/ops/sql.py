@@ -209,3 +209,59 @@ FROM sh s JOIN t USING (shingle)
 WHERE s.bucket < 8
 GROUP BY s.doc_id
 """
+
+
+# repetition quality signals: word 2-/3-gram duplicate and top-gram
+# fractions, floor-scaled to milli. Gram construction matches the
+# engine: consecutive-word joins, docs shorter than n words → 0 grams.
+SQL_DOC_REPETITION = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), g2 AS (
+  SELECT doc_id, unnest(list_transform(
+    range(1, greatest(len(words) - 1, 0) + 1),
+    i -> words[i] || ' ' || words[i+1])) AS gram
+  FROM w
+), g3 AS (
+  SELECT doc_id, unnest(list_transform(
+    range(1, greatest(len(words) - 2, 0) + 1),
+    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS gram
+  FROM w
+), s2 AS (
+  SELECT doc_id, SUM(cnt) AS total, COUNT(*) AS dist, MAX(cnt) AS topc
+  FROM (SELECT doc_id, gram, COUNT(*) AS cnt FROM g2 GROUP BY 1, 2)
+  GROUP BY doc_id
+), s3 AS (
+  SELECT doc_id, SUM(cnt) AS total, COUNT(*) AS dist, MAX(cnt) AS topc
+  FROM (SELECT doc_id, gram, COUNT(*) AS cnt FROM g3 GROUP BY 1, 2)
+  GROUP BY doc_id
+)
+SELECT w.doc_id,
+  COALESCE(s2.total, 0)::BIGINT AS n_gram2,
+  COALESCE((1000 * (s2.total - s2.dist)) // s2.total, 0)::BIGINT AS dup2_milli,
+  COALESCE((1000 * s2.topc) // s2.total, 0)::BIGINT AS top2_milli,
+  COALESCE(s3.total, 0)::BIGINT AS n_gram3,
+  COALESCE((1000 * (s3.total - s3.dist)) // s3.total, 0)::BIGINT AS dup3_milli,
+  COALESCE((1000 * s3.topc) // s3.total, 0)::BIGINT AS top3_milli
+FROM w LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)
+"""
+
+
+# per-doc top-3 salient terms: tf over the doc, df over the corpus,
+# full deterministic order (tf DESC, df ASC, term ASC)
+SQL_DOC_TFIDF_TOP = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM w GROUP BY 1, 2
+), df AS (
+  SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY 1
+), r AS (
+  SELECT doc_id, term, tf, df,
+    row_number() OVER (PARTITION BY doc_id
+                       ORDER BY tf DESC, df ASC, term ASC) AS rank
+  FROM tf JOIN df USING (term)
+)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df
+FROM r WHERE rank <= 3
+"""

@@ -523,3 +523,164 @@ SELECT doc_id,
       '{PII_PHONE_RE}', '[PHONE]', 'g')) AS redacted_md5
 FROM read_parquet('{glob}')
 """
+
+
+# ------------------------------------------------------------ repetition filter
+
+def _ngram_doc_stats(flat_words, doc_of_pos, n_docs: int, n: int):
+    """Per-doc (total, distinct, top-multiplicity) over word ``n``-grams,
+    fully vectorized: grams come from Arrow's element-wise join of the
+    flat word array against its own shifts (boundary positions masked
+    by comparing the doc index of each shift), factorize via
+    dictionary_encode, then one np.unique over packed (doc, code) keys.
+    No Python per row, no per-doc loop."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    L = len(flat_words)
+    if L < n:
+        z = np.zeros(n_docs, dtype=np.int64)
+        return z, z.copy(), z.copy()
+    shifts = [flat_words.slice(k, L - n + 1) for k in range(n)]
+    grams = shifts[0] if n == 1 else pc.binary_join_element_wise(
+        *shifts, pa.scalar(" "))
+    valid = doc_of_pos[: L - n + 1] == doc_of_pos[n - 1:]
+    doc_idx = doc_of_pos[: L - n + 1][valid]
+    grams = pc.filter(grams, pa.array(valid))
+
+    totals = np.bincount(doc_idx, minlength=n_docs).astype(np.int64)
+    if len(grams) == 0:
+        z = np.zeros(n_docs, dtype=np.int64)
+        return totals, z, z.copy()
+    enc = pc.dictionary_encode(grams)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    n_codes = len(enc.dictionary)
+    key = doc_idx.astype(np.int64) * n_codes + codes
+    uniq, cnts = np.unique(key, return_counts=True)
+    docs_of_uniq = (uniq // n_codes).astype(np.int64)
+    distinct = np.bincount(docs_of_uniq, minlength=n_docs).astype(np.int64)
+    tops = np.zeros(n_docs, dtype=np.int64)
+    np.maximum.at(tops, docs_of_uniq, cnts)
+    return totals, distinct, tops
+
+
+def _milli(num, den):
+    import numpy as np
+    out = np.zeros(len(den), dtype=np.int64)
+    nz = den > 0
+    out[nz] = (1000 * num[nz]) // den[nz]
+    return out
+
+
+def q_doc_repetition(sf_dir: str) -> ray.data.Dataset:
+    """Repetition-based quality signals (the Gopher-rule family a
+    pre-training curation pass filters on): per doc, the word-2-gram
+    and word-3-gram duplicate fraction (grams beyond first occurrence
+    / total grams) and top-gram fraction (most frequent gram / total
+    grams), FLOOR-scaled to integer milli so the oracle compare is
+    float-safe. Docs shorter than n words have zero n-grams and score
+    0. Pure streaming ``map_batches`` — no shuffle; the per-batch work
+    is Arrow joins + one np.unique, the exact shape this runs at
+    100 TB."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def rep(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(t["text"].combine_chunks(), pattern=" ")
+        flat = words.values
+        counts = np.diff(words.offsets.to_numpy(zero_copy_only=False))
+        doc_of_pos = np.repeat(np.arange(len(t), dtype=np.int64), counts)
+        cols = {"doc_id": t["doc_id"]}
+        for n in (2, 3):
+            tot, dist, top = _ngram_doc_stats(flat, doc_of_pos, len(t), n)
+            cols[f"n_gram{n}"] = pa.array(tot, type=pa.int64())
+            cols[f"dup{n}_milli"] = pa.array(_milli(tot - dist, tot),
+                                             type=pa.int64())
+            cols[f"top{n}_milli"] = pa.array(_milli(top, tot),
+                                             type=pa.int64())
+        return pa.table(cols)
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(rep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------------------ tf-idf top terms
+
+def q_doc_tfidf_top(sf_dir: str) -> ray.data.Dataset:
+    """Per-doc top-3 salient terms by (tf DESC, df ASC, term ASC) —
+    the tf-idf-style keyword extraction a corpus-analysis pass runs,
+    with document frequency computed ACROSS the whole corpus.
+
+    Scale shape — zero broadcast, zero driver materialization, two
+    keyed exchanges:
+
+      1. explode (doc_id, term, tf) block-locally (factorize + one
+         np.unique over packed keys — rows are distinct (doc, term)
+         pairs by construction);
+      2. repartition by TERM → every term's rows co-located → df =
+         group size, attached block-locally (no separate groupby, no
+         vocab dict on the driver — at 100 TB the vocab is far too
+         large to broadcast);
+      3. repartition by DOC → top-3 selection block-locally
+         (whole-block sort + cumcount, no per-doc Python).
+
+    Ties are fully ordered by the (tf, df, term) triple, so output is
+    deterministic and exactly SQL-checkable."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..util import enable_hash_shuffle, keyed_partition_count
+    from .dedup import _docs_count
+
+    def explode_tf(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(t["text"].combine_chunks(), pattern=" ")
+        flat = words.values
+        counts = np.diff(words.offsets.to_numpy(zero_copy_only=False))
+        doc_of_pos = np.repeat(np.arange(len(t), dtype=np.int64), counts)
+        enc = pc.dictionary_encode(flat)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_codes = max(1, len(enc.dictionary))
+        key = doc_of_pos * n_codes + codes
+        uniq, tf = np.unique(key, return_counts=True)
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(doc_ids[uniq // n_codes], type=pa.int64()),
+            "term": enc.dictionary.take(pa.array(uniq % n_codes)),
+            "tf": pa.array(tf.astype(np.int64), type=pa.int64()),
+        })
+
+    def attach_df(df_: pd.DataFrame) -> pd.DataFrame:
+        if df_.empty:
+            return df_.assign(df=pd.Series([], dtype="int64"))
+        # rows are distinct (doc, term) pairs ⇒ df = term group size
+        df_["df"] = df_.groupby("term", sort=False)["tf"].transform("size") \
+            .astype("int64")
+        return df_
+
+    def top3(df_: pd.DataFrame) -> pd.DataFrame:
+        if df_.empty:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "rank": pd.Series([], dtype="int64"),
+                                 "term": pd.Series([], dtype="object"),
+                                 "tf": pd.Series([], dtype="int64"),
+                                 "df": pd.Series([], dtype="int64")})
+        df_ = df_.sort_values(["doc_id", "tf", "df", "term"],
+                              ascending=[True, False, True, True],
+                              kind="mergesort")
+        rank = df_.groupby("doc_id", sort=False).cumcount() + 1
+        df_ = df_.assign(rank=rank.astype("int64"))
+        return df_[df_["rank"] <= 3][["doc_id", "rank", "term", "tf", "df"]]
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    tf_rows = ds.map_batches(explode_tf, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    enable_hash_shuffle(tf_rows)
+    # ~54 distinct terms/doc × ~26 B per (doc_id, term, tf) row
+    nparts = keyed_partition_count(_docs_count(sf_dir) * 54 * 26)
+    with_df = (tf_rows.repartition(nparts, keys=["term"])
+               .map_batches(attach_df, batch_format="pandas",
+                            batch_size=None))
+    return (with_df.repartition(nparts, keys=["doc_id"])
+            .map_batches(top3, batch_format="pandas", batch_size=None))

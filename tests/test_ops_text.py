@@ -150,3 +150,87 @@ def test_pii_redaction_exact_spans(ray_session, tmp_path, monkeypatch):
         assert len(re.findall(r"\[EMAIL\]", red)) == r["n_email"]
         assert len(re.findall(r"\[PHONE\]", red)) == r["n_phone"]
         assert len(re.findall(r"\[IP\]", red)) == r["n_ip"]
+
+
+# ------------------------------------------------------------ repetition filter
+
+def test_repetition_metrics_match_serial_recompute(ray_session, tmp_path):
+    """Vectorized n-gram repetition metrics must equal a plain-Python
+    per-doc recompute, including short docs (0 grams) and heavy
+    repetition (dup/top fractions at the extremes)."""
+    from collections import Counter
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from swarm_ray.ops.text import q_doc_repetition
+
+    texts = [
+        "one",                                   # 0 bigrams, 0 trigrams
+        "a b",                                   # 1 bigram, 0 trigrams
+        "spam spam spam spam spam spam",         # max repetition
+        "the quick brown fox jumps over the quick brown fox",
+        "x y x y x y x y z",
+        "",                                      # split -> [""], 1 word
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts)})
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+    got = (q_doc_repetition(str(tmp_path)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    for i, text in enumerate(texts):
+        words = text.split(" ")
+        for n in (2, 3):
+            grams = [" ".join(words[j:j + n])
+                     for j in range(len(words) - n + 1)]
+            c = Counter(grams)
+            tot = len(grams)
+            row = got.iloc[i]
+            assert row[f"n_gram{n}"] == tot, (i, n)
+            exp_dup = (1000 * (tot - len(c))) // tot if tot else 0
+            exp_top = (1000 * max(c.values())) // tot if tot else 0
+            assert row[f"dup{n}_milli"] == exp_dup, (i, n)
+            assert row[f"top{n}_milli"] == exp_top, (i, n)
+
+
+# ------------------------------------------------------------ tf-idf top terms
+
+def test_tfidf_top_deterministic_vs_serial(ray_session, tmp_path):
+    """Two-exchange distributed tf-idf must equal the serial recompute,
+    ties broken by (tf DESC, df ASC, term ASC) — also exercises a
+    repartition→repartition plan at the 4-CPU test cluster size (the
+    multi-exchange liveness case)."""
+    from collections import Counter
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from swarm_ray.ops.text import q_doc_tfidf_top
+
+    texts = [
+        "apple apple banana cherry",
+        "banana banana banana apple",
+        "cherry date egg fig grape",
+        "apple banana",                 # full tie on tf → df then term
+        "",
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts)})
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+    got = (q_doc_tfidf_top(str(tmp_path)).to_pandas()
+           .sort_values(["doc_id", "rank"]).reset_index(drop=True))
+
+    tf = {(i, w): c for i, s in enumerate(texts)
+          for w, c in Counter(s.split(" ")).items()}
+    df = Counter(w for (_, w) in tf)
+    for i in range(len(texts)):
+        rows = sorted(((w, c) for (d, w), c in tf.items() if d == i),
+                      key=lambda wc: (-wc[1], df[wc[0]], wc[0]))[:3]
+        sub = got[got["doc_id"] == i]
+        assert list(sub["term"]) == [w for w, _ in rows], i
+        assert list(sub["tf"]) == [c for _, c in rows], i
+        assert list(sub["df"]) == [df[w] for w, _ in rows], i
+        assert list(sub["rank"]) == list(range(1, len(rows) + 1)), i
