@@ -28,6 +28,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pii_redact": text.q_doc_pii,
         # dedup family
         "doc_dedup_exact": dedup.q_dedup_exact,
+        "doc_dedup_incremental": dedup.q_dedup_incremental,
         "doc_simhash": dedup.q_simhash,
         "doc_jaccard_pairs": dedup.q_jaccard_pairs,
         "doc_minhash_pairs": dedup.q_minhash_pairs_checked,
@@ -77,6 +78,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_tfidf_top": sql.SQL_DOC_TFIDF_TOP,
         "doc_pii_redact": text.pii_oracle_sql(),
         "doc_dedup_exact": sql.SQL_DEDUP_EXACT,
+        "doc_dedup_incremental": sql.SQL_DEDUP_INCREMENTAL,
         "doc_simhash": sql.SQL_SIMHASH,
         "doc_jaccard_pairs": sql.SQL_JACCARD_PAIRS,
         "doc_dup_clusters": sql.SQL_DUP_CLUSTERS,

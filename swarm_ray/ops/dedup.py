@@ -988,3 +988,62 @@ def q_dup_clusters_minhash(sf_dir: str) -> pd.DataFrame:
         return union_find_clusters(pairs)
     return connected_components(
         ray.data.from_arrow(pa.Table.from_pandas(pairs, preserve_index=False)))
+
+
+# ------------------------------------------------------------ incremental dedup
+
+def q_dedup_incremental(sf_dir: str) -> ray.data.Dataset:
+    """Dedup an INCOMING batch against an existing corpus — the
+    standard "new crawl vs. what we already have" pass an ingest
+    pipeline runs before admitting documents. Corpus membership is
+    deterministic for the oracle: ``doc_id % 3 == 0`` plays the
+    incoming batch, the rest the existing corpus. Output, per incoming
+    doc: ``dup_of`` = min corpus doc_id sharing its content md5 (−1 if
+    none — null coalesced to a sentinel so the compare is
+    dtype-stable) and ``is_new`` 0/1.
+
+    Scale shape: a hash anti-join, not a broadcast — the corpus side
+    at 100 TB is billions of hashes, far too large for a driver set.
+    Both sides' (doc_id, md5, side) triples flow through ONE keyed
+    repartition on the hash; matching is block-local (corpus min per
+    hash mapped onto the incoming rows). Only fixed-width triples
+    move, never text. In production the corpus side reads its hash
+    manifest instead of re-hashing (same plan from the second stage
+    on)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..stages.ids import md5_hex
+    from ..util import enable_hash_shuffle, keyed_partition_count
+
+    def hash_tag(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks()
+        incoming = (ids.to_numpy(zero_copy_only=False) % 3 == 0)
+        return pa.table({
+            "doc_id": ids,
+            "content_md5": md5_hex(t["text"]),
+            "incoming": pa.array(incoming.astype(np.int8), type=pa.int8()),
+        })
+
+    _OUT = pa.schema([("doc_id", pa.int64()), ("dup_of", pa.int64()),
+                      ("is_new", pa.int64())])
+
+    def match_block(df_: pd.DataFrame) -> pd.DataFrame:
+        if df_.empty:
+            return _OUT.empty_table().to_pandas()
+        prior = df_[df_["incoming"] == 0].groupby("content_md5")["doc_id"].min()
+        inc = df_[df_["incoming"] == 1]
+        dup_of = inc["content_md5"].map(prior).fillna(-1).astype("int64")
+        return pd.DataFrame({
+            "doc_id": inc["doc_id"].to_numpy(),
+            "dup_of": dup_of.to_numpy(),
+            "is_new": (dup_of.to_numpy() == -1).astype("int64"),
+        })
+
+    hashed = _read_docs(sf_dir).map_batches(
+        hash_tag, batch_format="pyarrow", zero_copy_batch=True)
+    enable_hash_shuffle(hashed)
+    n_parts = keyed_partition_count(_docs_count(sf_dir) * 57)
+    return (hashed.repartition(n_parts, keys=["content_md5"])
+            .map_batches(match_block, batch_format="pandas",
+                         batch_size=None))

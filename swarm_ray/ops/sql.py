@@ -265,3 +265,21 @@ WITH w AS (
 SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df
 FROM r WHERE rank <= 3
 """
+
+
+# incremental dedup: incoming batch (doc_id % 3 = 0) anti-joined
+# against the existing corpus (the rest) on content md5; dup_of
+# coalesced to -1 so the int column stays non-nullable
+SQL_DEDUP_INCREMENTAL = """
+WITH d AS (
+  SELECT doc_id, md5(text) AS content_md5 FROM documents
+), p AS (
+  SELECT content_md5, MIN(doc_id) AS m FROM d
+  WHERE doc_id % 3 <> 0 GROUP BY 1
+)
+SELECT d.doc_id,
+  COALESCE(p.m, -1)::BIGINT AS dup_of,
+  (CASE WHEN p.m IS NULL THEN 1 ELSE 0 END)::BIGINT AS is_new
+FROM d LEFT JOIN p USING (content_md5)
+WHERE d.doc_id % 3 = 0
+"""

@@ -247,3 +247,42 @@ def test_connected_components_random_graphs(ray_session, mode):
         got = connected_components(rd.from_arrow(pa.Table.from_pandas(pairs)),
                                    mode=mode)
         assert got.equals(union_find_clusters(pairs))
+
+
+# ------------------------------------------------------------ incremental dedup
+
+def test_dedup_incremental_anti_join(ray_session, tmp_path):
+    """Incoming docs (doc_id % 3 == 0) dedup against the corpus side:
+    exact-content matches get dup_of = min corpus doc holding that
+    content, fresh content gets dup_of = -1 / is_new = 1. Incoming-
+    incoming duplicates must NOT suppress each other (corpus-only
+    anti-join)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from swarm_ray.ops.dedup import q_dedup_incremental
+
+    texts = {
+        0: "shared alpha",     # incoming, dup of corpus 1
+        1: "shared alpha",     # corpus
+        2: "corpus only",      # corpus
+        3: "fresh content",    # incoming, new
+        4: "shared alpha",     # corpus (higher id than 1 — min wins)
+        5: "corpus two",       # corpus
+        6: "incoming twin",    # incoming, new (twin below is incoming too)
+        9: "incoming twin",    # incoming, new — NOT deduped against 6
+    }
+    ids = sorted(texts)
+    t = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                  "text": pa.array([texts[i] for i in ids]),
+                  "lang": pa.array(["en"] * len(ids)),
+                  "source": pa.array(["s"] * len(ids)),
+                  "n_chars": pa.array([len(texts[i]) for i in ids],
+                                      type=pa.int64())})
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+    got = (q_dedup_incremental(str(tmp_path)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert got["doc_id"].tolist() == [0, 3, 6, 9]
+    assert got["dup_of"].tolist() == [1, -1, -1, -1]
+    assert got["is_new"].tolist() == [0, 1, 1, 1]
