@@ -25,6 +25,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_decontaminate": text.q_doc_decontaminate,
         "doc_repetition": text.q_doc_repetition,
         "doc_tfidf_top": text.q_doc_tfidf_top,
+        "doc_chunks": text.q_doc_chunks,
+        "doc_common_frac": text.q_doc_common_frac,
         "doc_pii_redact": text.q_doc_pii,
         # dedup family
         "doc_dedup_exact": dedup.q_dedup_exact,
@@ -76,6 +78,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_decontaminate": sql.SQL_DOC_DECON,
         "doc_repetition": sql.SQL_DOC_REPETITION,
         "doc_tfidf_top": sql.SQL_DOC_TFIDF_TOP,
+        "doc_chunks": sql.SQL_DOC_CHUNKS,
+        "doc_common_frac": sql.SQL_DOC_COMMON_FRAC,
         "doc_pii_redact": text.pii_oracle_sql(),
         "doc_dedup_exact": sql.SQL_DEDUP_EXACT,
         "doc_dedup_incremental": sql.SQL_DEDUP_INCREMENTAL,

@@ -283,3 +283,44 @@ SELECT d.doc_id,
 FROM d LEFT JOIN p USING (content_md5)
 WHERE d.doc_id % 3 = 0
 """
+
+
+# sliding-window chunking: C=32-word windows at stride S=24, last
+# chunk clipped; md5 pins chunk content. Mirrors ops/text.py
+# DOC_CHUNK_C / DOC_CHUNK_S.
+SQL_DOC_CHUNKS = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), c AS (
+  SELECT doc_id, words, len(words) AS n,
+    CASE WHEN len(words) <= 32 THEN 1
+         ELSE 1 + (len(words) - 32 + 23) // 24 END AS k
+  FROM w
+), e AS (
+  SELECT doc_id, words, n, unnest(range(0, k)) AS i FROM c
+)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+  CAST(least(i*24 + 32, n) - i*24 AS BIGINT) AS n_words,
+  md5(array_to_string(words[i*24 + 1 : least(i*24 + 32, n)], ' '))
+    AS chunk_md5
+FROM e
+"""
+
+
+# common-token fraction: global top-256 words (count DESC, word ASC),
+# per-doc floor-milli fraction of occurrences in that head
+SQL_DOC_COMMON_FRAC = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), cnt AS (
+  SELECT word, COUNT(*) AS c FROM w GROUP BY 1
+), topk AS (
+  SELECT word FROM cnt ORDER BY c DESC, word ASC LIMIT 256
+), per AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_words,
+    SUM(CASE WHEN word IN (SELECT word FROM topk) THEN 1 ELSE 0 END)
+      ::BIGINT AS hit
+  FROM w GROUP BY 1
+)
+SELECT doc_id, n_words, (1000 * hit) // n_words AS common_milli FROM per
+"""

@@ -684,3 +684,133 @@ def q_doc_tfidf_top(sf_dir: str) -> ray.data.Dataset:
                             batch_size=None))
     return (with_df.repartition(nparts, keys=["doc_id"])
             .map_batches(top3, batch_format="pandas", batch_size=None))
+
+
+# ------------------------------------------------------------ chunking
+
+#: chunk window / stride in words (overlap = C - S)
+DOC_CHUNK_C = 32
+DOC_CHUNK_S = 24
+
+
+def q_doc_chunks(sf_dir: str) -> ray.data.Dataset:
+    """Sliding-window document chunking — the RAG / training-sample
+    windowing pass: each doc becomes ``1 + ceil(max(n-C,0)/S)`` chunks
+    of ``C`` words at stride ``S`` (last chunk clipped). Output is one
+    row per chunk: (doc_id, chunk_idx, n_words, chunk_md5) — the md5
+    stands in for the chunk text so the oracle compare stays compact
+    while still pinning content bit-for-bit.
+
+    Pure flat-map streaming — no shuffle. Vectorized end to end: chunk
+    word ranges become ONE take-index array (arange minus repeated
+    per-chunk bases), the overlapping chunks a ListArray over the
+    taken values, the join + md5 Arrow kernels. No Python per doc."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..stages.ids import md5_hex
+
+    C, S = DOC_CHUNK_C, DOC_CHUNK_S
+
+    def chunk(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(t["text"].combine_chunks(), pattern=" ")
+        flat = words.values
+        off = words.offsets.to_numpy(zero_copy_only=False)
+        n = np.diff(off)
+        k = np.where(n <= C, 1, 1 + (np.maximum(n - C, 0) + S - 1) // S)
+        doc_of_chunk = np.repeat(np.arange(len(t), dtype=np.int64), k)
+        chunk_idx = np.arange(k.sum(), dtype=np.int64) - \
+            np.repeat(np.cumsum(k) - k, k)
+        starts = off[doc_of_chunk] + chunk_idx * S
+        ends = np.minimum(starts + C, off[doc_of_chunk] + n[doc_of_chunk])
+        lens = ends - starts
+        total = int(lens.sum())
+        bases = np.cumsum(lens) - lens
+        take_idx = np.arange(total, dtype=np.int64) - \
+            np.repeat(bases, lens) + np.repeat(starts, lens)
+        taken = flat.take(pa.array(take_idx))
+        chunks = pa.ListArray.from_arrays(
+            pa.array(np.concatenate([[0], np.cumsum(lens)]),
+                     type=pa.int32()), taken)
+        text_out = pc.binary_join(chunks, pa.scalar(" "))
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(ids[doc_of_chunk], type=pa.int64()),
+            "chunk_idx": pa.array(chunk_idx, type=pa.int64()),
+            "n_words": pa.array(lens.astype(np.int64), type=pa.int64()),
+            "chunk_md5": md5_hex(text_out),
+        })
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(chunk, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------------------ common-token fraction
+
+#: global-vocabulary head size for the common-token quality signal
+COMMON_K = 256
+
+
+def q_doc_common_frac(sf_dir: str) -> ray.data.Dataset:
+    """Perplexity-proxy quality signal: per doc, the FLOOR-milli
+    fraction of word occurrences that fall in the corpus's global
+    top-``COMMON_K`` vocabulary (ties at the boundary broken by word
+    ASC, so the cut is deterministic and SQL-reproducible). Low common
+    fraction ≈ gibberish / non-language; the cheap stand-in for an LM
+    perplexity filter when no model ships.
+
+    Scale shape — the broadcast-of-a-global-aggregate pattern: word
+    counts fold through per-block partials + one distributed groupby
+    (vocab-sized, never doc-sized), the top-K head (K rows, bounded by
+    construction) is the ONLY thing the driver touches, and it rides
+    to every scorer task via ``ray.put``. The corpus streams through
+    the scoring map exactly once."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from .agg import grouped_count
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def explode_words(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(t["text"].combine_chunks(), pattern=" ")
+        return pa.table({"word": words.values})
+
+    counts = grouped_count(
+        docs.map_batches(explode_words, batch_format="pyarrow",
+                         zero_copy_batch=True), ["word"], alias="c")
+    # top-K head: distributed sort on the (vocab-sized) count table,
+    # only K rows ever reach the driver
+    head = counts.sort(["c", "word"], descending=[True, False]) \
+        .limit(COMMON_K).to_pandas()
+    import ray as _ray
+    common_ref = _ray.put(set(head["word"]))
+
+    class CommonFrac:
+        def __init__(self, ref):
+            self.common = pa.array(sorted(_ray.get(ref)), type=pa.string())
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            words = pc.split_pattern(t["text"].combine_chunks(),
+                                     pattern=" ")
+            hit = pc.cast(pc.is_in(words.values, value_set=self.common),
+                          pa.int64())
+            off = words.offsets.to_numpy(zero_copy_only=False)
+            n = np.diff(off)
+            hits_flat = hit.to_numpy(zero_copy_only=False)
+            doc_of_pos = np.repeat(np.arange(len(t), dtype=np.int64), n)
+            hits = np.bincount(doc_of_pos, weights=hits_flat,
+                               minlength=len(t)).astype(np.int64)
+            return pa.table({
+                "doc_id": t["doc_id"],
+                "n_words": pa.array(n.astype(np.int64), type=pa.int64()),
+                "common_milli": pa.array((1000 * hits) // n,
+                                         type=pa.int64()),
+            })
+
+    from ..util import autoscaling_pool
+    return docs.map_batches(CommonFrac, fn_constructor_args=(common_ref,),
+                            batch_format="pyarrow", zero_copy_batch=True,
+                            concurrency=autoscaling_pool())

@@ -234,3 +234,43 @@ def test_tfidf_top_deterministic_vs_serial(ray_session, tmp_path):
         assert list(sub["tf"]) == [c for _, c in rows], i
         assert list(sub["df"]) == [df[w] for w, _ in rows], i
         assert list(sub["rank"]) == list(range(1, len(rows) + 1)), i
+
+
+# ------------------------------------------------------------ chunking
+
+def test_doc_chunks_windows_and_content(ray_session, tmp_path):
+    """Sliding-window chunking must reproduce the serial window rule
+    (C=32, S=24, last chunk clipped; short docs = one chunk) with
+    exact chunk content md5s."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from swarm_ray.ops.text import DOC_CHUNK_C, DOC_CHUNK_S, q_doc_chunks
+
+    texts = [
+        " ".join(f"w{i}" for i in range(100)),   # 100 words → 4 chunks
+        " ".join(f"u{i}" for i in range(32)),    # exactly C → 1 chunk
+        " ".join(f"v{i}" for i in range(33)),    # C+1 → 2 chunks
+        "tiny doc",
+        "",
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts)})
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+    got = (q_doc_chunks(str(tmp_path)).to_pandas()
+           .sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True))
+
+    C, S = DOC_CHUNK_C, DOC_CHUNK_S
+    exp = []
+    for d, text in enumerate(texts):
+        words = text.split(" ")
+        n = len(words)
+        k = 1 if n <= C else 1 + -(-(n - C) // S)
+        for i in range(k):
+            w = words[i * S: i * S + C]
+            exp.append((d, i, len(w),
+                        hashlib.md5(" ".join(w).encode()).hexdigest()))
+    assert list(map(tuple, got.itertuples(index=False))) == exp
