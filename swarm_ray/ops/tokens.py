@@ -220,6 +220,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_pack_stats": q_seq_pack_stats,
         "seq_sample": q_seq_sample,
         "seq_shuffle": q_seq_shuffle,
+        "seq_mixture": q_seq_mixture,
+        "seq_bigram_topk": q_bigram_topk,
+        "seq_curriculum": q_seq_curriculum,
     }
 
 
@@ -271,7 +274,47 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY n DESC, token ASC
             LIMIT {TOPK}
         """,
+        "seq_mixture": f"""
+            SELECT source,
+                   COUNT(*)::BIGINT AS rows_kept,
+                   SUM(CAST(n_tok AS BIGINT))::BIGINT AS tok_kept
+            FROM read_parquet('{glob}')
+            WHERE substr(md5(doc_id || '{MIX_SALT}'), 1, 4) <
+                  CASE source {_mix_case_sql()} ELSE 'ffff' END
+            GROUP BY source ORDER BY source
+        """,
+        "seq_bigram_topk": f"""
+            SELECT CAST(a AS INTEGER) AS tok_a, CAST(b AS INTEGER) AS tok_b,
+                   COUNT(*)::BIGINT AS n
+            FROM (SELECT unnest(tokens[1:len(tokens)-1]) AS a,
+                         unnest(tokens[2:len(tokens)]) AS b
+                  FROM read_parquet('{glob}')
+                  WHERE len(tokens) >= 2)
+            GROUP BY a, b
+            ORDER BY n DESC, tok_a ASC, tok_b ASC
+            LIMIT {BIGRAM_TOPK}
+        """,
+        "seq_curriculum": f"""
+            WITH ranked AS (
+              SELECT (row_number() OVER (ORDER BY n_tok DESC, doc_id ASC)
+                      - 1) // {CURRICULUM_SHARD} AS shard,
+                     n_tok
+              FROM read_parquet('{glob}')
+            )
+            SELECT CAST(shard AS BIGINT) AS shard,
+                   COUNT(*)::BIGINT AS n_rows,
+                   SUM(CAST(n_tok AS BIGINT))::BIGINT AS tok_sum,
+                   MAX(n_tok) AS max_tok,
+                   MIN(n_tok) AS min_tok
+            FROM ranked GROUP BY shard
+        """,
     }
+
+
+def _mix_case_sql() -> str:
+    return " ".join(
+        f"WHEN '{s}' THEN '{_mix_threshold_hex(r)}'"
+        for s, r in MIX_RATES.items())
 
 
 def q_seq_sample(sf_dir: str) -> ray.data.Dataset:
@@ -332,3 +375,218 @@ def q_seq_shuffle(sf_dir: str) -> pd.DataFrame:
             .to_pandas())
     head.insert(0, "rank", np.arange(1, len(head) + 1, dtype=np.int64))
     return head
+
+
+# ------------------------------------------------------------- data mixing
+
+#: target per-source keep rates for the mixture pass — downweights the
+#: 55%-hot source and keeps the rare ones whole (the classic "rebalance
+#: the crawl against the curated sets" step before training).
+MIX_SALT = ":mix1"
+MIX_RATES: dict[str, float] = {
+    "github_audit": 0.10,
+    "cloudtrail": 0.40,
+    "access_log": 0.80,
+    "vpc_flow": 1.0,
+    "debug": 1.0,
+    "unknown_src": 1.0,
+}
+
+
+def _mix_threshold_hex(rate: float) -> str:
+    """Keep row iff the first 4 hex digits of md5(doc_id||salt) compare
+    below this 4-char hex literal — string compare ≡ numeric compare at
+    fixed width, so both Arrow and DuckDB evaluate the identical
+    predicate with no hex→int parse."""
+    return format(min(65536, int(rate * 65536)), "04x")
+
+
+def q_seq_mixture(sf_dir: str) -> ray.data.Dataset:
+    """Weighted DATA-MIXING sampler: each source is kept at its target
+    rate via a deterministic content-hash coin (md5(doc_id||salt) —
+    reproducible, order/parallelism independent, re-salt for a fresh
+    epoch). Output: per-source kept rows + kept token mass, SQL-checked.
+
+    Scale: pure per-batch filter (zero shuffle) + per-batch partial
+    (source → count, Σn_tok) so the one exchange moves ``#blocks ×
+    #sources`` partial rows. Unknown sources default to keep-all, so a
+    schema drift never silently drops data."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..stages.ids import md5_hex
+
+    srcs = pa.array(list(MIX_RATES))
+    thresholds = pa.array([_mix_threshold_hex(r) for r in MIX_RATES.values()])
+
+    def sample(batch: pa.Table) -> pa.Table:
+        salted = pc.binary_join_element_wise(
+            batch["doc_id"].combine_chunks().cast(pa.string()),
+            pa.scalar(MIX_SALT), pa.scalar(""))
+        coin = pc.utf8_slice_codeunits(md5_hex(salted), 0, 4)
+        # per-row threshold via dictionary gather on source
+        idx = pc.index_in(batch["source"], value_set=srcs)
+        thr = pc.take(thresholds, pc.fill_null(idx, len(srcs) - 1))
+        thr = pc.if_else(pc.is_null(idx), pa.scalar("ffff"), thr)
+        kept = batch.filter(pc.less(coin, thr))
+        # partial aggregate: one row per (source) per batch
+        g = pa.TableGroupBy(kept.select(["source", "n_tok"]), ["source"])
+        part = g.aggregate([("n_tok", "sum"), ("source", "count")])
+        return part.rename_columns(["source", "tok_kept", "rows_kept"])
+
+    ds = ray.data.read_parquet(_seq_files(sf_dir),
+                               columns=["doc_id", "source", "n_tok"])
+    return (ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("source")
+            .aggregate(_Sum("rows_kept", alias_name="rows_kept"),
+                       _Sum("tok_kept", alias_name="tok_kept")))
+
+
+# --------------------------------------------------------- bigram top-k
+
+BIGRAM_TOPK = 50
+
+
+def _bigram_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch sparse bigram histogram: adjacent token pairs within
+    each sequence, encoded as one int64 key (a*VOCAB+b), collapsed by
+    ``np.unique`` BEFORE the shuffle — the exchange moves distinct
+    (key, count) partials, never the 10^12 raw pairs."""
+    toks = batch["tokens"].combine_chunks()
+    offs = toks.offsets.to_numpy(zero_copy_only=False)
+    flat = toks.values.to_numpy(zero_copy_only=False).astype(np.int64)
+    # normalize away any slice offset: .values spans the WHOLE child
+    # buffer even for sliced arrays, so window it to [offs[0], offs[-1])
+    flat = flat[offs[0]:offs[-1]]
+    offs = offs - offs[0]
+    if flat.size < 2:
+        return pa.table({"bigram": pa.array([], type=pa.int64()),
+                         "n": pa.array([], type=pa.int64()),
+                         "bucket": pa.array([], type=pa.int64())})
+    valid = np.ones(flat.size - 1, dtype=bool)
+    # positions where the NEXT element starts a new sequence
+    ends = offs[1:-1] - 1                    # index into flat[:-1]
+    valid[ends[(ends >= 0) & (ends < valid.size)]] = False
+    keys = flat[:-1][valid] * VOCAB + flat[1:][valid]
+    uk, cnt = np.unique(keys, return_counts=True)
+    return pa.table({"bigram": pa.array(uk, type=pa.int64()),
+                     "n": pa.array(cnt.astype(np.int64), type=pa.int64()),
+                     "bucket": pa.array(uk % BIGRAM_BUCKETS, type=pa.int64())})
+
+
+BIGRAM_BUCKETS = 64
+
+
+def q_bigram_topk(sf_dir: str, k: int = BIGRAM_TOPK) -> pd.DataFrame:
+    """Top-k token BIGRAMS corpus-wide (count desc, then pair asc) —
+    the n-gram statistics pass (tokenizer audits, contamination
+    n-grams). Dense histograms don't fit (VOCAB² slots), so the plan is
+    sparse AND bucketed: per-batch ``np.unique`` partials (collapse
+    duplicates before the shuffle) → hash-partition the bigram key into
+    ``BIGRAM_BUCKETS`` → per-bucket vectorized merge
+    (np.unique+bincount, no per-key Python) → per-bucket top-k, which
+    is EXACT because a bigram lives wholly in one bucket → a
+    ``buckets × k``-row driver merge. A row-hash groupby over the same
+    partials (millions of singleton groups) measured 190 s where this
+    plan takes ~8 s at sf0.001. At 10^12 rows the exchange stays
+    bounded by distinct bigrams per block; beyond that a count-min /
+    frequent-items sketch replaces exactness (documented trade)."""
+
+    def bucket_topk(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df["bigram"].to_numpy()
+        cnts = df["n"].to_numpy()
+        uk, inv = np.unique(keys, return_inverse=True)
+        tot = np.bincount(inv, weights=cnts).astype(np.int64)
+        take = min(k, len(uk))
+        # partial-select the top `take` by (count desc, key asc)
+        cand = np.argpartition(-tot, take - 1)[:take]
+        order = cand[np.lexsort((uk[cand], -tot[cand]))]
+        return pd.DataFrame({"bigram": uk[order], "n": tot[order]})
+
+    ds = (ray.data.read_parquet(_seq_files(sf_dir), columns=["tokens"])
+          .map_batches(_bigram_partial, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=32768)
+          .groupby("bucket")
+          .map_groups(bucket_topk, batch_format="pandas"))
+    df = ds.to_pandas()
+    order = np.lexsort((df["bigram"].to_numpy(), -df["n"].to_numpy()))[:k]
+    df = df.iloc[order]
+    return pd.DataFrame({
+        "tok_a": (df["bigram"] // VOCAB).astype("int32"),
+        "tok_b": (df["bigram"] % VOCAB).astype("int32"),
+        "n": df["n"].astype("int64"),
+    }).reset_index(drop=True)
+
+
+# ------------------------------------------------- curriculum / global rank
+
+CURRICULUM_SHARD = 4096     # sequences per curriculum shard
+
+
+def q_seq_curriculum(sf_dir: str,
+                     shard_size: int = CURRICULUM_SHARD) -> ray.data.Dataset:
+    """Curriculum ordering: GLOBAL rank of every sequence by
+    (n_tok DESC, doc_id ASC) → shard = rank // shard_size → per-shard
+    stats. SQL-checked against a ``row_number()`` window oracle.
+
+    This implements the distributed **zipWithIndex** primitive Ray Data
+    lacks: (1) range-partition sort, materialized once (the sort is the
+    inherent all-to-all; ranks are global prefix counts so SOME barrier
+    is unavoidable); (2) a metadata pass collecting per-block
+    (first_key, row_count) — #blocks tiny rows to the driver, never
+    data; (3) cumulative offsets keyed by each block's first row (rows
+    are unique ⇒ unambiguous); (4) a second map over the SAME
+    materialized blocks assigns rank = block_offset + local position,
+    then folds per-shard partials. Only stats cross to the driver."""
+    from ray.data.aggregate import Max as _Max
+    from ray.data.aggregate import Min as _Min
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = ray.data.read_parquet(_seq_files(sf_dir), columns=["doc_id", "n_tok"])
+    sorted_ds = ds.sort(["n_tok", "doc_id"],
+                        descending=[True, False]).materialize()
+
+    def block_meta(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"first_ntok": pa.array([], type=pa.int32()),
+                             "first_doc": pa.array([], type=pa.string()),
+                             "rows": pa.array([], type=pa.int64())})
+        return pa.table({"first_ntok": t["n_tok"].slice(0, 1),
+                         "first_doc": t["doc_id"].slice(0, 1),
+                         "rows": pa.array([len(t)], type=pa.int64())})
+
+    meta = sorted_ds.map_batches(block_meta, batch_format="pyarrow",
+                                 zero_copy_batch=True,
+                                 batch_size=None).to_pandas()
+    meta = meta.sort_values(["first_ntok", "first_doc"],
+                            ascending=[False, True], kind="stable")
+    offsets = np.concatenate([[0], meta["rows"].to_numpy().cumsum()[:-1]])
+    offset_of = {(int(a), b): int(o) for a, b, o in
+                 zip(meta["first_ntok"], meta["first_doc"], offsets)}
+
+    def assign(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"shard": pa.array([], type=pa.int64()),
+                             "n_rows": pa.array([], type=pa.int64()),
+                             "tok_sum": pa.array([], type=pa.int64()),
+                             "max_tok": pa.array([], type=pa.int32()),
+                             "min_tok": pa.array([], type=pa.int32())})
+        key = (int(t["n_tok"][0].as_py()), t["doc_id"][0].as_py())
+        rank = offset_of[key] + np.arange(len(t), dtype=np.int64)
+        shard = rank // shard_size
+        part = pa.table({"shard": pa.array(shard, type=pa.int64()),
+                         "n_tok": t["n_tok"]})
+        g = pa.TableGroupBy(part, ["shard"]).aggregate(
+            [("n_tok", "count"), ("n_tok", "sum"),
+             ("n_tok", "max"), ("n_tok", "min")])
+        return g.rename_columns(
+            ["shard", "n_rows", "tok_sum", "max_tok", "min_tok"])
+
+    return (sorted_ds.map_batches(assign, batch_format="pyarrow",
+                                  zero_copy_batch=True, batch_size=None)
+            .groupby("shard")
+            .aggregate(_Sum("n_rows", alias_name="n_rows"),
+                       _Sum("tok_sum", alias_name="tok_sum"),
+                       _Max("max_tok", alias_name="max_tok"),
+                       _Min("min_tok", alias_name="min_tok")))

@@ -69,3 +69,70 @@ def test_seq_pack_matches_fixture_recompute(ray_session, tmp_path, monkeypatch):
     assert len(exp) > 0
     import pandas as pd
     pd.testing.assert_frame_equal(got, exp)
+
+def _seq_frames():
+    import pandas as pd
+    frames = []
+    for f in fixtures.sequences_files("sf0.001"):
+        frames.append(pq.read_table(f).to_pandas())
+    return pd.concat(frames, ignore_index=True)
+
+
+def test_seq_mixture_matches_recompute(ray_session):
+    """The weighted data-mixing sampler must keep exactly the rows an
+    independent hashlib recompute of the per-source coin keeps."""
+    import hashlib
+    from swarm_ray.ops.tokens import MIX_RATES, MIX_SALT, q_seq_mixture
+    got = q_seq_mixture("/tmp/x/sf0.001").to_pandas() \
+        .sort_values("source").reset_index(drop=True)
+    df = _seq_frames()
+    coin = df["doc_id"].map(
+        lambda d: hashlib.md5((d + MIX_SALT).encode()).hexdigest()[:4])
+    thr = df["source"].map(
+        lambda s: format(min(65536, int(MIX_RATES.get(s, 1.0) * 65536)), "04x"))
+    kept = df[coin < thr]
+    exp = kept.groupby("source").agg(
+        rows_kept=("doc_id", "size"), tok_kept=("n_tok", "sum")).reset_index()
+    exp = exp.sort_values("source").reset_index(drop=True)
+    assert got["source"].tolist() == exp["source"].tolist()
+    assert got["rows_kept"].tolist() == exp["rows_kept"].tolist()
+    assert got["tok_kept"].tolist() == exp["tok_kept"].tolist()
+    # the hot source really is downweighted to ~its target rate
+    tot = df.groupby("source").size()
+    rate = got.set_index("source")["rows_kept"] / tot
+    assert abs(rate["github_audit"] - 0.10) < 0.02
+
+
+def test_bigram_topk_matches_numpy(ray_session):
+    from swarm_ray.ops.tokens import VOCAB, q_bigram_topk
+    got = q_bigram_topk("/tmp/x/sf0.001", k=25)
+    # naive independent recompute
+    from collections import Counter
+    cnt = Counter()
+    for f in fixtures.sequences_files("sf0.001"):
+        for toks in pq.read_table(f, columns=["tokens"])["tokens"].to_pylist():
+            for a, b in zip(toks[:-1], toks[1:]):
+                cnt[(a, b)] += 1
+    exp = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+    assert list(zip(got["tok_a"], got["tok_b"])) == [k for k, _ in exp]
+    assert got["n"].tolist() == [v for _, v in exp]
+
+
+def test_seq_curriculum_matches_pandas(ray_session):
+    from swarm_ray.ops.tokens import q_seq_curriculum
+    got = q_seq_curriculum("/tmp/x/sf0.001", shard_size=1000).to_pandas() \
+        .sort_values("shard").reset_index(drop=True)
+    df = _seq_frames().sort_values(["n_tok", "doc_id"],
+                                   ascending=[False, True],
+                                   kind="stable").reset_index(drop=True)
+    df["shard"] = df.index // 1000
+    exp = df.groupby("shard").agg(
+        n_rows=("doc_id", "size"), tok_sum=("n_tok", "sum"),
+        max_tok=("n_tok", "max"), min_tok=("n_tok", "min")).reset_index()
+    assert got["shard"].tolist() == exp["shard"].tolist()
+    assert got["n_rows"].tolist() == exp["n_rows"].tolist()
+    assert got["tok_sum"].tolist() == exp["tok_sum"].tolist()
+    assert got["max_tok"].tolist() == exp["max_tok"].tolist()
+    assert got["min_tok"].tolist() == exp["min_tok"].tolist()
+    # shards are full except the last
+    assert (got["n_rows"].iloc[:-1] == 1000).all()
