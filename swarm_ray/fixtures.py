@@ -909,3 +909,64 @@ def pii_documents_dir(label: str) -> Path:
     else:
         os.replace(tmp, out)
     return out
+
+
+def kmeans_expected_dir(sf_dir: str | os.PathLike) -> Path:
+    """Generator-side expected output for ``emb_kmeans``: an INDEPENDENT
+    single-process recompute of the fixed-point Lloyd plan — load the
+    whole embeddings table, floor-scale to int64, iterate assignment
+    (argmin L2 via the integer 2·e·c − ||c||² form) and integer
+    centroid update ``Σe // n``, then emit per-cluster sizes and
+    member-coordinate checksums under the final centroids. Every step
+    is integer arithmetic, so this serial recompute and the engine's
+    distributed partial-sum plan are bit-identical BY CONSTRUCTION —
+    the oracle compare is exact, not statistical. Only the constants
+    (k, iters, scale) are shared with the engine; the loop below is
+    re-derived with plain numpy, not the engine's fold."""
+    from .ops.ann import KMEANS_ITERS, KMEANS_K, KMEANS_SCALE
+
+    label = label_for_sf_dir(sf_dir)
+    out = FIXTURE_ROOT / label / "kmeans_expected"
+    meta = out / "_FIXTURE.json"
+    t = pq.read_table(Path(sf_dir) / "embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    if meta.exists():
+        try:
+            m = json.loads(meta.read_text())
+            if m["rows"] == len(t) and m.get("version") == ANN_FIXTURE_VERSION:
+                return out
+        except Exception:
+            pass
+        shutil.rmtree(out, ignore_errors=True)
+
+    order = np.argsort(t["vec_id"].to_numpy())
+    emb = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)[order]
+    e = np.floor(emb * KMEANS_SCALE).astype(np.int64)
+    cents = e[:KMEANS_K].copy()
+    for _ in range(KMEANS_ITERS + 1):          # last pass = final stats
+        scores = 2 * (e @ cents.T) - (cents * cents).sum(axis=1)[None, :]
+        a = np.argmax(scores, axis=1)
+        counts = np.bincount(a, minlength=KMEANS_K).astype(np.int64)
+        sums = np.zeros((KMEANS_K, e.shape[1]), dtype=np.int64)
+        np.add.at(sums, a, e)
+        nz = counts > 0
+        new = cents.copy()
+        new[nz] = sums[nz] // counts[nz, None]
+        cents = new
+    tbl = pa.table({
+        "cluster": pa.array(np.arange(KMEANS_K, dtype=np.int64)),
+        "n": pa.array(counts),
+        "csum_e6": pa.array(sums.sum(axis=1)),
+    })
+    tmp = out.with_name(out.name + ".tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    tmp.mkdir(parents=True)
+    pq.write_table(tbl, tmp / "expected.parquet")
+    (tmp / "_FIXTURE.json").write_text(json.dumps(
+        {"rows": len(t), "version": ANN_FIXTURE_VERSION}))
+    out.parent.mkdir(parents=True, exist_ok=True)
+    if out.exists():
+        shutil.rmtree(tmp, ignore_errors=True)
+    else:
+        os.replace(tmp, out)
+    return out

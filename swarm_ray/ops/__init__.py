@@ -35,6 +35,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_jaccard_pairs": dedup.q_jaccard_pairs,
         "doc_minhash_pairs": dedup.q_minhash_pairs_checked,
         "doc_dup_clusters": dedup.q_dup_clusters,
+        "doc_dedup_near": dedup.q_dedup_near,
     }
     try:
         from . import relational
@@ -86,6 +87,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_simhash": sql.SQL_SIMHASH,
         "doc_jaccard_pairs": sql.SQL_JACCARD_PAIRS,
         "doc_dup_clusters": sql.SQL_DUP_CLUSTERS,
+        "doc_dedup_near": sql.SQL_DEDUP_NEAR,
     }
     # doc_minhash_pairs: differential oracle — the generator-side
     # independent LSH recompute (fixtures.minhash_pairs_expected_dir,

@@ -392,6 +392,126 @@ def q_emb_centroids(sf_dir: str) -> ray.data.Dataset:
                        _Sum("csum_e6", alias_name="csum_e6")))
 
 
+# ----------------------------------------------------- k-means (full corpus)
+
+KMEANS_K = 8
+KMEANS_ITERS = 4
+KMEANS_SCALE = 1_000_000
+
+
+def kmeans_scaled(m: np.ndarray) -> np.ndarray:
+    """Fixed-point embedding matrix: floor(x·1e6) as int64. Everything
+    downstream is INTEGER arithmetic — associative and order-free — so
+    the distributed partial-sum plan, the serial fixture recompute, and
+    any future parallelism all land on bit-identical centroids and
+    assignments (production float kernels trade this exactness for
+    BLAS speed; the plan shape is unchanged)."""
+    return np.floor(np.asarray(m, dtype=np.float64) * KMEANS_SCALE) \
+        .astype(np.int64)
+
+
+def kmeans_assign(e: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """Nearest centroid by squared L2, integer-exact: argmin ||e-c||²
+    = argmax 2·e·c − ||c||² (the ||e||² term is constant per row).
+    Ties break to the lowest cluster index in every implementation."""
+    scores = 2 * (e @ cents.T) - (cents * cents).sum(axis=1)[None, :]
+    return np.argmax(scores, axis=1)
+
+
+def q_emb_kmeans(sf_dir: str, k: int = KMEANS_K,
+                 iters: int = KMEANS_ITERS) -> pd.DataFrame:
+    """FULL-CORPUS distributed k-means (Lloyd) over the embedding
+    column — the clustering pass behind semantic dedup / topic-balanced
+    curation. Per iteration: broadcast the (k×d) centroid matrix
+    (~4 KB; ``ray.put`` once per round) → per-batch partials (counts +
+    per-cluster coordinate sums, ONE row per batch) → a map-only
+    64-way fold → a tiny driver update ``c = Σe // n``. No shuffle at
+    all — the corpus is materialized once in scaled form and streamed
+    ``iters+1`` times; only k×(d+1) integers per batch ever move.
+    Output: per-cluster size + member-coordinate checksum under the
+    final centroids, SQL-checked against an independent serial
+    recompute (``fixtures.kmeans_expected_dir``) — exact, not
+    statistical, because the whole pipeline is fixed-point integer
+    (see ``kmeans_scaled``)."""
+    d_cols = ["vec_id", "embedding"]
+    init = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=d_cols,
+        filter=pc.field("vec_id") < k,
+    ).to_pandas().sort_values("vec_id")
+    cents = kmeans_scaled(np.asarray(list(init["embedding"])))
+    dim = cents.shape[1]
+
+    def scale(t: pa.Table) -> pa.Table:
+        e = kmeans_scaled(_emb_matrix(t["embedding"]))
+        return pa.table({"e": pa.FixedSizeListArray.from_arrays(
+            pa.array(e.reshape(-1)), dim)})
+
+    corpus = (ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                    columns=["embedding"])
+              .map_batches(scale, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .materialize())
+
+    def stats_for(cents_now: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        cref = ray.put(cents_now)
+
+        def partial(t: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            arr = t["e"].combine_chunks()
+            e = arr.values.to_numpy(zero_copy_only=False) \
+                .reshape(len(arr), dim)
+            a = kmeans_assign(e, c)
+            counts = np.bincount(a, minlength=k).astype(np.int64)
+            sums = np.zeros((k, dim), dtype=np.int64)
+            np.add.at(sums, a, e)
+            return pa.table({
+                "counts": pa.FixedSizeListArray.from_arrays(
+                    pa.array(counts), k),
+                "sums": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sums.reshape(-1)), k * dim)})
+
+        def fold(t: pa.Table) -> pa.Table:
+            c = t["counts"].combine_chunks()
+            s = t["sums"].combine_chunks()
+            cm = c.values.to_numpy(zero_copy_only=False).reshape(len(c), k)
+            sm = s.values.to_numpy(zero_copy_only=False).reshape(len(s), k * dim)
+            return pa.table({
+                "counts": pa.FixedSizeListArray.from_arrays(
+                    pa.array(cm.sum(axis=0)), k),
+                "sums": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sm.sum(axis=0)), k * dim)})
+
+        parts = (corpus.map_batches(partial, batch_format="pyarrow",
+                                    zero_copy_batch=True, batch_size=4096)
+                 .map_batches(fold, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=64)
+                 .to_pandas())
+        counts = np.sum(np.stack([np.asarray(v) for v in parts["counts"]]),
+                        axis=0)
+        sums = np.sum(np.stack([np.asarray(v) for v in parts["sums"]]),
+                      axis=0).reshape(k, dim)
+        return counts, sums
+
+    for _ in range(iters):
+        counts, sums = stats_for(cents)
+        nonzero = counts > 0
+        cents[nonzero] = sums[nonzero] // counts[nonzero, None]
+    counts, sums = stats_for(cents)      # final assignment under final cents
+    return pd.DataFrame({
+        "cluster": np.arange(k, dtype=np.int64),
+        "n": counts.astype(np.int64),
+        "csum_e6": sums.sum(axis=1).astype(np.int64),
+    })
+
+
+def q_emb_kmeans_checked(sf_dir: str) -> pd.DataFrame:
+    """Driver-facing ``emb_kmeans``: materializes the serial-recompute
+    fixture so the DuckDB oracle has its expected table on disk."""
+    from .. import fixtures
+    fixtures.kmeans_expected_dir(sf_dir)
+    return q_emb_kmeans(sf_dir)
+
+
 # ------------------------------------------------------------ registry
 
 def queries():
@@ -401,6 +521,7 @@ def queries():
         "emb_ivf_ann": q_knn_ivf_checked,
         "emb_near_dup": q_emb_near_dup,
         "emb_centroids": q_emb_centroids,
+        "emb_kmeans": q_emb_kmeans_checked,
     }
 
 
@@ -441,6 +562,7 @@ FROM ranked WHERE rank <= {TOP_K}
 def oracle_sql():
     return {
         "emb_lsh_ann": _candidate_rank_sql("lsh_candidates_expected"),
+        "emb_kmeans": _kmeans_expected_sql(),
         "emb_ivf_ann": _candidate_rank_sql("ivf_candidates_expected"),
         "emb_knn": f"""
 WITH q AS (
@@ -598,3 +720,16 @@ def q_knn_ivf_checked(sf_dir: str) -> ray.data.Dataset:
     from .. import fixtures
     fixtures.ivf_candidates_expected_dir(sf_dir)
     return q_knn_ivf(sf_dir)
+
+
+def _kmeans_expected_sql() -> str:
+    """Differential k-means oracle: the fixture is an INDEPENDENT
+    serial recompute of the fixed-point Lloyd plan (exact because the
+    whole pipeline is integer — see ``kmeans_scaled``)."""
+    from pathlib import Path
+
+    from .. import fixtures
+    glob = str(Path(fixtures.FIXTURE_ROOT) /
+               fixtures.label_for_sf_dir(fixtures.oracle_sf_dir()) /
+               "kmeans_expected" / "*.parquet")
+    return f"SELECT cluster, n, csum_e6 FROM read_parquet('{glob}')"

@@ -32,14 +32,18 @@ from ray.data.aggregate import Min
 DOC_COLS = ["doc_id", "text"]
 
 
-def _read_docs(sf_dir: str) -> ray.data.Dataset:
+def _doc_files(sf_dir: str) -> list[str]:
     from pathlib import Path
     single = Path(sf_dir) / "documents.parquet"
     if single.exists():
-        return ray.data.read_parquet(str(single), columns=DOC_COLS)
+        return [str(single)]
     # multi-file documents corpora (e.g. the synthetic scaling fixture)
     parts = sorted(str(p) for p in Path(sf_dir).glob("documents-*.parquet"))
-    return ray.data.read_parquet(parts or str(single), columns=DOC_COLS)
+    return parts or [str(single)]
+
+
+def _read_docs(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(_doc_files(sf_dir), columns=DOC_COLS)
 
 
 def _docs_count(sf_dir: str) -> int:
@@ -988,6 +992,70 @@ def q_dup_clusters_minhash(sf_dir: str) -> pd.DataFrame:
         return union_find_clusters(pairs)
     return connected_components(
         ray.data.from_arrow(pa.Table.from_pandas(pairs, preserve_index=False)))
+
+
+# ------------------------------------------------- end-to-end near-dup dedup
+
+def q_dedup_near(sf_dir: str) -> ray.data.Dataset:
+    """The END-TO-END near-dup dedup pass — what a curation pipeline
+    actually ships: verified pair set → distributed connected
+    components → keep each cluster's representative (min doc_id) →
+    the kept corpus. Output: per-source kept/removed counts,
+    SQL-checked against the recursive-CTE closure + anti-join oracle.
+
+    Scale shape: the REMOVAL list (cluster members minus their
+    representative) is bounded by the dup frontier, not the corpus —
+    but it is still applied as a keyed repartition anti-join on doc_id
+    (the ``q_dedup_incremental`` shape), never a driver broadcast set,
+    so a boilerplate-heavy corpus with a huge dup fraction degrades to
+    one more exchange instead of OOMing the driver."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..util import enable_hash_shuffle, keyed_partition_count
+
+    clusters = q_dup_clusters(sf_dir)
+    removed_ids = clusters.loc[clusters["doc_id"] != clusters["cluster_id"],
+                               "doc_id"].to_numpy(dtype=np.int64)
+    removal = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(removed_ids, type=pa.int64()),
+        "source": pa.array([""] * len(removed_ids), type=pa.string()),
+        "is_removal": pa.array(np.ones(len(removed_ids), dtype=np.int8)),
+    }))
+
+    def tag(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "source": t["source"],
+            "is_removal": pa.array(np.zeros(len(t), dtype=np.int8)),
+        })
+
+    corpus = ray.data.read_parquet(
+        _doc_files(sf_dir), columns=["doc_id", "source"]
+    ).map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+
+    _OUT = pa.schema([("source", pa.string()), ("kept", pa.int64()),
+                      ("removed", pa.int64())])
+
+    def fold_block(df_: pd.DataFrame) -> pd.DataFrame:
+        if df_.empty:
+            return _OUT.empty_table().to_pandas()
+        gone = set(df_.loc[df_["is_removal"] == 1, "doc_id"])
+        docs = df_[df_["is_removal"] == 0]
+        hit = docs["doc_id"].isin(gone)
+        out = docs.assign(removed=hit.astype("int64"),
+                          kept=(~hit).astype("int64"))
+        return out.groupby("source", as_index=False)[["kept", "removed"]].sum()
+
+    both = corpus.union(removal)
+    enable_hash_shuffle(both)
+    n_parts = keyed_partition_count(_docs_count(sf_dir) * 24)
+    return (both.repartition(n_parts, keys=["doc_id"])
+            .map_batches(fold_block, batch_format="pandas", batch_size=None)
+            .groupby("source")
+            .aggregate(_Sum("kept", alias_name="kept"),
+                       _Sum("removed", alias_name="removed")))
 
 
 # ------------------------------------------------------------ incremental dedup

@@ -136,6 +136,22 @@ FROM reach GROUP BY src ORDER BY doc_id
 """
 
 
+# end-to-end near-dup dedup: clusters -> drop non-representatives ->
+# per-source kept/removed counts over the full corpus
+SQL_DEDUP_NEAR = f"""
+WITH clusters AS (
+{SQL_DUP_CLUSTERS.strip().rstrip()}
+), removed AS (
+  SELECT doc_id FROM clusters WHERE doc_id != cluster_id
+)
+SELECT d.source,
+       COUNT(*) FILTER (WHERE r.doc_id IS NULL)::BIGINT AS kept,
+       COUNT(*) FILTER (WHERE r.doc_id IS NOT NULL)::BIGINT AS removed
+FROM documents d LEFT JOIN removed r ON d.doc_id = r.doc_id
+GROUP BY d.source ORDER BY d.source
+"""
+
+
 # composite curation: quality gate -> exact dedup keeper -> per-lang counts
 from .text import CURATION_MAX_STOP_MILLI, CURATION_MIN_WORDS  # noqa: E402
 

@@ -205,3 +205,30 @@ def test_lsh_ann_1k_queries(ray_session):
         hits += len(got & want)
         total += len(want)
     assert hits / total >= 0.6, f"LSH@1k recall {hits/total:.2f}"
+
+
+def test_kmeans_matches_serial_recompute(ray_session, tmp_path, monkeypatch):
+    """Distributed fixed-point Lloyd must be BIT-IDENTICAL to the
+    serial fixture recompute (integer arithmetic end to end)."""
+    import pyarrow.parquet as pq
+    from swarm_ray import fixtures
+    from swarm_ray.ops.ann import q_emb_kmeans
+    monkeypatch.setattr(fixtures, "FIXTURE_ROOT", tmp_path / "fx")
+    got = q_emb_kmeans(SF)
+    exp = pq.read_table(
+        fixtures.kmeans_expected_dir(SF) / "expected.parquet").to_pandas()
+    assert got["cluster"].tolist() == exp["cluster"].tolist()
+    assert got["n"].tolist() == exp["n"].tolist()
+    assert got["csum_e6"].tolist() == exp["csum_e6"].tolist()
+    # sanity: every vector assigned, >1 non-empty cluster
+    assert got["n"].sum() == 500
+    assert (got["n"] > 0).sum() > 1
+
+
+def test_kmeans_iterates_beyond_init(ray_session):
+    """Lloyd must actually move: final per-cluster stats differ from
+    the iteration-0 (init-centroid) assignment."""
+    from swarm_ray.ops.ann import q_emb_kmeans
+    zero = q_emb_kmeans(SF, iters=0)
+    final = q_emb_kmeans(SF, iters=4)
+    assert zero["n"].tolist() != final["n"].tolist()

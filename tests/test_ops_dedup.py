@@ -286,3 +286,30 @@ def test_dedup_incremental_anti_join(ray_session, tmp_path):
     assert got["doc_id"].tolist() == [0, 3, 6, 9]
     assert got["dup_of"].tolist() == [1, -1, -1, -1]
     assert got["is_new"].tolist() == [0, 1, 1, 1]
+
+
+def test_dedup_near_counts_reconcile(ray_session):
+    """End-to-end near-dup dedup: kept+removed must cover the corpus
+    exactly, and the removal set must equal the union-find clusters'
+    non-representative members."""
+    import pyarrow.parquet as pq
+    from swarm_ray.ops.dedup import (q_dedup_near, q_jaccard_pairs,
+                                     union_find_clusters)
+    sf = "/root/testdata/sf0.001"
+    got = q_dedup_near(sf).to_pandas().sort_values("source") \
+        .reset_index(drop=True)
+    docs = pq.read_table(f"{sf}/documents.parquet",
+                         columns=["doc_id", "source"]).to_pandas()
+    clusters = union_find_clusters(q_jaccard_pairs(sf))
+    removed = set(clusters.loc[clusters.doc_id != clusters.cluster_id,
+                               "doc_id"])
+    assert len(removed) > 0          # the fixture corpus has near-dups
+    docs["removed"] = docs["doc_id"].isin(removed).astype("int64")
+    exp = docs.groupby("source").agg(
+        kept=("removed", lambda s: int((1 - s).sum())),
+        removed=("removed", "sum")).reset_index() \
+        .sort_values("source").reset_index(drop=True)
+    assert got["source"].tolist() == exp["source"].tolist()
+    assert got["kept"].tolist() == exp["kept"].tolist()
+    assert got["removed"].tolist() == exp["removed"].tolist()
+    assert (got["kept"] + got["removed"]).sum() == len(docs)
