@@ -223,6 +223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_mixture": q_seq_mixture,
         "seq_bigram_topk": q_bigram_topk,
         "seq_curriculum": q_seq_curriculum,
+        "seq_token_budget": q_seq_token_budget,
     }
 
 
@@ -293,6 +294,20 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY a, b
             ORDER BY n DESC, tok_a ASC, tok_b ASC
             LIMIT {BIGRAM_TOPK}
+        """,
+        "seq_token_budget": f"""
+            WITH c AS (
+              SELECT source, CAST(n_tok AS BIGINT) AS n_tok,
+                     SUM(CAST(n_tok AS BIGINT)) OVER (
+                       PARTITION BY source
+                       ORDER BY CAST(regexp_extract(doc_id, 'doc-(\\d+)', 1)
+                                     AS BIGINT)) AS run
+              FROM read_parquet('{glob}')
+            )
+            SELECT source, COUNT(*)::BIGINT AS rows_kept,
+                   SUM(n_tok)::BIGINT AS tok_kept
+            FROM c WHERE run <= {TOKEN_BUDGET}
+            GROUP BY source ORDER BY source
         """,
         "seq_curriculum": f"""
             WITH ranked AS (
@@ -517,6 +532,97 @@ def q_bigram_topk(sf_dir: str, k: int = BIGRAM_TOPK) -> pd.DataFrame:
         "tok_b": (df["bigram"] % VOCAB).astype("int32"),
         "n": df["n"].astype("int64"),
     }).reset_index(drop=True)
+
+
+# ---------------------------------------------------- per-source token budget
+
+TOKEN_BUDGET = 400_000       # tokens admitted per source (epoch quota)
+BUDGET_BUCKET = 8192         # doc_idx rows per offset bucket — scale knob:
+                             # offsets table is #sources × corpus/BUCKET rows;
+                             # grow the bucket with the corpus so it stays
+                             # driver-small (10^12 rows → bucket ≈ 10^7)
+
+
+def q_seq_token_budget(sf_dir: str,
+                       budget: int = TOKEN_BUDGET) -> ray.data.Dataset:
+    """Per-source TOKEN-BUDGET cap: admit each source's sequences in
+    global doc order until its running token total exceeds ``budget``
+    (the per-source quota / epoch-budget pass of a mixture pipeline).
+    Output: per-source admitted rows + tokens, SQL-checked against a
+    windowed running-sum oracle.
+
+    Scale plan — a per-key PREFIX SUM without a global sort and
+    without keying the exchange on the 55%-hot source column:
+    (1) per-batch partials of (source, doc_idx-bucket) token sums →
+    a driver-small offsets table (#sources × #buckets; see
+    ``BUDGET_BUCKET``); (2) driver cumsum per source → exclusive
+    bucket-start offsets, ``ray.put`` broadcast; (3) ONE hash
+    repartition keyed on the UNIFORM bucket id co-locates each bucket;
+    (4) block-local: order by doc_idx, within-(source,bucket) cumsum +
+    broadcast offset = the row's global running total — keep iff
+    ≤ budget; (5) per-source partial counts → tiny groupby."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..stages.ids import doc_index
+    from ..util import enable_hash_shuffle, keyed_partition_count
+
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        idx = doc_index(t)
+        b = pc.cast(pc.divide(idx, BUDGET_BUCKET), pa.int64())
+        part = pa.table({"source": t["source"], "bucket": b,
+                         "n_tok": pc.cast(t["n_tok"], pa.int64())})
+        return pa.TableGroupBy(part, ["source", "bucket"]).aggregate(
+            [("n_tok", "sum")]).rename_columns(["source", "bucket", "tok"])
+
+    ds = ray.data.read_parquet(_seq_files(sf_dir),
+                               columns=["doc_id", "source", "n_tok"])
+    sums = ds.map_batches(bucket_partial, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
+    sums = sums.groupby(["source", "bucket"], as_index=False)["tok"].sum() \
+        .sort_values(["source", "bucket"])
+    # exclusive prefix: tokens admitted BEFORE each bucket starts
+    sums["offset"] = sums.groupby("source")["tok"].cumsum() - sums["tok"]
+    offsets_ref = ray.put({(s, int(b)): int(o) for s, b, o in
+                           zip(sums["source"], sums["bucket"],
+                               sums["offset"])})
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        idx = doc_index(t)
+        return pa.table({
+            "source": t["source"],
+            "n_tok": pc.cast(t["n_tok"], pa.int64()),
+            "doc_idx": idx,
+            "bucket": pc.cast(pc.divide(idx, BUDGET_BUCKET), pa.int64()),
+        })
+
+    _OUT = pa.schema([("source", pa.string()), ("rows_kept", pa.int64()),
+                      ("tok_kept", pa.int64())])
+
+    def admit_block(df_: pd.DataFrame) -> pd.DataFrame:
+        if df_.empty:
+            return _OUT.empty_table().to_pandas()
+        offsets = ray.get(offsets_ref)
+        df_ = df_.sort_values("doc_idx", kind="stable")
+        run = df_.groupby(["source", "bucket"])["n_tok"].cumsum()
+        base = pd.Series(
+            [offsets[(s, int(b))] for s, b in
+             zip(df_["source"], df_["bucket"])], index=df_.index)
+        kept = df_[(run + base) <= budget]
+        out = kept.groupby("source", as_index=False).agg(
+            rows_kept=("n_tok", "size"), tok_kept=("n_tok", "sum"))
+        return out.astype({"rows_kept": "int64", "tok_kept": "int64"})
+
+    tagged = ds.map_batches(add_bucket, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    enable_hash_shuffle(tagged)
+    n_parts = keyed_partition_count()
+    return (tagged.repartition(n_parts, keys=["bucket"])
+            .map_batches(admit_block, batch_format="pandas", batch_size=None)
+            .groupby("source")
+            .aggregate(_Sum("rows_kept", alias_name="rows_kept"),
+                       _Sum("tok_kept", alias_name="tok_kept")))
 
 
 # ------------------------------------------------- curriculum / global rank

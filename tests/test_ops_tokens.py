@@ -136,3 +136,26 @@ def test_seq_curriculum_matches_pandas(ray_session):
     assert got["min_tok"].tolist() == exp["min_tok"].tolist()
     # shards are full except the last
     assert (got["n_rows"].iloc[:-1] == 1000).all()
+
+
+def test_seq_token_budget_matches_recompute(ray_session):
+    """Per-source token budget must admit exactly the windowed-cumsum
+    prefix an independent pandas recompute admits."""
+    from swarm_ray.ops.tokens import q_seq_token_budget
+    budget = 120_000
+    got = q_seq_token_budget("/tmp/x/sf0.001", budget=budget).to_pandas() \
+        .sort_values("source").reset_index(drop=True)
+    df = _seq_frames()
+    df["doc_idx"] = df["doc_id"].str.extract(r"doc-(\d+)").astype("int64")
+    df = df.sort_values("doc_idx")
+    df["run"] = df.groupby("source")["n_tok"].cumsum()
+    kept = df[df["run"] <= budget]
+    exp = kept.groupby("source", as_index=False).agg(
+        rows_kept=("n_tok", "size"), tok_kept=("n_tok", "sum")) \
+        .sort_values("source").reset_index(drop=True)
+    assert got["source"].tolist() == exp["source"].tolist()
+    assert got["rows_kept"].tolist() == exp["rows_kept"].tolist()
+    assert got["tok_kept"].tolist() == exp["tok_kept"].tolist()
+    # the quota really binds on the hot source and never overshoots
+    assert (got["tok_kept"] <= budget).all()
+    assert got.set_index("source")["tok_kept"]["github_audit"] > budget * 0.95
