@@ -80,12 +80,12 @@ def q_dedup_exact(sf_dir: str) -> ray.data.Dataset:
 
     hashed = _read_docs(sf_dir).map_batches(
         _hash_batch, batch_format="pyarrow", zero_copy_batch=True)
-    enable_hash_shuffle(hashed)
     # partition count scales with CPUs AND bytes entering the shuffle
     # (~56 B per (md5-hex, id) pair) so one partition never nears the
     # block-split threshold that would break block_agg's one-whole-
     # partition-per-call invariant (batch_size=None below)
     n_parts = keyed_partition_count(_docs_count(sf_dir) * 56)
+    enable_hash_shuffle(hashed, n_parts)
 
     def block_agg(t: pa.Table) -> pa.Table:
         if len(t) == 0:
@@ -334,10 +334,10 @@ def minhash_candidate_pairs(sf_dir: str) -> ray.data.Dataset:
     # (one whole block per call, so buckets never straddle a batch).
     # Partition count sized to the band-triple bytes (~50 B × BANDS per
     # doc) as well as CPUs — see keyed_partition_count (ADVICE r2).
-    enable_hash_shuffle(bands)
-    bucketed = bands.repartition(
-        keyed_partition_count(_docs_count(sf_dir) * BANDS * 50),
-        keys=["band_id", "band_hash"])
+    n_bucket_parts = keyed_partition_count(_docs_count(sf_dir) * BANDS * 50)
+    enable_hash_shuffle(bands, n_bucket_parts)
+    bucketed = bands.repartition(n_bucket_parts,
+                                 keys=["band_id", "band_hash"])
     pairs = bucketed.map_batches(_block_pairs, batch_format="pyarrow",
                                  zero_copy_batch=True, batch_size=None)
 
@@ -578,7 +578,7 @@ def _verify_repartition(cand_ds: ray.data.Dataset,
     # cand_ds is materialized by the caller, so count() is metadata
     n_parts = keyed_partition_count(cand_ds.count() * 750)
     merged = pairs_tagged.union(sets_tagged)
-    enable_hash_shuffle(merged)
+    enable_hash_shuffle(merged, n_parts)
     # round 1: co-locate each pair with doc_a's shingle set; batch_size
     # =None is load-bearing (one whole partition per call, so a key
     # group never straddles a batch — same invariant as _block_pairs)
@@ -767,7 +767,7 @@ def _cc_contract(edges: ray.data.Dataset, n_parts: int) -> pd.DataFrame:
     the escape hatch; below it, contraction wins by an order of
     magnitude (see BASELINE.md §round-3)."""
     from ..util import enable_hash_shuffle
-    enable_hash_shuffle(edges)
+    enable_hash_shuffle(edges, n_parts)
     ds = edges
     n = n_parts
     while True:
@@ -1049,8 +1049,8 @@ def q_dedup_near(sf_dir: str) -> ray.data.Dataset:
         return out.groupby("source", as_index=False)[["kept", "removed"]].sum()
 
     both = corpus.union(removal)
-    enable_hash_shuffle(both)
     n_parts = keyed_partition_count(_docs_count(sf_dir) * 24)
+    enable_hash_shuffle(both, n_parts)
     return (both.repartition(n_parts, keys=["doc_id"])
             .map_batches(fold_block, batch_format="pandas", batch_size=None)
             .groupby("source")
@@ -1110,8 +1110,8 @@ def q_dedup_incremental(sf_dir: str) -> ray.data.Dataset:
 
     hashed = _read_docs(sf_dir).map_batches(
         hash_tag, batch_format="pyarrow", zero_copy_batch=True)
-    enable_hash_shuffle(hashed)
     n_parts = keyed_partition_count(_docs_count(sf_dir) * 57)
+    enable_hash_shuffle(hashed, n_parts)
     return (hashed.repartition(n_parts, keys=["content_md5"])
             .map_batches(match_block, batch_format="pandas",
                          batch_size=None))

@@ -179,12 +179,12 @@ def q_events_sessionize(sf_dir: str) -> ray.data.Dataset:
     (identical output, bounded groups)."""
     from ..util import enable_hash_shuffle, keyed_partition_count
     ds = _read_events(sf_dir, ["user_id", "ts", "event_id"])
-    enable_hash_shuffle(ds)
     # sized to the (user_id, ts, event_id) triple bytes as well as CPUs
     # so one partition stays under the block-split threshold that would
     # break the one-whole-partition-per-call invariant (ADVICE r2)
-    return (ds.repartition(keyed_partition_count(_events_count(sf_dir) * 40),
-                           keys=["user_id"])
+    nparts = keyed_partition_count(_events_count(sf_dir) * 40)
+    enable_hash_shuffle(ds, nparts)
+    return (ds.repartition(nparts, keys=["user_id"])
             .map_batches(_sessionize_block, batch_format="pandas",
                          batch_size=None))
 
@@ -302,7 +302,7 @@ def q_events_sessionize_salted(sf_dir: str) -> ray.data.Dataset:
 
     nparts = keyed_partition_count(_events_count(sf_dir) * 48)
     ds = _read_events(sf_dir, ["user_id", "ts", "event_id"])
-    enable_hash_shuffle(ds)
+    enable_hash_shuffle(ds, nparts)
     buckets = (ds.map_batches(add_day, batch_format="pyarrow",
                               zero_copy_batch=True)
                .repartition(nparts, keys=["user_id", "day"])
@@ -362,9 +362,9 @@ def q_events_asof_click(sf_dir: str) -> ray.data.Dataset:
     whole-block vectorized pandas (grouped cummax/ffill/shift)."""
     from ..util import enable_hash_shuffle, keyed_partition_count
     ds = _read_events(sf_dir, ["user_id", "ts", "event_id", "event_type"])
-    enable_hash_shuffle(ds)
-    return (ds.repartition(keyed_partition_count(_events_count(sf_dir) * 48),
-                           keys=["user_id"])
+    nparts = keyed_partition_count(_events_count(sf_dir) * 48)
+    enable_hash_shuffle(ds, nparts)
+    return (ds.repartition(nparts, keys=["user_id"])
             .map_batches(_asof_block, batch_format="pandas",
                          batch_size=None))
 
@@ -605,7 +605,7 @@ def q_tpch_priority_revenue(sf_dir: str) -> ray.data.Dataset:
                                columns=["l_orderkey", "l_extendedprice"])
     orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
                                    columns=["o_orderkey", "o_orderpriority"])
-    enable_hash_shuffle(li)
+    enable_hash_shuffle(li, max(8, cluster_cpus()))
 
     def cents(t: pa.Table) -> pa.Table:
         return pa.table({

@@ -239,7 +239,8 @@ def q_doc_curation(sf_dir: str) -> ray.data.Dataset:
     # for the driver)
     from ..util import enable_hash_shuffle, keyed_partition_count
     from .dedup import _docs_count
-    enable_hash_shuffle(hashed)
+    n_cur_parts = keyed_partition_count(_docs_count(sf_dir) * 64)
+    enable_hash_shuffle(hashed, n_cur_parts)
 
     def keeper_lang_counts(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
@@ -252,9 +253,7 @@ def q_doc_curation(sf_dir: str) -> ray.data.Dataset:
 
     # sized to the (md5, id, lang) row bytes as well as CPUs so one
     # partition stays under the block-split threshold (ADVICE r2)
-    partials = (hashed.repartition(
-                    keyed_partition_count(_docs_count(sf_dir) * 64),
-                    keys=["text_md5"])
+    partials = (hashed.repartition(n_cur_parts, keys=["text_md5"])
                 .map_batches(keeper_lang_counts, batch_format="pandas",
                              batch_size=None))
     from ray.data.aggregate import Sum as _Sum
@@ -442,10 +441,10 @@ def q_doc_decontaminate(sf_dir: str) -> ray.data.Dataset:
                                columns=["doc_id", "text"])
     sh = ds.map_batches(shingle_rows, batch_format="pyarrow",
                         zero_copy_batch=True)
-    enable_hash_shuffle(sh)
     # ~50 shingles/doc × ~70 B (shingle string + ints) entering the
     # shuffle — same byte-aware partition sizing as the dedup stages
     nparts = keyed_partition_count(_docs_count(sf_dir) * 50 * 70)
+    enable_hash_shuffle(sh, nparts)
     hits = (sh.repartition(nparts, keys=["shingle"])
               .map_batches(match_block, batch_format="pyarrow",
                            zero_copy_batch=True, batch_size=None))
@@ -676,9 +675,9 @@ def q_doc_tfidf_top(sf_dir: str) -> ray.data.Dataset:
                                columns=["doc_id", "text"])
     tf_rows = ds.map_batches(explode_tf, batch_format="pyarrow",
                              zero_copy_batch=True)
-    enable_hash_shuffle(tf_rows)
     # ~54 distinct terms/doc × ~26 B per (doc_id, term, tf) row
     nparts = keyed_partition_count(_docs_count(sf_dir) * 54 * 26)
+    enable_hash_shuffle(tf_rows, nparts)
     with_df = (tf_rows.repartition(nparts, keys=["term"])
                .map_batches(attach_df, batch_format="pandas",
                             batch_size=None))

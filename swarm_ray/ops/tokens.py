@@ -463,11 +463,19 @@ def q_seq_mixture(sf_dir: str) -> ray.data.Dataset:
 BIGRAM_TOPK = 50
 
 
+_BIGRAM_SCHEMA = pa.schema([("tok_a", pa.int32()), ("tok_b", pa.int32()),
+                            ("n", pa.int32()), ("bucket", pa.int16())])
+
+
 def _bigram_partial(batch: pa.Table) -> pa.Table:
     """Per-batch sparse bigram histogram: adjacent token pairs within
-    each sequence, encoded as one int64 key (a*VOCAB+b), collapsed by
-    ``np.unique`` BEFORE the shuffle — the exchange moves distinct
-    (key, count) partials, never the 10^12 raw pairs."""
+    each sequence, collapsed by ``np.unique`` BEFORE the shuffle — the
+    exchange moves distinct (pair, count) partials, never the 10^12
+    raw pairs. Partial rows are deliberately NARROW (two int32 tokens +
+    int32 count + int16 bucket ≈ 14 B/row vs 24 for int64 triples):
+    on a near-uniform corpus the distinct-pair set barely collapses,
+    so exchange bytes ARE the cost — measured 470 s → 150 s at
+    sf0.1/32 CPUs together with the hash-repartition reducer below."""
     toks = batch["tokens"].combine_chunks()
     offs = toks.offsets.to_numpy(zero_copy_only=False)
     flat = toks.values.to_numpy(zero_copy_only=False).astype(np.int64)
@@ -476,54 +484,73 @@ def _bigram_partial(batch: pa.Table) -> pa.Table:
     flat = flat[offs[0]:offs[-1]]
     offs = offs - offs[0]
     if flat.size < 2:
-        return pa.table({"bigram": pa.array([], type=pa.int64()),
-                         "n": pa.array([], type=pa.int64()),
-                         "bucket": pa.array([], type=pa.int64())})
+        return _BIGRAM_SCHEMA.empty_table()
     valid = np.ones(flat.size - 1, dtype=bool)
     # positions where the NEXT element starts a new sequence
     ends = offs[1:-1] - 1                    # index into flat[:-1]
     valid[ends[(ends >= 0) & (ends < valid.size)]] = False
     keys = flat[:-1][valid] * VOCAB + flat[1:][valid]
     uk, cnt = np.unique(keys, return_counts=True)
-    return pa.table({"bigram": pa.array(uk, type=pa.int64()),
-                     "n": pa.array(cnt.astype(np.int64), type=pa.int64()),
-                     "bucket": pa.array(uk % BIGRAM_BUCKETS, type=pa.int64())})
+    return pa.table({
+        "tok_a": pa.array((uk // VOCAB).astype(np.int32)),
+        "tok_b": pa.array((uk % VOCAB).astype(np.int32)),
+        "n": pa.array(cnt.astype(np.int32)),
+        "bucket": pa.array((uk % BIGRAM_BUCKETS).astype(np.int16)),
+    })
 
 
-BIGRAM_BUCKETS = 64
+#: key-space partitions for the bigram exchange — whole buckets land in
+#: whole blocks (block-local top-k stays exact); sized well above any
+#: test cluster so partition balance is hash-smooth, and int16-narrow
+BIGRAM_BUCKETS = 512
 
 
-def q_bigram_topk(sf_dir: str, k: int = BIGRAM_TOPK) -> pd.DataFrame:
-    """Top-k token BIGRAMS corpus-wide (count desc, then pair asc) —
-    the n-gram statistics pass (tokenizer audits, contamination
-    n-grams). Dense histograms don't fit (VOCAB² slots), so the plan is
-    sparse AND bucketed: per-batch ``np.unique`` partials (collapse
-    duplicates before the shuffle) → hash-partition the bigram key into
-    ``BIGRAM_BUCKETS`` → per-bucket vectorized merge
-    (np.unique+bincount, no per-key Python) → per-bucket top-k, which
-    is EXACT because a bigram lives wholly in one bucket → a
-    ``buckets × k``-row driver merge. A row-hash groupby over the same
-    partials (millions of singleton groups) measured 190 s where this
-    plan takes ~8 s at sf0.001. At 10^12 rows the exchange stays
-    bounded by distinct bigrams per block; beyond that a count-min /
-    frequent-items sketch replaces exactness (documented trade)."""
+def q_bigram_topk_shuffle(sf_dir: str, k: int = BIGRAM_TOPK) -> pd.DataFrame:
+    """GENERIC-KEYSPACE bigram top-k (count desc, then pair asc):
+    per-batch ``np.unique`` partials, narrow 14 B rows → ONE hash
+    repartition on the bigram's bucket → per-bucket vectorized merge →
+    per-bucket top-k (exact: a bigram lives wholly in one bucket) →
+    ``buckets × k``-row driver merge.
+
+    This is the fallback for key spaces too large to densify (higher-n
+    n-grams, big vocabs). On a NEAR-UNIFORM corpus partials barely
+    collapse, so the exchange carries ~1 row per raw pair and Ray's
+    shuffle machinery is the floor — measured 470 s at sf0.1/32 CPUs
+    (sort- and hash-strategy alike) vs 40–135 s for the dense-slice
+    plan in ``q_bigram_topk`` (shared-VM band over repeat runs), which
+    is why it is not the default here."""
+    from ..util import enable_hash_shuffle, keyed_partition_count
 
     def bucket_topk(df: pd.DataFrame) -> pd.DataFrame:
-        keys = df["bigram"].to_numpy()
+        if df.empty:
+            return pd.DataFrame({"bigram": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64")})
+        keys = (df["tok_a"].to_numpy().astype(np.int64) * VOCAB
+                + df["tok_b"].to_numpy())
         cnts = df["n"].to_numpy()
         uk, inv = np.unique(keys, return_inverse=True)
         tot = np.bincount(inv, weights=cnts).astype(np.int64)
-        take = min(k, len(uk))
-        # partial-select the top `take` by (count desc, key asc)
-        cand = np.argpartition(-tot, take - 1)[:take]
-        order = cand[np.lexsort((uk[cand], -tot[cand]))]
+        sel = _topk_select(uk, tot, k)
+        order = sel[np.lexsort((uk[sel], -tot[sel]))]
         return pd.DataFrame({"bigram": uk[order], "n": tot[order]})
 
-    ds = (ray.data.read_parquet(_seq_files(sf_dir), columns=["tokens"])
-          .map_batches(_bigram_partial, batch_format="pyarrow",
-                       zero_copy_batch=True, batch_size=32768)
-          .groupby("bucket")
-          .map_groups(bucket_topk, batch_format="pandas"))
+    import pyarrow.parquet as _pq
+    files = _seq_files(sf_dir)
+    n_rows = sum(_pq.read_metadata(f).num_rows for f in files)
+    parts = (ray.data.read_parquet(files, columns=["tokens"])
+             .map_batches(_bigram_partial, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=32768))
+    # exchange volume ≈ one 14 B partial row per raw pair (near-uniform
+    # corpora barely collapse); partition count follows bytes AND CPUs,
+    # and is passed to enable_hash_shuffle so aggregator reservations
+    # are sized for the ACTUAL partition count (otherwise an explicit
+    # count larger than the cluster default multiplies reservations
+    # past the cluster and starves the upstream map — observed >580 s
+    # at sf0.1 before this plumbing).
+    n_parts = keyed_partition_count(n_rows * 14 * 130)
+    enable_hash_shuffle(parts, n_parts)
+    ds = (parts.repartition(n_parts, keys=["bucket"])
+          .map_batches(bucket_topk, batch_format="pandas", batch_size=None))
     df = ds.to_pandas()
     order = np.lexsort((df["bigram"].to_numpy(), -df["n"].to_numpy()))[:k]
     df = df.iloc[order]
@@ -531,6 +558,134 @@ def q_bigram_topk(sf_dir: str, k: int = BIGRAM_TOPK) -> pd.DataFrame:
         "tok_a": (df["bigram"] // VOCAB).astype("int32"),
         "tok_b": (df["bigram"] % VOCAB).astype("int32"),
         "n": df["n"].astype("int64"),
+    }).reset_index(drop=True)
+
+
+def _topk_select(keys_sorted: np.ndarray, cnt: np.ndarray,
+                 k: int) -> np.ndarray:
+    """Indices of the top-k by (count desc, key asc) — TIE-SAFE.
+    ``np.argpartition(-cnt, k)`` alone keeps an ARBITRARY subset of the
+    keys tied at the boundary count, which silently breaks the key-asc
+    tie-break (caught by the sf0.01 oracle: a count-3 tie at rank 50
+    kept key 6924/23545 over 6778/12426). ``keys_sorted`` must be
+    ascending (np.unique / flatnonzero output), so among tied keys the
+    FIRST indices are the smallest keys."""
+    take = min(k, cnt.size)
+    if take == cnt.size:
+        return np.arange(cnt.size)
+    th = np.partition(cnt, cnt.size - take)[cnt.size - take]
+    above = np.flatnonzero(cnt > th)
+    tied = np.flatnonzero(cnt == th)[:take - above.size]
+    return np.concatenate([above, tied])
+
+
+@ray.remote
+class _BigramSlice:
+    """Reducer actor owning one contiguous slice of the bigram key
+    space as a DENSE count array (the raw-actor escape hatch: a shared
+    mutable accumulator is the one shape the Dataset API can't
+    express). Scan tasks push raw uint32 keys (4 B/pair — 3.5× leaner
+    than the sparse partial rows, and no np.unique sort on the send
+    side); the add is one in-place ``np.add.at``."""
+
+    def __init__(self, lo: int, hi: int):
+        self.lo = lo
+        self.hist = np.zeros(hi - lo, dtype=np.uint32)
+
+    def add(self, keys: np.ndarray) -> int:
+        # np.unique first: ``hist[uk] += cnt`` with UNIQUE indices is a
+        # plain vectorized gather-add (~100 M/s) where np.add.at with
+        # duplicate indices crawls at ~0.7 M/s — measured 1.15 s vs
+        # 0.12 s per 800k-key batch — half the reducer-side cost of the
+        # sf0.1 win (470 s → 40–135 s band)
+        uk, cnt = np.unique(keys.astype(np.int64), return_counts=True)
+        self.hist[uk - self.lo] += cnt.astype(np.uint32)
+        return len(keys)
+
+    def topk(self, k: int) -> tuple[np.ndarray, np.ndarray]:
+        nz = np.flatnonzero(self.hist)
+        if nz.size == 0:
+            return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+        cnt = self.hist[nz].astype(np.int64)
+        sel = _topk_select(nz, cnt, k)
+        order = sel[np.lexsort((nz[sel], -cnt[sel]))]
+        return (nz[order].astype(np.int64) + self.lo, cnt[order])
+
+
+@ray.remote
+def _bigram_scan(path: str, reducers: list, slice_width: int) -> int:
+    """Read one input file, emit its raw bigram keys partitioned by
+    key range, push each range's keys to its slice owner. Returns the
+    pair count (reconciliation). Key math stays in uint32 end to end —
+    VOCAB² < 2^32, so the wrap-free product needs no int64 copies
+    (measured ~2× on the keygen step)."""
+    import pyarrow.parquet as _pq
+    t = _pq.read_table(path, columns=["tokens"])
+    toks = t["tokens"].combine_chunks()
+    offs = toks.offsets.to_numpy(zero_copy_only=False)
+    flat = toks.values.to_numpy(zero_copy_only=False)
+    flat = flat[offs[0]:offs[-1]].astype(np.uint32)
+    offs = offs - offs[0]
+    if flat.size < 2:
+        return 0
+    valid = np.ones(flat.size - 1, dtype=bool)
+    ends = offs[1:-1] - 1
+    valid[ends[(ends >= 0) & (ends < valid.size)]] = False
+    keys = flat[:-1][valid] * np.uint32(VOCAB) + flat[1:][valid]
+    sl = keys // np.uint32(slice_width)
+    futs = [reducers[r].add.remote(keys[sl == r])
+            for r in range(len(reducers))]
+    ray.get(futs)
+    return int(keys.size)
+
+
+def q_bigram_topk(sf_dir: str, k: int = BIGRAM_TOPK) -> pd.DataFrame:
+    """Top-k token BIGRAMS corpus-wide (count desc, then pair asc) —
+    the n-gram statistics pass (tokenizer audits, contamination
+    n-grams). DEFAULT plan: dense-slice reducer actors. The bigram key
+    space is VOCAB² < 2^32, so R reducer actors can own contiguous
+    DENSE uint32 count slices (Σ = 16 GB across the cluster at full
+    vocab — per-node slices shrink 1/R as the cluster grows); scan
+    tasks ship raw 4-byte keys straight to each slice's owner and the
+    reduce is one in-place vectorized add. No shuffle machinery, no
+    sparse merge, no sort anywhere: measured ~8× over the generic
+    sparse exchange (``q_bigram_topk_shuffle``, kept for key spaces
+    too big to densify) at sf0.1 — 470 s → 40–135 s across repeat
+    runs on the shared VM — because a
+    near-uniform corpus gives sparse partials ~1 row per raw pair
+    while the dense add is O(1)/pair. Exact by construction (integer
+    adds; per-slice top-k is globally exact since a bigram lives
+    wholly in one slice). uint32 cells overflow at 4.3e9 occurrences
+    of ONE bigram — bump to uint64 cells past ~10^10 docs."""
+    from ..util import cluster_cpus
+
+    files = _seq_files(sf_dir)
+    keyspace = VOCAB * VOCAB
+    n_red = max(4, min(cluster_cpus() // 2, 16))
+    slice_width = -(-keyspace // n_red)          # equal-width ranges
+    # FRACTIONAL reservations: n_red full-CPU actors would reserve the
+    # whole 4-CPU pytest cluster and the scan tasks could never
+    # schedule (the same reservation-deadlock class enable_hash_shuffle
+    # guards against). Reducers reserve half the cluster between them
+    # and borrow idle CPU for their bursty adds.
+    red_cpu = max(0.05, (cluster_cpus() / 2) / n_red)
+    reducers = [_BigramSlice.options(num_cpus=red_cpu).remote(
+                    r * slice_width, min((r + 1) * slice_width, keyspace))
+                for r in range(n_red)]
+    try:
+        ray.get([_bigram_scan.remote(f, reducers, slice_width)
+                 for f in files])
+        tops = ray.get([r.topk.remote(k) for r in reducers])
+    finally:
+        for r in reducers:
+            ray.kill(r)
+    keys = np.concatenate([t[0] for t in tops])
+    cnts = np.concatenate([t[1] for t in tops])
+    order = np.lexsort((keys, -cnts))[:k]
+    return pd.DataFrame({
+        "tok_a": (keys[order] // VOCAB).astype("int32"),
+        "tok_b": (keys[order] % VOCAB).astype("int32"),
+        "n": cnts[order].astype("int64"),
     }).reset_index(drop=True)
 
 
@@ -616,8 +771,8 @@ def q_seq_token_budget(sf_dir: str,
 
     tagged = ds.map_batches(add_bucket, batch_format="pyarrow",
                             zero_copy_batch=True)
-    enable_hash_shuffle(tagged)
     n_parts = keyed_partition_count()
+    enable_hash_shuffle(tagged, n_parts)
     return (tagged.repartition(n_parts, keys=["bucket"])
             .map_batches(admit_block, batch_format="pandas", batch_size=None)
             .groupby("source")

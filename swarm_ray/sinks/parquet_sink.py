@@ -73,7 +73,7 @@ def write_routed(routed: ray.data.Dataset, out_dir: str | Path,
         # on the context THIS dataset captured at creation (the global
         # default stays sort-based for the groupby paths)
         from ..util import enable_hash_shuffle
-        enable_hash_shuffle(routed)
+        enable_hash_shuffle(routed, shuffle_sinks)
         routed = routed.repartition(shuffle_sinks,
                                     keys=["sink_dataset", "sink_table"])
     stamped = routed.map_batches(

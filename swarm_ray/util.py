@@ -46,7 +46,7 @@ def keyed_partition_count(est_bytes: int | None = None,
     return n
 
 
-def enable_hash_shuffle(ds):
+def enable_hash_shuffle(ds, n_partitions: int | None = None):
     """Switch a dataset's captured DataContext to the hash-shuffle
     strategy (required by ``repartition(keys=...)``) AND bound the
     aggregator-actor resource reservations so multi-exchange plans
@@ -71,12 +71,23 @@ def enable_hash_shuffle(ds):
     groupby partition count with the cluster instead of the fixed 200
     (on a 4-CPU box, 200 partitions means 64 actor processes for a
     10-row partial-aggregate merge; on a 256-node cluster the
-    cluster-derived count grows past it automatically)."""
+    cluster-derived count grows past it automatically).
+
+    Callers that pass an EXPLICIT partition count to
+    ``repartition(n, keys=...)`` larger than the cluster-scaled default
+    (e.g. ``keyed_partition_count`` with a byte estimate) MUST pass it
+    here too: the per-partition reservation is ``(cluster/6) /
+    n_partitions``, so sizing it for the default count while running
+    143 partitions reserves 143 × default-share ≈ ¾ of the cluster for
+    idle-capable aggregators — observed as the bigram exchange
+    starving its own upstream map at sf0.1 (>580 s, vs ~150 s sized
+    correctly)."""
     from ray.data.context import ShuffleStrategy
 
     ncpu = cluster_cpus()
     nparts = max(8, ncpu)
-    per_part = min(1.0, max(0.01, (ncpu / 6) / nparts))
+    per_part = min(1.0, max(0.005,
+                            (ncpu / 6) / max(nparts, n_partitions or 0)))
     ctx = ds.context
     ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = per_part

@@ -159,3 +159,29 @@ def test_seq_token_budget_matches_recompute(ray_session):
     # the quota really binds on the hot source and never overshoots
     assert (got["tok_kept"] <= budget).all()
     assert got.set_index("source")["tok_kept"]["github_audit"] > budget * 0.95
+
+
+def test_bigram_shuffle_variant_matches_dense(ray_session):
+    """The generic sparse-exchange plan and the dense-slice actor plan
+    must produce identical top-k (both exact)."""
+    from swarm_ray.ops.tokens import q_bigram_topk, q_bigram_topk_shuffle
+    a = q_bigram_topk("/tmp/x/sf0.001", k=30)
+    b = q_bigram_topk_shuffle("/tmp/x/sf0.001", k=30)
+    assert a.equals(b)
+
+
+def test_topk_select_is_tie_safe():
+    """Boundary ties must keep the SMALLEST keys — np.argpartition by
+    count alone kept an arbitrary tied subset (caught by the sf0.01
+    oracle at rank 50)."""
+    import numpy as np
+    from swarm_ray.ops.tokens import _topk_select
+    keys = np.array([10, 20, 30, 40, 50, 60])
+    cnt = np.array([5, 3, 3, 3, 3, 9])
+    sel = _topk_select(keys, cnt, 3)
+    picked = sorted(zip(-cnt[sel], keys[sel]))
+    assert [k for _, k in picked] == [60, 10, 20]
+    # all-tied: first k keys win
+    cnt2 = np.full(6, 7)
+    sel2 = _topk_select(keys, cnt2, 4)
+    assert sorted(keys[sel2].tolist()) == [10, 20, 30, 40]
