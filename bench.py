@@ -162,6 +162,13 @@ def run_scaling() -> dict:
                    BENCH_HEADLINE_ONLY="1")
         out = subprocess.run([sys.executable, __file__], env=env,
                              capture_output=True, text=True, check=True).stdout
+        # barrier: the leg exits with its last rep's output (~0.6 GB)
+        # still dirty; without a sync that writeback (this disk: ~50
+        # MB/s) bleeds into the NEXT leg's timed reps — observed as two
+        # 0.59–0.65 efficiency readings whose direct back-to-back
+        # re-runs measured 0.886
+        os.sync()
+        time.sleep(2)
         return json.loads(out.strip().splitlines()[-1])
 
     lo = run(lo_cpus)
