@@ -462,6 +462,74 @@ def q_tpch_revenue(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"revenue_e4": [int(total or 0)]})
 
 
+# ------------------------------------------------------------ funnel
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def _funnel_block(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-user 3-step funnel over one hash-partitioned block (every
+    user's rows complete within it): first qualifying timestamp per
+    step — t1 = min ts of step1; t_{i+1} = min ts of step_{i+1}
+    STRICTLY after t_i. All three steps are C-path groupby mins on
+    filtered frames; no per-user Python."""
+    cols = {"step": pd.Series(dtype="int64"),
+            "users": pd.Series(dtype="int64")}
+    if df.empty:
+        return pd.DataFrame(cols)
+    t = df[df["event_type"] == FUNNEL_STEPS[0]] \
+        .groupby("user_id")["ts"].min()
+    counts = [t.size]
+    for step in FUNNEL_STEPS[1:]:
+        nxt = df[df["event_type"] == step].copy()
+        prev = nxt["user_id"].map(t)
+        nxt = nxt[nxt["ts"] > prev]          # NaT prev → False → dropped
+        t = nxt.groupby("user_id")["ts"].min()
+        counts.append(t.size)
+    return pd.DataFrame({"step": np.arange(1, len(counts) + 1,
+                                           dtype="int64"),
+                         "users": np.asarray(counts, dtype="int64")})
+
+
+def q_events_funnel(sf_dir: str) -> ray.data.Dataset:
+    """Conversion FUNNEL (view → click → purchase): users reached per
+    step, a step counting only events strictly after the user's first
+    qualifying event of the previous step. Same execution shape as
+    sessionize — one keyed hash repartition on user_id, block-local
+    vectorized pandas, then a 3-row Sum fold. SQL-checked against a
+    chained min-filter-join oracle."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..util import enable_hash_shuffle, keyed_partition_count
+    ds = _read_events(sf_dir, ["user_id", "ts", "event_type"])
+    nparts = keyed_partition_count(_events_count(sf_dir) * 48)
+    enable_hash_shuffle(ds, nparts)
+    return (ds.repartition(nparts, keys=["user_id"])
+            .map_batches(_funnel_block, batch_format="pandas",
+                         batch_size=None)
+            .groupby("step")
+            .aggregate(_Sum("users", alias_name="users")))
+
+
+SQL_EVENTS_FUNNEL = f"""
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+  WHERE e.event_type = '{FUNNEL_STEPS[1]}' GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+  WHERE e.event_type = '{FUNNEL_STEPS[2]}' GROUP BY e.user_id
+)
+SELECT 1::BIGINT AS step, COUNT(*)::BIGINT AS users FROM s1
+UNION ALL SELECT 2, COUNT(*) FROM s2
+UNION ALL SELECT 3, COUNT(*) FROM s3
+"""
+
+
 # ------------------------------------------------------------ registry
 
 def queries():
@@ -473,6 +541,7 @@ def queries():
         "events_sessionize": q_events_sessionize,
         "events_sessionize_salted": q_events_sessionize_salted,
         "events_asof_click": q_events_asof_click,
+        "events_funnel": q_events_funnel,
         "tpch_pricing": q_tpch_pricing,
         "tpch_nation_orders": q_tpch_nation_orders,
         "tpch_revenue": q_tpch_revenue,
@@ -482,6 +551,7 @@ def queries():
 
 def oracle_sql():
     return {
+        "events_funnel": SQL_EVENTS_FUNNEL,
         "tpch_priority_revenue": """
 SELECT o_orderpriority,
        COUNT(*)::BIGINT AS n_items,

@@ -113,3 +113,27 @@ def test_sliding_window_covers_each_event_four_times(ray_session):
     # window starts are aligned to the slide
     assert (sliding["window_start"].dt.minute % 15 == 0).all()
     assert (sliding["window_start"].dt.second == 0).all()
+
+
+def test_events_funnel_matches_pandas(ray_session):
+    """3-step funnel must match an independent pandas recompute of the
+    chained first-qualifying-timestamp semantics."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from swarm_ray.ops.relational import FUNNEL_STEPS, q_events_funnel
+    sf = "/root/testdata/sf0.001"
+    got = q_events_funnel(sf).to_pandas().sort_values("step") \
+        .reset_index(drop=True)
+    ev = pq.read_table(f"{sf}/events.parquet",
+                       columns=["user_id", "ts", "event_type"]).to_pandas()
+    t = ev[ev.event_type == FUNNEL_STEPS[0]].groupby("user_id")["ts"].min()
+    exp = [t.size]
+    for step in FUNNEL_STEPS[1:]:
+        nxt = ev[ev.event_type == step]
+        nxt = nxt[nxt["ts"] > nxt["user_id"].map(t)]
+        t = nxt.groupby("user_id")["ts"].min()
+        exp.append(t.size)
+    assert got["step"].tolist() == [1, 2, 3]
+    assert got["users"].tolist() == exp
+    # funnel must be monotone non-increasing
+    assert exp[0] >= exp[1] >= exp[2] > 0
