@@ -101,15 +101,19 @@ class BruteForceTopK:
         emb = _emb_matrix(batch["embedding"])
         sims = _normalize(emb) @ self.qn.T          # (n_corpus, n_queries)
         k = min(self.k + 1, len(ids))               # +1: self may be in batch
-        # batch-local top-k for ALL queries in one argpartition — no
-        # per-query Python loop, so 1k-query sets cost one kernel
-        top = np.argpartition(-sims, k - 1, axis=0)[:k]     # (k, n_queries)
+        # batch-local candidates for ALL queries in one kernel, TIE-SAFE:
+        # keep every row whose sim ties the k-th largest (duplicate
+        # embeddings produce EXACTLY equal sims; argpartition alone
+        # would keep an arbitrary tied row and the global fold's
+        # (sim desc, vec_id asc) tie-break could then miss the right
+        # neighbor). Ties only widen the candidate set, never the
+        # final fold output.
+        th = np.partition(sims, len(ids) - k, axis=0)[len(ids) - k]
+        rows, cols = np.nonzero(sims >= th)
         return pa.table({
-            "query_vec_id": pa.array(
-                np.broadcast_to(self.q_ids, top.shape).ravel()),
-            "vec_id": pa.array(ids[top].ravel()),
-            "sim": pa.array(np.take_along_axis(sims, top, axis=0).ravel(),
-                            type=pa.float64()),
+            "query_vec_id": pa.array(self.q_ids[cols]),
+            "vec_id": pa.array(ids[rows]),
+            "sim": pa.array(sims[rows, cols], type=pa.float64()),
         })
 
 
