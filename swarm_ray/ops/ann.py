@@ -334,6 +334,79 @@ def q_emb_near_dup(sf_dir: str) -> pd.DataFrame:
     }).sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
 
 
+
+
+def q_emb_dedup_semantic(sf_dir: str) -> ray.data.Dataset:
+    """SEMANTIC dedup keep-list — the embedding-side twin of
+    ``doc_dedup_near``: cosine near-dup pairs → connected components →
+    keep each cluster's representative (min vec_id) → per-label
+    kept/removed counts over the corpus. The removal set is bounded by
+    the near-dup frontier; it is broadcast via ``ray.put`` and applied
+    as a per-batch filter (for frontiers past broadcast size the
+    keyed-repartition anti-join in ``ops.dedup.q_dedup_near`` is the
+    drop-in shape). SQL-checked against a recursive-CTE closure +
+    anti-join oracle."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from .dedup import union_find_clusters
+
+    pairs = q_emb_near_dup(sf_dir).rename(
+        columns={"vec_a": "doc_a", "vec_b": "doc_b"})
+    clusters = union_find_clusters(pairs)
+    removed = clusters.loc[clusters["doc_id"] != clusters["cluster_id"],
+                           "doc_id"].to_numpy()
+    removed_ref = ray.put(set(int(x) for x in removed))
+
+    def fold(t: pa.Table) -> pa.Table:
+        gone = ray.get(removed_ref)
+        ids = t["vec_id"].to_numpy()
+        hit = np.fromiter((int(i) in gone for i in ids), dtype=bool,
+                          count=len(ids))
+        part = pa.table({"label": pc.cast(t["label"], pa.int64()),
+                         "removed": pa.array(hit.astype(np.int64)),
+                         "kept": pa.array((~hit).astype(np.int64))})
+        return pa.TableGroupBy(part, ["label"]).aggregate(
+            [("kept", "sum"), ("removed", "sum")]
+        ).rename_columns(["label", "kept", "removed"])
+
+    return (ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                  columns=["vec_id", "label"])
+            .map_batches(fold, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("label")
+            .aggregate(_Sum("kept", alias_name="kept"),
+                       _Sum("removed", alias_name="removed")))
+
+
+def _semantic_dedup_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {NEAR_DUP_N}) a
+  JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {NEAR_DUP_N}) b
+    ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) > {NEAR_DUP_TAU}
+), edges AS (
+  SELECT vec_a AS a, vec_b AS b FROM pairs
+  UNION ALL SELECT vec_b, vec_a FROM pairs
+), nodes AS (SELECT DISTINCT a AS vec_id FROM edges),
+reach(src, dst) AS (
+  SELECT vec_id, vec_id FROM nodes
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+), clusters AS (
+  SELECT src AS vec_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+), removed AS (
+  SELECT vec_id FROM clusters WHERE vec_id != cluster_id
+)
+SELECT CAST(e.label AS BIGINT) AS label,
+       COUNT(*) FILTER (WHERE r.vec_id IS NULL)::BIGINT AS kept,
+       COUNT(*) FILTER (WHERE r.vec_id IS NOT NULL)::BIGINT AS removed
+FROM embeddings e LEFT JOIN removed r ON e.vec_id = r.vec_id
+GROUP BY e.label ORDER BY label
+"""
+
+
 # ------------------------------------------------------------ centroids
 
 def centroids_float(sf_dir: str) -> pd.DataFrame:
@@ -524,6 +597,7 @@ def queries():
         "emb_lsh_ann": q_lsh_ann_checked,
         "emb_ivf_ann": q_knn_ivf_checked,
         "emb_near_dup": q_emb_near_dup,
+        "emb_dedup_semantic": q_emb_dedup_semantic,
         "emb_centroids": q_emb_centroids,
         "emb_kmeans": q_emb_kmeans_checked,
     }
@@ -584,6 +658,7 @@ WITH q AS (
 SELECT query_vec_id, rank, vec_id AS neighbor_vec_id
 FROM ranked WHERE rank <= {TOP_K}
 """,
+        "emb_dedup_semantic": _semantic_dedup_sql(),
         "emb_near_dup": f"""
 WITH e AS (
   SELECT vec_id, embedding FROM embeddings WHERE vec_id < {NEAR_DUP_N}

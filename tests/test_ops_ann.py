@@ -232,3 +232,28 @@ def test_kmeans_iterates_beyond_init(ray_session):
     zero = q_emb_kmeans(SF, iters=0)
     final = q_emb_kmeans(SF, iters=4)
     assert zero["n"].tolist() != final["n"].tolist()
+
+
+def test_semantic_dedup_reconciles(ray_session):
+    """Embedding-side dedup keep-list: kept+removed covers the corpus;
+    removed equals the union-find non-representatives."""
+    import pyarrow.parquet as pq
+    from swarm_ray.ops.ann import q_emb_dedup_semantic, q_emb_near_dup
+    from swarm_ray.ops.dedup import union_find_clusters
+    got = q_emb_dedup_semantic(SF).to_pandas().sort_values("label") \
+        .reset_index(drop=True)
+    pairs = q_emb_near_dup(SF).rename(
+        columns={"vec_a": "doc_a", "vec_b": "doc_b"})
+    clusters = union_find_clusters(pairs)
+    removed = set(clusters.loc[clusters.doc_id != clusters.cluster_id,
+                               "doc_id"])
+    emb = pq.read_table(f"{SF}/embeddings.parquet",
+                        columns=["vec_id", "label"]).to_pandas()
+    emb["removed"] = emb["vec_id"].isin(removed).astype("int64")
+    exp = emb.groupby("label").agg(
+        kept=("removed", lambda s: int((1 - s).sum())),
+        removed=("removed", "sum")).reset_index() \
+        .sort_values("label").reset_index(drop=True)
+    assert got["kept"].tolist() == exp["kept"].tolist()
+    assert got["removed"].tolist() == exp["removed"].tolist()
+    assert int(got["removed"].sum()) == len(removed) > 0
