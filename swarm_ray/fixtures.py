@@ -302,8 +302,9 @@ def doc_embed_expected_dir(sf_dir: str | os.PathLike) -> Path:
     label = label_for_sf_dir(sf_dir)
     out = FIXTURE_ROOT / label / "doc_embed_expected"
     meta = out / "_FIXTURE.json"
-    docs = pq.read_table(Path(sf_dir) / "documents.parquet",
-                         columns=["doc_id", "text"])
+    from .ops.dedup import _doc_files
+    docs = pa.concat_tables([pq.read_table(f, columns=["doc_id", "text"])
+                             for f in _doc_files(sf_dir)])
     if meta.exists():
         try:
             m = json.loads(meta.read_text())
@@ -383,8 +384,9 @@ def minhash_pairs_expected_dir(sf_dir: str | os.PathLike) -> Path:
     label = label_for_sf_dir(sf_dir)
     out = FIXTURE_ROOT / label / "minhash_pairs_expected"
     meta = out / "_FIXTURE.json"
-    docs = pq.read_table(Path(sf_dir) / "documents.parquet",
-                         columns=["doc_id", "text"])
+    from .ops.dedup import _doc_files
+    docs = pa.concat_tables([pq.read_table(f, columns=["doc_id", "text"])
+                             for f in _doc_files(sf_dir)])
     if meta.exists():
         try:
             m = json.loads(meta.read_text())

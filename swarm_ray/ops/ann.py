@@ -751,10 +751,16 @@ class IvfScore:
             vrows = np.flatnonzero(assign == c)
             sims = en[vrows] @ self.qn[qrows].T            # (nv, nq_c)
             kk = min(self.k + 1, len(vrows))               # +1: self-match
-            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]
-            out_q.append(np.broadcast_to(qrows, top.shape).ravel())
-            out_v.append(vrows[top].ravel())
-            out_s.append(np.take_along_axis(sims, top, axis=0).ravel())
+            # tie-safe batch-local candidates (same fix as
+            # BruteForceTopK): duplicate embeddings produce exactly
+            # equal sims; keep every row tying the kk-th largest so
+            # the global (sim desc, vec_id asc) fold can't lose the
+            # correct neighbor to an arbitrary argpartition subset
+            th = np.partition(sims, len(vrows) - kk, axis=0)[len(vrows) - kk]
+            rr, cc = np.nonzero(sims >= th)
+            out_q.append(np.asarray(qrows)[cc])
+            out_v.append(vrows[rr])
+            out_s.append(sims[rr, cc])
         if not out_q:
             return self._EMPTY.empty_table()
         pq = np.concatenate(out_q)

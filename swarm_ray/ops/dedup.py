@@ -49,13 +49,12 @@ def _read_docs(sf_dir: str) -> ray.data.Dataset:
 def _docs_count(sf_dir: str) -> int:
     """Corpus row count from parquet FOOTERS only (no data read) —
     sizes the keyed partition counts below so a partition stays under
-    the block-split threshold at corpus scale (ADVICE r2)."""
+    the block-split threshold at corpus scale (ADVICE r2). Shares
+    ``_doc_files`` with every reader so the counted corpus and the
+    read corpus can never diverge (review finding: a duplicated glob
+    here let multi-file-aware counts pair with single-file reads)."""
     import pyarrow.parquet as pq
-    from pathlib import Path
-    single = Path(sf_dir) / "documents.parquet"
-    files = [single] if single.exists() else \
-        sorted(Path(sf_dir).glob("documents-*.parquet"))
-    return sum(pq.read_metadata(f).num_rows for f in files)
+    return sum(pq.read_metadata(f).num_rows for f in _doc_files(sf_dir))
 
 
 # ------------------------------------------------------------ exact dedup
@@ -158,7 +157,7 @@ def q_jaccard_pairs(sf_dir: str) -> "pd.DataFrame":
     minhash); N is fixed so the driver-side cost is constant."""
     # predicate pushdown: only the bounded prefix leaves storage
     docs = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=DOC_COLS,
+        _doc_files(sf_dir), columns=DOC_COLS,
         filter=pc.field("doc_id") < JACCARD_N,
     ).to_pandas()
     ids = docs["doc_id"].to_numpy()
@@ -683,13 +682,15 @@ def _jump_group(g: pa.Table) -> pa.Table:
 _NODE_LABEL_SCHEMA = pa.schema([("node", pa.int64()), ("label", pa.int64())])
 
 
-def _offer_block(t: pa.Table) -> pa.Table:
-    """Blocks-mode propagate: one hash-partitioned block holds label
-    rows (kind=1: key=node, aux=label) next to outgoing edges (kind=0:
-    key=src, aux=dst) for every key in the block. Vectorized: one
-    argsort + searchsorted lookup, no per-group Python."""
-    if len(t) == 0:
-        return _NODE_LABEL_SCHEMA.empty_table()
+def _block_label_lookup(t: pa.Table, missing_msg: str):
+    """Shared blocks-mode kernel: kind=1 rows (key, aux=value) form a
+    block-local lookup table; kind=0 rows resolve their key against it
+    (one argsort + searchsorted, no per-group Python). Returns
+    ``(k1, v1, aux0, looked_up)`` — the lookup rows as-is plus each
+    kind=0 row's aux and resolved value. One implementation keeps the
+    "every key has its lookup row in this hash partition" invariant
+    (and its assert) in one place for both the propagate and the
+    pointer-jump rounds."""
     kind = t["kind"].to_numpy(zero_copy_only=False)
     key = t["key"].to_numpy(zero_copy_only=False)
     aux = t["aux"].to_numpy(zero_copy_only=False)
@@ -699,11 +700,22 @@ def _offer_block(t: pa.Table) -> pa.Table:
     order = np.argsort(k1)
     k1s, v1s = k1[order], v1[order]
     pos = np.searchsorted(k1s, key[m0])
-    assert len(pos) == 0 or (k1s[pos] == key[m0]).all(), \
-        "edge src without a label row in its hash partition"
+    assert len(pos) == 0 or (k1s[pos] == key[m0]).all(), missing_msg
+    return k1, v1, aux[m0], v1s[pos]
+
+
+def _offer_block(t: pa.Table) -> pa.Table:
+    """Blocks-mode propagate: one hash-partitioned block holds label
+    rows (kind=1: key=node, aux=label) next to outgoing edges (kind=0:
+    key=src, aux=dst) for every key in the block — each edge offers
+    src's label to dst."""
+    if len(t) == 0:
+        return _NODE_LABEL_SCHEMA.empty_table()
+    k1, v1, dst, src_label = _block_label_lookup(
+        t, "edge src without a label row in its hash partition")
     return pa.table({
-        "node": pa.array(np.concatenate([k1, aux[m0]]), type=pa.int64()),
-        "label": pa.array(np.concatenate([v1, v1s[pos]]), type=pa.int64()),
+        "node": pa.array(np.concatenate([k1, dst]), type=pa.int64()),
+        "label": pa.array(np.concatenate([v1, src_label]), type=pa.int64()),
     })
 
 
@@ -713,19 +725,10 @@ def _jump_block(t: pa.Table) -> pa.Table:
     label(n) ← label(label(n)) in one vectorized lookup."""
     if len(t) == 0:
         return _NODE_LABEL_SCHEMA.empty_table()
-    kind = t["kind"].to_numpy(zero_copy_only=False)
-    key = t["key"].to_numpy(zero_copy_only=False)
-    aux = t["aux"].to_numpy(zero_copy_only=False)
-    m1 = kind == 1
-    m0 = ~m1
-    k1, v1 = key[m1], aux[m1]
-    order = np.argsort(k1)
-    k1s, v1s = k1[order], v1[order]
-    pos = np.searchsorted(k1s, key[m0])
-    assert len(pos) == 0 or (k1s[pos] == key[m0]).all(), \
-        "label value without its own label row in its hash partition"
-    return pa.table({"node": pa.array(aux[m0], type=pa.int64()),
-                     "label": pa.array(v1s[pos], type=pa.int64())})
+    _, _, node, new_label = _block_label_lookup(
+        t, "label value without its own label row in its hash partition")
+    return pa.table({"node": pa.array(node, type=pa.int64()),
+                     "label": pa.array(new_label, type=pa.int64())})
 
 
 def _min_label_block(t: pa.Table) -> pa.Table:

@@ -29,6 +29,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from .dedup import _doc_files
+
 EMBED_DIM = 64
 EMBED_SEED = 271828
 #: inference batches are model-bound, not IO-bound — size for the model
@@ -67,14 +69,18 @@ class EmbedStage:
             return np.zeros((len(lens), self._model.shape[1]), dtype=np.float32)
         offsets = np.zeros(len(lens), dtype=np.int64)
         np.cumsum(lens[:-1], out=offsets[1:])
-        # reduceat rejects an index == len (trailing empty doc) and
-        # returns element[offset] (not a zero sum) for a zero-length
-        # segment — clamp, then zero those rows, so an empty document
-        # can't inherit its neighbour's first-token embedding
-        out = np.add.reduceat(self._model[flat_ids],
-                              np.minimum(offsets, flat_ids.size - 1), axis=0) \
-            .astype(np.float32)
-        out[lens == 0] = 0.0
+        # reduceat over NON-EMPTY segments only: zero-length docs make
+        # reduceat misbehave (index == len raises; equal consecutive
+        # indices return element[offset] instead of a zero sum), and
+        # the earlier clamp-then-zero workaround silently truncated the
+        # LAST non-empty doc's segment when a trailing empty doc pulled
+        # its boundary back (review finding — lens=[3,0] summed rows
+        # [0:2) instead of [0:3)). Non-empty starts are strictly
+        # increasing and < size by construction, reduceat's happy path.
+        nz = lens > 0
+        seg = np.add.reduceat(self._model[flat_ids], offsets[nz], axis=0)
+        out = np.zeros((len(lens), self._model.shape[1]), dtype=np.float32)
+        out[nz] = seg.astype(np.float32)
         norms = np.linalg.norm(out, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         return out / norms
@@ -99,7 +105,7 @@ def doc_embeddings(sf_dir: str) -> ray.data.Dataset:
     """Embed every document — the float (doc_id, embedding) surface
     downstream ANN/dedup stages compose with."""
     return ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        _doc_files(sf_dir), columns=["doc_id", "text"],
     ).map_batches(EmbedStage, batch_format="pandas",
                   batch_size=EMBED_BATCH_SIZE, concurrency=_embed_pool())
 
@@ -144,7 +150,7 @@ def q_doc_embed_knn(sf_dir: str, k: int = 5, n_queries: int = 5):
 
     fixtures.doc_embed_expected_dir(sf_dir)   # materialize the oracle side
     qdocs = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        _doc_files(sf_dir), columns=["doc_id", "text"],
         filter=pc.field("doc_id") < n_queries,
     ).to_pandas().sort_values("doc_id").reset_index(drop=True)
     q_emb = EmbedStage()(qdocs)

@@ -22,6 +22,8 @@ import pyarrow as pa
 
 import ray.data
 
+from .dedup import _doc_files
+
 #: tiny stopword set used by the oracle-checked quality heuristic
 #: (must stay in sync with the SQL in ops/__init__.py)
 STOPWORDS = ("the", "a", "of", "and", "to")
@@ -30,7 +32,7 @@ DOC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
 
 
 def _read_docs(sf_dir: str) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=DOC_COLS)
+    return ray.data.read_parquet(_doc_files(sf_dir), columns=DOC_COLS)
 
 
 # ------------------------------------------------------------ token stats
@@ -214,7 +216,7 @@ def q_doc_curation(sf_dir: str) -> ray.data.Dataset:
     """
     from ..stages.ids import md5_hex
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = ray.data.read_parquet(_doc_files(sf_dir),
                                  columns=["doc_id", "text", "lang"])
 
     def gate(batch: pd.DataFrame) -> pd.DataFrame:
@@ -285,7 +287,7 @@ def q_doc_split(sf_dir: str) -> ray.data.Dataset:
         return pa.TableGroupBy(out, ["split", "lang"]).aggregate(
             [([], "count_all")]).rename_columns(["split", "lang", "n_docs"])
 
-    return (ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    return (ray.data.read_parquet(_doc_files(sf_dir),
                                   columns=["doc_id", "lang"])
             .map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
             .groupby(["split", "lang"])
@@ -437,7 +439,7 @@ def q_doc_decontaminate(sf_dir: str) -> ray.data.Dataset:
                 t["doc_id"].to_numpy(zero_copy_only=False)[hit],
                 type=pa.int64())})
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = ray.data.read_parquet(_doc_files(sf_dir),
                                columns=["doc_id", "text"])
     sh = ds.map_batches(shingle_rows, batch_format="pyarrow",
                         zero_copy_batch=True)
@@ -600,7 +602,7 @@ def q_doc_repetition(sf_dir: str) -> ray.data.Dataset:
         return pa.table(cols)
 
     return ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        _doc_files(sf_dir), columns=["doc_id", "text"]
     ).map_batches(rep, batch_format="pyarrow", zero_copy_batch=True)
 
 
@@ -671,7 +673,7 @@ def q_doc_tfidf_top(sf_dir: str) -> ray.data.Dataset:
         df_ = df_.assign(rank=rank.astype("int64"))
         return df_[df_["rank"] <= 3][["doc_id", "rank", "term", "tf", "df"]]
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = ray.data.read_parquet(_doc_files(sf_dir),
                                columns=["doc_id", "text"])
     tf_rows = ds.map_batches(explode_tf, batch_format="pyarrow",
                              zero_copy_batch=True)
@@ -741,7 +743,7 @@ def q_doc_chunks(sf_dir: str) -> ray.data.Dataset:
         })
 
     return ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        _doc_files(sf_dir), columns=["doc_id", "text"]
     ).map_batches(chunk, batch_format="pyarrow", zero_copy_batch=True)
 
 
@@ -770,7 +772,7 @@ def q_doc_common_frac(sf_dir: str) -> ray.data.Dataset:
 
     from .agg import grouped_count
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = ray.data.read_parquet(_doc_files(sf_dir),
                                  columns=["doc_id", "text"])
 
     def explode_words(t: pa.Table) -> pa.Table:

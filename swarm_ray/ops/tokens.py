@@ -281,7 +281,7 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CAST(n_tok AS BIGINT))::BIGINT AS tok_kept
             FROM read_parquet('{glob}')
             WHERE substr(md5(doc_id || '{MIX_SALT}'), 1, 4) <
-                  CASE source {_mix_case_sql()} ELSE 'ffff' END
+                  CASE source {_mix_case_sql()} ELSE 'g000' END
             GROUP BY source ORDER BY source
         """,
         "seq_bigram_topk": f"""
@@ -410,10 +410,15 @@ MIX_RATES: dict[str, float] = {
 
 def _mix_threshold_hex(rate: float) -> str:
     """Keep row iff the first 4 hex digits of md5(doc_id||salt) compare
-    below this 4-char hex literal — string compare ≡ numeric compare at
-    fixed width, so both Arrow and DuckDB evaluate the identical
-    predicate with no hex→int parse."""
-    return format(min(65536, int(rate * 65536)), "04x")
+    below this literal — string compare ≡ numeric compare at fixed
+    width, so both Arrow and DuckDB evaluate the identical predicate
+    with no hex→int parse. rate ≥ 1.0 must keep EVERY row: 65536 as
+    '10000' is 5 chars and lexicographically BELOW almost every 4-char
+    coin (review finding: it silently kept only the '0…' sixteenth),
+    so keep-all uses 'g000' — 'g' sorts after every hex digit, width
+    stays 4, and no coin can equal or exceed it."""
+    n = min(65536, int(rate * 65536))
+    return "g000" if n >= 65536 else format(n, "04x")
 
 
 def q_seq_mixture(sf_dir: str) -> ray.data.Dataset:
@@ -443,7 +448,7 @@ def q_seq_mixture(sf_dir: str) -> ray.data.Dataset:
         # per-row threshold via dictionary gather on source
         idx = pc.index_in(batch["source"], value_set=srcs)
         thr = pc.take(thresholds, pc.fill_null(idx, len(srcs) - 1))
-        thr = pc.if_else(pc.is_null(idx), pa.scalar("ffff"), thr)
+        thr = pc.if_else(pc.is_null(idx), pa.scalar("g000"), thr)
         kept = batch.filter(pc.less(coin, thr))
         # partial aggregate: one row per (source) per batch
         g = pa.TableGroupBy(kept.select(["source", "n_tok"]), ["source"])

@@ -71,9 +71,16 @@ def decode_envelope(body: bytes) -> dict:
     try:
         env = json.loads(body)
         data = env["message"]["data"]
-        return json.loads(base64.b64decode(data, validate=True))
+        evt = json.loads(base64.b64decode(data, validate=True))
     except (KeyError, TypeError, ValueError, binascii.Error) as e:
         raise BadEnvelope(f"bad pubsub envelope: {e}") from e
+    if not isinstance(evt, dict):
+        # valid JSON but not an object (e.g. a bare list/number): the
+        # route handlers call .get on it — without this check that
+        # AttributeError escaped the BadEnvelope clause and the client
+        # saw a dropped connection instead of the 400 contract
+        raise BadEnvelope("pubsub event payload is not a JSON object")
+    return evt
 
 
 def event_to_object(evt: dict) -> ObjectMeta:

@@ -52,3 +52,29 @@ def test_embed_stage_bit_identical_to_fixture_recompute(ray_session):
     # and the checksum surface equals the fixture column
     cs = q_doc_embed(sf).to_pandas().sort_values("doc_id")
     assert cs["emb_csum_e6"].tolist() == expected["emb_csum_e6"].tolist()
+
+
+def test_forward_zero_length_segments_exact():
+    """Zero-token docs anywhere in the batch: their embedding is zero
+    and NEIGHBOR segments stay intact (the old clamp truncated the
+    last non-empty doc's segment when a trailing empty doc pulled its
+    reduceat boundary back)."""
+    import numpy as np
+    from swarm_ray.ops.embed import EmbedStage
+    st = EmbedStage()
+    m = st._model
+
+    def norm(v):
+        n = np.linalg.norm(v)
+        return v / (n if n else 1.0)
+
+    flat = np.array([5, 9, 11, 2, 7], dtype=np.int64)
+    # trailing empty doc: doc0 = tokens[0:3], doc1 = [], doc2 = [3:5]
+    out = st._forward(flat, np.array([3, 0, 2]))
+    np.testing.assert_allclose(out[0], norm(m[[5, 9, 11]].sum(0)), rtol=1e-5, atol=1e-6)
+    assert (out[1] == 0).all()
+    np.testing.assert_allclose(out[2], norm(m[[2, 7]].sum(0)), rtol=1e-5, atol=1e-6)
+    # leading + trailing empties
+    out = st._forward(flat, np.array([0, 5, 0]))
+    assert (out[0] == 0).all() and (out[2] == 0).all()
+    np.testing.assert_allclose(out[1], norm(m[flat].sum(0)), rtol=1e-5, atol=1e-6)

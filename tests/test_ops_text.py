@@ -274,3 +274,18 @@ def test_doc_chunks_windows_and_content(ray_session, tmp_path):
             exp.append((d, i, len(w),
                         hashlib.md5(" ".join(w).encode()).hexdigest()))
     assert list(map(tuple, got.itertuples(index=False))) == exp
+
+
+def test_text_ops_on_multifile_corpus(ray_session):
+    """Every documents reader must accept documents-*.parquet corpora
+    (review finding: multi-file-aware _docs_count paired with
+    single-file reads crashed 5 text ops + both expected-dir fixtures
+    on the synthetic scaling corpora)."""
+    from swarm_ray import fixtures
+    from swarm_ray.ops import dedup, embed, text
+    d = str(fixtures.documents_synth_dir(3000, dup_frac=0.02))
+    assert text.q_doc_token_count(d).count() == 3000
+    assert text.q_doc_repetition(d).count() == 3000
+    assert embed.q_doc_embed(d).count() == 3000
+    near = dedup.q_dedup_near(d).to_pandas()
+    assert (near["kept"] + near["removed"]).sum() == 3000

@@ -88,8 +88,10 @@ def test_seq_mixture_matches_recompute(ray_session):
     df = _seq_frames()
     coin = df["doc_id"].map(
         lambda d: hashlib.md5((d + MIX_SALT).encode()).hexdigest()[:4])
-    thr = df["source"].map(
-        lambda s: format(min(65536, int(MIX_RATES.get(s, 1.0) * 65536)), "04x"))
+    def thr_of(src):
+        n = min(65536, int(MIX_RATES.get(src, 1.0) * 65536))
+        return "g000" if n >= 65536 else format(n, "04x")
+    thr = df["source"].map(thr_of)
     kept = df[coin < thr]
     exp = kept.groupby("source").agg(
         rows_kept=("doc_id", "size"), tok_kept=("n_tok", "sum")).reset_index()
@@ -101,6 +103,11 @@ def test_seq_mixture_matches_recompute(ray_session):
     tot = df.groupby("source").size()
     rate = got.set_index("source")["rows_kept"] / tot
     assert abs(rate["github_audit"] - 0.10) < 0.02
+    # rate-1.0 sources keep EVERY row (the '10000' 5-char literal bug
+    # silently kept only coins starting '0')
+    for src, r in MIX_RATES.items():
+        if r >= 1.0 and src in rate.index:
+            assert rate[src] == 1.0
 
 
 def test_bigram_topk_matches_numpy(ray_session):

@@ -94,6 +94,12 @@ def test_bad_envelope_is_400(server):
     status, body = _post(port, "/event/pubsub/cs",
                          _envelope({"name": "/no/such/file.parquet"}))
     assert status == 400 and "no such object" in body["error"]
+    # valid JSON but not an object: must be a 400, not a dropped
+    # connection from .get() on a list (review finding)
+    status, body = _post(port, "/event/pubsub/swarm", _envelope([1, 2]))
+    assert status == 400 and "not a JSON object" in body["error"]
+    status, body = _post(port, "/event/pubsub/cs", _envelope([1, 2]))
+    assert status == 400 and "not a JSON object" in body["error"]
 
 
 def test_ingest_skip_completed_and_shared_checkpoint(
