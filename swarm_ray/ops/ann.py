@@ -336,16 +336,26 @@ def q_emb_near_dup(sf_dir: str) -> pd.DataFrame:
 
 
 
+# Past this many removal ids, stop broadcasting the removal array and
+# switch to the keyed-repartition anti-join (the ``doc_dedup_near``
+# shape): the broadcast cost is O(frontier × tasks) network, the
+# anti-join is one more exchange of fixed-width triples.
+SEMANTIC_BROADCAST_MAX = 1_000_000
+
+
 def q_emb_dedup_semantic(sf_dir: str) -> ray.data.Dataset:
     """SEMANTIC dedup keep-list — the embedding-side twin of
     ``doc_dedup_near``: cosine near-dup pairs → connected components →
     keep each cluster's representative (min vec_id) → per-label
-    kept/removed counts over the corpus. The removal set is bounded by
-    the near-dup frontier; it is broadcast via ``ray.put`` and applied
-    as a per-batch filter (for frontiers past broadcast size the
-    keyed-repartition anti-join in ``ops.dedup.q_dedup_near`` is the
-    drop-in shape). SQL-checked against a recursive-CTE closure +
-    anti-join oracle."""
+    kept/removed counts over the corpus. Small removal frontiers are
+    broadcast ONCE as a sorted int64 array (``ray.put``; membership is
+    a vectorized ``np.isin`` against the sorted array, never a Python
+    row loop); past ``SEMANTIC_BROADCAST_MAX`` ids the filter switches
+    to the keyed-repartition anti-join on vec_id — the
+    ``ops.dedup.q_dedup_near`` shape — so a boilerplate-heavy corpus
+    degrades to one more exchange instead of re-shipping a giant
+    array to every task. SQL-checked against a recursive-CTE closure +
+    anti-join oracle; both paths pinned equal by pytest."""
     from ray.data.aggregate import Sum as _Sum
 
     from .dedup import union_find_clusters
@@ -353,28 +363,82 @@ def q_emb_dedup_semantic(sf_dir: str) -> ray.data.Dataset:
     pairs = q_emb_near_dup(sf_dir).rename(
         columns={"vec_a": "doc_a", "vec_b": "doc_b"})
     clusters = union_find_clusters(pairs)
-    removed = clusters.loc[clusters["doc_id"] != clusters["cluster_id"],
-                           "doc_id"].to_numpy()
-    removed_ref = ray.put(set(int(x) for x in removed))
+    removed = np.sort(clusters.loc[
+        clusters["doc_id"] != clusters["cluster_id"], "doc_id"]
+        .to_numpy(dtype=np.int64))
 
-    def fold(t: pa.Table) -> pa.Table:
-        gone = ray.get(removed_ref)
-        ids = t["vec_id"].to_numpy()
-        hit = np.fromiter((int(i) in gone for i in ids), dtype=bool,
-                          count=len(ids))
-        part = pa.table({"label": pc.cast(t["label"], pa.int64()),
+    corpus = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                   columns=["vec_id", "label"])
+
+    def counts(labels: pa.Array | pa.ChunkedArray,
+               hit: np.ndarray) -> pa.Table:
+        part = pa.table({"label": pc.cast(labels, pa.int64()),
                          "removed": pa.array(hit.astype(np.int64)),
                          "kept": pa.array((~hit).astype(np.int64))})
         return pa.TableGroupBy(part, ["label"]).aggregate(
             [("kept", "sum"), ("removed", "sum")]
         ).rename_columns(["label", "kept", "removed"])
 
-    return (ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                                  columns=["vec_id", "label"])
-            .map_batches(fold, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby("label")
+    if len(removed) <= SEMANTIC_BROADCAST_MAX:
+        removed_ref = ray.put(removed)
+
+        def fold(t: pa.Table) -> pa.Table:
+            gone = ray.get(removed_ref)       # sorted int64 array
+            ids = t["vec_id"].to_numpy()
+            hit = np.isin(ids, gone, assume_unique=False)
+            return counts(t["label"], hit)
+
+        folded = corpus.map_batches(fold, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    else:
+        folded = _semantic_antijoin_counts(sf_dir, corpus, removed)
+
+    return (folded.groupby("label")
             .aggregate(_Sum("kept", alias_name="kept"),
                        _Sum("removed", alias_name="removed")))
+
+
+def _semantic_antijoin_counts(sf_dir: str, corpus: ray.data.Dataset,
+                              removed: np.ndarray) -> ray.data.Dataset:
+    """Large-frontier removal filter: union the removal ids with the
+    corpus rows, ONE keyed repartition on vec_id, block-local isin —
+    the ``ops.dedup.q_dedup_near`` anti-join shape. Only (vec_id,
+    label, is_removal) triples move; the driver never holds a set."""
+    from ..util import enable_hash_shuffle, keyed_partition_count
+
+    removal = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(removed, type=pa.int64()),
+        "label": pa.array(np.zeros(len(removed), dtype=np.int64)),
+        "is_removal": pa.array(np.ones(len(removed), dtype=np.int8)),
+    }))
+
+    def tag(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "vec_id": pc.cast(t["vec_id"], pa.int64()),
+            "label": pc.cast(t["label"], pa.int64()),
+            "is_removal": pa.array(np.zeros(len(t), dtype=np.int8)),
+        })
+
+    _OUT = pa.schema([("label", pa.int64()), ("kept", pa.int64()),
+                      ("removed", pa.int64())])
+
+    def fold_block(df_: pd.DataFrame) -> pd.DataFrame:
+        if df_.empty:
+            return _OUT.empty_table().to_pandas()
+        gone = df_.loc[df_["is_removal"] == 1, "vec_id"].to_numpy()
+        rows = df_[df_["is_removal"] == 0]
+        hit = np.isin(rows["vec_id"].to_numpy(), gone)
+        out = rows.assign(removed=hit.astype("int64"),
+                          kept=(~hit).astype("int64"))
+        return out.groupby("label", as_index=False)[["kept", "removed"]].sum()
+
+    both = corpus.map_batches(tag, batch_format="pyarrow",
+                              zero_copy_batch=True).union(removal)
+    n_parts = keyed_partition_count(corpus.count() * 17)
+    enable_hash_shuffle(both, n_parts)
+    return (both.repartition(n_parts, keys=["vec_id"])
+            .map_batches(fold_block, batch_format="pandas",
+                         batch_size=None))
 
 
 def _semantic_dedup_sql() -> str:
@@ -503,8 +567,11 @@ def q_emb_kmeans(sf_dir: str, k: int = KMEANS_K,
     (~4 KB; ``ray.put`` once per round) → per-batch partials (counts +
     per-cluster coordinate sums, ONE row per batch) → a map-only
     64-way fold → a tiny driver update ``c = Σe // n``. No shuffle at
-    all — the corpus is materialized once in scaled form and streamed
-    ``iters+1`` times; only k×(d+1) integers per batch ever move.
+    all — the corpus is materialized once AS STORED (the pruned
+    float32 column, ≤1× the stored bytes; the fixed-point rescale is
+    fused into each pass's ``partial``, one multiply+floor per row per
+    iteration) and streamed ``iters+1`` times; only k×(d+1) integers
+    per batch ever move.
     Output: per-cluster size + member-coordinate checksum under the
     final centroids, SQL-checked against an independent serial
     recompute (``fixtures.kmeans_expected_dir``) — exact, not
@@ -518,15 +585,13 @@ def q_emb_kmeans(sf_dir: str, k: int = KMEANS_K,
     cents = kmeans_scaled(np.asarray(list(init["embedding"])))
     dim = cents.shape[1]
 
-    def scale(t: pa.Table) -> pa.Table:
-        e = kmeans_scaled(_emb_matrix(t["embedding"]))
-        return pa.table({"e": pa.FixedSizeListArray.from_arrays(
-            pa.array(e.reshape(-1)), dim)})
-
+    # Materialize the corpus UN-WIDENED: the pruned float32 column as
+    # stored (≤1× stored bytes pinned in the object store). The int64
+    # fixed-point widening happens per batch inside `partial` below —
+    # transient, never pinned. (Round-3 shape rescaled+materialized the
+    # int64 copy: 2× stored bytes pinned for the whole Lloyd loop.)
     corpus = (ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                     columns=["embedding"])
-              .map_batches(scale, batch_format="pyarrow",
-                           zero_copy_batch=True)
               .materialize())
 
     def stats_for(cents_now: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -534,9 +599,7 @@ def q_emb_kmeans(sf_dir: str, k: int = KMEANS_K,
 
         def partial(t: pa.Table) -> pa.Table:
             c = ray.get(cref)
-            arr = t["e"].combine_chunks()
-            e = arr.values.to_numpy(zero_copy_only=False) \
-                .reshape(len(arr), dim)
+            e = kmeans_scaled(_emb_matrix(t["embedding"]))
             a = kmeans_assign(e, c)
             counts = np.bincount(a, minlength=k).astype(np.int64)
             sums = np.zeros((k, dim), dtype=np.int64)

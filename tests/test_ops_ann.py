@@ -257,3 +257,29 @@ def test_semantic_dedup_reconciles(ray_session):
     assert got["kept"].tolist() == exp["kept"].tolist()
     assert got["removed"].tolist() == exp["removed"].tolist()
     assert int(got["removed"].sum()) == len(removed) > 0
+
+
+def test_semantic_dedup_antijoin_path_matches_broadcast(ray_session,
+                                                        monkeypatch):
+    """Large-frontier switch: threshold forced below any frontier so
+    the keyed-repartition anti-join MUST run (the broadcast helper is
+    poisoned to prove it), and its per-label counts must be identical
+    to the broadcast path (VERDICT r3 item 2)."""
+    from swarm_ray.ops import ann as _ann
+
+    base = _ann.q_emb_dedup_semantic(SF).to_pandas() \
+        .sort_values("label").reset_index(drop=True)
+    monkeypatch.setattr(_ann, "SEMANTIC_BROADCAST_MAX", -1)
+    got = _ann.q_emb_dedup_semantic(SF).to_pandas() \
+        .sort_values("label").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, base)
+
+    def _poisoned(*a, **k):
+        raise AssertionError("anti-join path must not run under "
+                             "broadcast-size frontiers")
+
+    monkeypatch.setattr(_ann, "SEMANTIC_BROADCAST_MAX", 10**9)
+    monkeypatch.setattr(_ann, "_semantic_antijoin_counts", _poisoned)
+    again = _ann.q_emb_dedup_semantic(SF).to_pandas() \
+        .sort_values("label").reset_index(drop=True)
+    pd.testing.assert_frame_equal(again, base)
