@@ -479,7 +479,7 @@ def minhash_pairs_expected_dir(sf_dir: str | os.PathLike) -> Path:
 # Expected ANN candidate-set fixtures (emb_lsh_ann / emb_ivf_ann oracles)
 # ---------------------------------------------------------------------------
 
-ANN_FIXTURE_VERSION = 1
+ANN_FIXTURE_VERSION = 2   # v2: first-principles bucketing (no LshBucket)
 
 
 def _ann_corpus_queries(sf_dir: str | os.PathLike):
@@ -518,13 +518,15 @@ def lsh_candidates_expected_dir(sf_dir: str | os.PathLike) -> Path:
     1-bit multiprobe flip, per table). The oracle then ranks these
     candidates in DuckDB by ``list_cosine_similarity`` — so the engine's
     whole scoring/fold path is cross-checked by SQL, and only the bucket
-    topology comes from this recompute. The sign-projection kernel
-    (``LshBucket.buckets_of``) is shared with the engine — like the
-    published permutation/model seeds of the other differential
-    fixtures, bucket membership must be bit-reproducible, while the
-    probe expansion and candidate join below are re-derived
-    independently of the engine's inverted-index plan."""
-    from .ops.ann import LSH_BITS, LSH_TABLES, LshBucket
+    topology comes from this recompute. The sign-pattern bucketing is
+    RE-DERIVED here from first principles — only the published seed and
+    the table/bit constants are shared with the engine (the
+    ``minhash_pairs_expected_dir`` standard): hyperplanes are drawn
+    per-table from the seeded generator, sign bits come from a plain
+    per-table matmul, and the bucket id is assembled bit-by-bit, none
+    of it through ``LshBucket``'s einsum kernel or the engine's
+    inverted-index plan."""
+    from .ops.ann import LSH_BITS, LSH_SEED, LSH_TABLES
 
     label = label_for_sf_dir(sf_dir)
     out = FIXTURE_ROOT / label / "lsh_candidates_expected"
@@ -539,10 +541,24 @@ def lsh_candidates_expected_dir(sf_dir: str | os.PathLike) -> Path:
             pass
         shutil.rmtree(out, ignore_errors=True)
 
-    bucketer = LshBucket(m.shape[1])
-    corpus_b = bucketer.buckets_of(m)                    # (n, L)
+    # Independent sign-pattern bucketing: seeded hyperplane draw (the
+    # published contract is ONE standard_normal((L, B, dim)) tensor from
+    # default_rng(LSH_SEED)), then per-table dot products and bit
+    # assembly — no engine kernel involved.
+    planes = np.random.default_rng(LSH_SEED).standard_normal(
+        (LSH_TABLES, LSH_BITS, m.shape[1]))
+
+    def bucket_ids(vecs: np.ndarray) -> np.ndarray:
+        out_b = np.zeros((len(vecs), LSH_TABLES), dtype=np.int64)
+        for t in range(LSH_TABLES):
+            for i in range(LSH_BITS):
+                sign = vecs @ planes[t, i] > 0
+                out_b[:, t] |= sign.astype(np.int64) << i
+        return out_b
+
+    corpus_b = bucket_ids(m)                             # (n, L)
     qn = q / np.linalg.norm(q, axis=1, keepdims=True)
-    query_b = bucketer.buckets_of(qn)                    # (nq, L)
+    query_b = bucket_ids(qn)                             # (nq, L)
     pairs: set[tuple[int, int]] = set()
     for j in range(len(q_ids)):
         for t in range(LSH_TABLES):

@@ -697,10 +697,24 @@ def q_bigram_topk(sf_dir: str, k: int = BIGRAM_TOPK) -> pd.DataFrame:
 # ---------------------------------------------------- per-source token budget
 
 TOKEN_BUDGET = 400_000       # tokens admitted per source (epoch quota)
-BUDGET_BUCKET = 8192         # doc_idx rows per offset bucket — scale knob:
-                             # offsets table is #sources × corpus/BUCKET rows;
-                             # grow the bucket with the corpus so it stays
-                             # driver-small (10^12 rows → bucket ≈ 10^7)
+BUDGET_BUCKET_MIN = 8192     # smallest doc_idx bucket (test/sandbox scale)
+BUDGET_MAX_BUCKETS = 65_536  # offsets-table bound: ≤ this many buckets
+                             # (× #sources rows on the driver, a few MB)
+
+
+def budget_bucket_size(n_rows: int) -> int:
+    """doc_idx rows per offset bucket, DERIVED from the corpus row
+    count (parquet footers — no data read) so the driver offsets table
+    stays bounded at any scale: the bucket is the smallest power of two
+    ≥ ``n_rows / BUDGET_MAX_BUCKETS`` (and ≥ ``BUDGET_BUCKET_MIN``).
+    10^12 rows → bucket ≈ 1.5·10^7 ⇒ ~65k buckets regardless of corpus
+    size. Power-of-two so re-runs at nearby corpus sizes mostly reuse
+    the same bucketing (closes VERDICT r3 item 6 — was a manual knob)."""
+    need = -(-max(1, n_rows) // BUDGET_MAX_BUCKETS)   # ceil division
+    b = BUDGET_BUCKET_MIN
+    while b < need:
+        b <<= 1
+    return b
 
 
 def q_seq_token_budget(sf_dir: str,
@@ -714,8 +728,9 @@ def q_seq_token_budget(sf_dir: str,
     Scale plan — a per-key PREFIX SUM without a global sort and
     without keying the exchange on the 55%-hot source column:
     (1) per-batch partials of (source, doc_idx-bucket) token sums →
-    a driver-small offsets table (#sources × #buckets; see
-    ``BUDGET_BUCKET``); (2) driver cumsum per source → exclusive
+    a driver-small offsets table (#sources × #buckets; bucket size
+    auto-derived from footer row counts, see ``budget_bucket_size``);
+    (2) driver cumsum per source → exclusive
     bucket-start offsets, ``ray.put`` broadcast; (3) ONE hash
     repartition keyed on the UNIFORM bucket id co-locates each bucket;
     (4) block-local: order by doc_idx, within-(source,bucket) cumsum +
@@ -728,15 +743,21 @@ def q_seq_token_budget(sf_dir: str,
     from ..stages.ids import doc_index
     from ..util import enable_hash_shuffle, keyed_partition_count
 
+    import pyarrow.parquet as _pq
+
+    files = _seq_files(sf_dir)
+    bucket_sz = budget_bucket_size(
+        sum(_pq.read_metadata(f).num_rows for f in files))
+
     def bucket_partial(t: pa.Table) -> pa.Table:
         idx = doc_index(t)
-        b = pc.cast(pc.divide(idx, BUDGET_BUCKET), pa.int64())
+        b = pc.cast(pc.divide(idx, bucket_sz), pa.int64())
         part = pa.table({"source": t["source"], "bucket": b,
                          "n_tok": pc.cast(t["n_tok"], pa.int64())})
         return pa.TableGroupBy(part, ["source", "bucket"]).aggregate(
             [("n_tok", "sum")]).rename_columns(["source", "bucket", "tok"])
 
-    ds = ray.data.read_parquet(_seq_files(sf_dir),
+    ds = ray.data.read_parquet(files,
                                columns=["doc_id", "source", "n_tok"])
     sums = ds.map_batches(bucket_partial, batch_format="pyarrow",
                           zero_copy_batch=True).to_pandas()
@@ -754,7 +775,7 @@ def q_seq_token_budget(sf_dir: str,
             "source": t["source"],
             "n_tok": pc.cast(t["n_tok"], pa.int64()),
             "doc_idx": idx,
-            "bucket": pc.cast(pc.divide(idx, BUDGET_BUCKET), pa.int64()),
+            "bucket": pc.cast(pc.divide(idx, bucket_sz), pa.int64()),
         })
 
     _OUT = pa.schema([("source", pa.string()), ("rows_kept", pa.int64()),

@@ -1,6 +1,7 @@
 """Token-payload ops (ops/tokens.py): vocabulary top-k and packing."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -166,6 +167,39 @@ def test_seq_token_budget_matches_recompute(ray_session):
     # the quota really binds on the hot source and never overshoots
     assert (got["tok_kept"] <= budget).all()
     assert got.set_index("source")["tok_kept"]["github_audit"] > budget * 0.95
+
+
+def test_seq_token_budget_many_buckets_per_source(ray_session, monkeypatch):
+    """Force a tiny bucket (many buckets per source — the prefix-sum
+    broadcast really has to carry per-bucket offsets) and pin the result
+    equal to the default bucketing (parallelism/bucket-size
+    independence, VERDICT r3 item 6)."""
+    from swarm_ray.ops import tokens as tk
+    budget = 120_000
+    base = tk.q_seq_token_budget("/tmp/x/sf0.001", budget=budget) \
+        .to_pandas().sort_values("source").reset_index(drop=True)
+    monkeypatch.setattr(tk, "budget_bucket_size", lambda n: 64)
+    tiny = tk.q_seq_token_budget("/tmp/x/sf0.001", budget=budget) \
+        .to_pandas().sort_values("source").reset_index(drop=True)
+    pd.testing.assert_frame_equal(tiny, base)
+
+
+def test_budget_bucket_size_bounds():
+    """Auto-derived bucket keeps the offsets table bounded: at ANY
+    corpus size, #buckets = ceil(n / bucket) ≤ BUDGET_MAX_BUCKETS, the
+    bucket never shrinks below the sandbox floor, and it is monotone in
+    the corpus size."""
+    from swarm_ray.ops.tokens import (BUDGET_BUCKET_MIN, BUDGET_MAX_BUCKETS,
+                                      budget_bucket_size)
+    prev = 0
+    for n in [0, 1, 10_000, 600_000, 5_000_000, 10**9, 10**12, 10**14]:
+        b = budget_bucket_size(n)
+        assert b >= BUDGET_BUCKET_MIN
+        assert -(-max(1, n) // b) <= BUDGET_MAX_BUCKETS
+        assert b >= prev
+        prev = b
+    assert budget_bucket_size(600_000) == BUDGET_BUCKET_MIN  # sandbox: unchanged
+    assert budget_bucket_size(10**12) >= 10**7 // 2           # docstring claim
 
 
 def test_bigram_shuffle_variant_matches_dense(ray_session):
