@@ -584,8 +584,7 @@ def _topk_select(keys_sorted: np.ndarray, cnt: np.ndarray,
     return np.concatenate([above, tied])
 
 
-@ray.remote
-class _BigramSlice:
+class _BigramSliceImpl:
     """Reducer actor owning one contiguous slice of the bigram key
     space as a DENSE count array (the raw-actor escape hatch: a shared
     mutable accumulator is the one shape the Dataset API can't
@@ -593,9 +592,17 @@ class _BigramSlice:
     than the sparse partial rows, and no np.unique sort on the send
     side); the add is one in-place ``np.add.at``."""
 
+    # Once this many pairs have landed in ONE slice, a single uint32
+    # cell could in principle be approaching wrap (2^32); the slice
+    # upgrades itself to uint64 cells — memory doubles only for slices
+    # that are actually that hot (ADVICE r3: the wrap was documented
+    # but unchecked).
+    _UINT32_SAFE_TOTAL = 1 << 31
+
     def __init__(self, lo: int, hi: int):
         self.lo = lo
         self.hist = np.zeros(hi - lo, dtype=np.uint32)
+        self.total = 0
 
     def add(self, keys: np.ndarray) -> int:
         # np.unique first: ``hist[uk] += cnt`` with UNIQUE indices is a
@@ -603,8 +610,12 @@ class _BigramSlice:
         # duplicate indices crawls at ~0.7 M/s — measured 1.15 s vs
         # 0.12 s per 800k-key batch — half the reducer-side cost of the
         # sf0.1 win (470 s → 40–135 s band)
+        self.total += len(keys)
+        if (self.hist.dtype == np.uint32
+                and self.total > self._UINT32_SAFE_TOTAL):
+            self.hist = self.hist.astype(np.uint64)
         uk, cnt = np.unique(keys.astype(np.int64), return_counts=True)
-        self.hist[uk - self.lo] += cnt.astype(np.uint32)
+        self.hist[uk - self.lo] += cnt.astype(self.hist.dtype)
         return len(keys)
 
     def topk(self, k: int) -> tuple[np.ndarray, np.ndarray]:
@@ -617,31 +628,88 @@ class _BigramSlice:
         return (nz[order].astype(np.int64) + self.lo, cnt[order])
 
 
-@ray.remote
-def _bigram_scan(path: str, reducers: list, slice_width: int) -> int:
-    """Read one input file, emit its raw bigram keys partitioned by
-    key range, push each range's keys to its slice owner. Returns the
-    pair count (reconciliation). Key math stays in uint32 end to end —
-    VOCAB² < 2^32, so the wrap-free product needs no int64 copies
-    (measured ~2× on the keygen step)."""
-    import pyarrow.parquet as _pq
-    t = _pq.read_table(path, columns=["tokens"])
+# actor wrapper kept separate so the accumulator logic (incl. the
+# uint32→uint64 self-upgrade) is unit-testable without a Ray actor
+_BigramSlice = ray.remote(_BigramSliceImpl)
+
+
+def _bigram_keys(t: pa.Table) -> np.ndarray:
+    """Token table → within-row bigram keys. Key math stays in uint32
+    end to end — VOCAB² < 2^32, so the wrap-free product needs no
+    int64 copies (measured ~2× on the keygen step)."""
     toks = t["tokens"].combine_chunks()
     offs = toks.offsets.to_numpy(zero_copy_only=False)
     flat = toks.values.to_numpy(zero_copy_only=False)
     flat = flat[offs[0]:offs[-1]].astype(np.uint32)
     offs = offs - offs[0]
     if flat.size < 2:
-        return 0
+        return np.empty(0, dtype=np.uint32)
     valid = np.ones(flat.size - 1, dtype=bool)
     ends = offs[1:-1] - 1
     valid[ends[(ends >= 0) & (ends < valid.size)]] = False
-    keys = flat[:-1][valid] * np.uint32(VOCAB) + flat[1:][valid]
-    sl = keys // np.uint32(slice_width)
-    futs = [reducers[r].add.remote(keys[sl == r])
-            for r in range(len(reducers))]
-    ray.get(futs)
-    return int(keys.size)
+    return flat[:-1][valid] * np.uint32(VOCAB) + flat[1:][valid]
+
+
+@ray.remote
+def _bigram_scan(path: str, row_groups: list[int], reducers: list,
+                 slice_width: int) -> int:
+    """Scan a RANGE OF ROW GROUPS of one input file (not the whole
+    file — ADVICE r3: per-file scans pinned a whole file's pair array
+    resident and gave a single-file corpus exactly one task), emit raw
+    bigram keys partitioned by key range, push each range's keys to
+    its slice owner. Returns the pair count (reconciliation). Bigrams
+    never span rows, so row-group boundaries are exact cut points."""
+    import pyarrow.parquet as _pq
+    pf = _pq.ParquetFile(path)
+    total = 0
+    for rg in row_groups:
+        keys = _bigram_keys(pf.read_row_group(rg, columns=["tokens"]))
+        if keys.size == 0:
+            continue
+        sl = keys // np.uint32(slice_width)
+        ray.get([reducers[r].add.remote(keys[sl == r])
+                 for r in range(len(reducers))])
+        total += int(keys.size)
+    return total
+
+
+def _bigram_scan_plan(files: list[str]) -> list[tuple[str, list[int]]]:
+    """(file, row-group range) work items: split every file at
+    row-group boundaries into chunks of ≤ _SCAN_TARGET_ROWS so peak
+    scan memory is bounded by the chunk, and a few-file corpus still
+    fans out across the cluster."""
+    import pyarrow.parquet as _pq
+    items: list[tuple[str, list[int]]] = []
+    for f in files:
+        md = _pq.read_metadata(f)
+        cur: list[int] = []
+        rows = 0
+        for rg in range(md.num_row_groups):
+            cur.append(rg)
+            rows += md.row_group(rg).num_rows
+            if rows >= _SCAN_TARGET_ROWS:
+                items.append((f, cur))
+                cur, rows = [], 0
+        if cur:
+            items.append((f, cur))
+    return items
+
+
+_SCAN_TARGET_ROWS = 262_144   # rows per scan task (~a few hundred MB of
+                              # token pairs at typical seq lengths)
+
+
+def _dense_bigram_fits() -> bool:
+    """True if the dense reducer slices (VOCAB² uint32 cells split
+    across the reducers) fit comfortably in the cluster's worker heap.
+    ADVICE r3: the dense plan allocated ~10 GB of histograms
+    unconditionally; on a small node that OOMs with no guard. Ray's
+    ``memory`` resource is the heap it schedules against — require the
+    dense slices to take at most half of it, else fall back to the
+    sparse exchange plan."""
+    need = VOCAB * VOCAB * 4
+    avail = ray.cluster_resources().get("memory", 0)
+    return avail == 0 or need <= avail * 0.5
 
 
 def q_bigram_topk(sf_dir: str, k: int = BIGRAM_TOPK) -> pd.DataFrame:
@@ -660,9 +728,15 @@ def q_bigram_topk(sf_dir: str, k: int = BIGRAM_TOPK) -> pd.DataFrame:
     near-uniform corpus gives sparse partials ~1 row per raw pair
     while the dense add is O(1)/pair. Exact by construction (integer
     adds; per-slice top-k is globally exact since a bigram lives
-    wholly in one slice). uint32 cells overflow at 4.3e9 occurrences
-    of ONE bigram — bump to uint64 cells past ~10^10 docs."""
+    wholly in one slice). Overflow-safe: a slice upgrades its cells to
+    uint64 once its pair total could approach uint32 wrap (see
+    ``_BigramSlice.add``). Falls back to the sparse exchange when the
+    dense slices would not fit in the cluster heap
+    (``_dense_bigram_fits``)."""
     from ..util import cluster_cpus
+
+    if not _dense_bigram_fits():
+        return q_bigram_topk_shuffle(sf_dir, k=k)
 
     files = _seq_files(sf_dir)
     keyspace = VOCAB * VOCAB
@@ -678,8 +752,8 @@ def q_bigram_topk(sf_dir: str, k: int = BIGRAM_TOPK) -> pd.DataFrame:
                     r * slice_width, min((r + 1) * slice_width, keyspace))
                 for r in range(n_red)]
     try:
-        ray.get([_bigram_scan.remote(f, reducers, slice_width)
-                 for f in files])
+        ray.get([_bigram_scan.remote(f, rgs, reducers, slice_width)
+                 for f, rgs in _bigram_scan_plan(files)])
         tops = ray.get([r.topk.remote(k) for r in reducers])
     finally:
         for r in reducers:

@@ -211,6 +211,54 @@ def test_bigram_shuffle_variant_matches_dense(ray_session):
     assert a.equals(b)
 
 
+def test_bigram_dense_fallback_when_memory_tight(ray_session, monkeypatch):
+    """When the dense reducer slices would not fit the cluster heap,
+    q_bigram_topk must take the sparse exchange plan and still return
+    the exact top-k (ADVICE r3: the 10 GB allocation had no guard)."""
+    from swarm_ray.ops import tokens as tk
+    base = tk.q_bigram_topk("/tmp/x/sf0.001", k=30)
+    monkeypatch.setattr(tk, "_dense_bigram_fits", lambda: False)
+    spawned = []
+    monkeypatch.setattr(tk, "_BigramSlice",
+                        type("Poison", (), {"options": lambda *a, **k:
+                                            spawned.append(1)}))
+    got = tk.q_bigram_topk("/tmp/x/sf0.001", k=30)
+    assert not spawned, "dense reducers must not spawn under the guard"
+    assert got.equals(base)
+
+
+def test_bigram_slice_upgrades_to_uint64(monkeypatch):
+    """A slice whose pair total crosses the uint32 safety line must
+    upgrade its cells to uint64 with counts preserved exactly."""
+    from swarm_ray.ops.tokens import _BigramSliceImpl
+    s = _BigramSliceImpl(0, 100)
+    monkeypatch.setattr(_BigramSliceImpl, "_UINT32_SAFE_TOTAL", 10)
+    s.add(np.array([3, 3, 7], dtype=np.uint32))
+    assert s.hist.dtype == np.uint32
+    s.add(np.array([3] * 9, dtype=np.uint32))      # total 12 > 10 → upgrade
+    assert s.hist.dtype == np.uint64
+    keys, cnts = s.topk(10)
+    assert keys.tolist() == [3, 7] and cnts.tolist() == [11, 1]
+
+
+def test_bigram_scan_plan_splits_row_groups(tmp_path, monkeypatch):
+    """A single multi-row-group file must fan out into several scan
+    tasks, each bounded by the target row count, covering every row
+    group exactly once (ADVICE r3: per-file scans)."""
+    from swarm_ray.ops import tokens as tk
+    t = pa.table({"tokens": pa.array([[1, 2, 3]] * 1000,
+                                     type=pa.list_(pa.int32()))})
+    f = tmp_path / "seq.parquet"
+    pq.write_table(t, f, row_group_size=100)
+    monkeypatch.setattr(tk, "_SCAN_TARGET_ROWS", 250)
+    plan = tk._bigram_scan_plan([str(f)])
+    assert len(plan) > 1
+    all_rgs = [rg for _, rgs in plan for rg in rgs]
+    assert sorted(all_rgs) == list(range(10))
+    for _, rgs in plan:
+        assert 100 * len(rgs) <= 250 + 100   # ≤ target + one row group
+
+
 def test_topk_select_is_tie_safe():
     """Boundary ties must keep the SMALLEST keys — np.argpartition by
     count alone kept an arbitrary tied subset (caught by the sf0.01
