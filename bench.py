@@ -23,6 +23,26 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 
+def _fsync_tree(path: str) -> None:
+    """Flush THIS bench's own output to disk before the next timed
+    leg/rep. Scoped replacement for os.sync() (ADVICE r3): a global
+    sync blocks on every unrelated writer's dirty pages on a shared
+    VM, adding exactly the cross-tenant noise the barrier is meant to
+    remove. fsync of our files gives the same 'no deferred writeback
+    bleeding into the next timed window' guarantee, bounded to our
+    own data."""
+    for root, _dirs, names in os.walk(path):
+        for n in names:
+            try:
+                fd = os.open(os.path.join(root, n), os.O_RDONLY)
+                try:
+                    os.fsync(fd)
+                finally:
+                    os.close(fd)
+            except OSError:
+                pass
+
+
 def run_bench() -> dict:
     import ray
     import ray.data
@@ -57,8 +77,9 @@ def run_bench() -> dict:
     times = []
     results = None
     for _ in range(reps):
+        _fsync_tree(out_dir)  # flush our dirty pages so writeback
+        #                       doesn't bleed into the next rep
         shutil.rmtree(out_dir, ignore_errors=True)
-        os.sync()  # flush dirty pages so writeback doesn't bleed into the next rep
         t0 = time.time()
         results = run_job(files, out_dir, files_per_partition=len(files) or 1)
         times.append(time.time() - t0)
@@ -163,11 +184,12 @@ def run_scaling() -> dict:
         out = subprocess.run([sys.executable, __file__], env=env,
                              capture_output=True, text=True, check=True).stdout
         # barrier: the leg exits with its last rep's output (~0.6 GB)
-        # still dirty; without a sync that writeback (this disk: ~50
+        # still dirty; without a flush that writeback (this disk: ~50
         # MB/s) bleeds into the NEXT leg's timed reps — observed as two
         # 0.59–0.65 efficiency readings whose direct back-to-back
-        # re-runs measured 0.886
-        os.sync()
+        # re-runs measured 0.886. Scoped to the leg's own out_dir
+        # (ADVICE r3: os.sync blocked on unrelated tenants' pages).
+        _fsync_tree(f"/tmp/swarm_ray_bench_out_{ncpu}")
         time.sleep(2)
         return json.loads(out.strip().splitlines()[-1])
 

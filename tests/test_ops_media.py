@@ -52,9 +52,100 @@ def test_decode_bad_payloads_nonstrict_vs_strict():
         MediaDecodeStage(strict=True)(_batch(bad))
 
 
-def test_real_codec_path_is_stubbed():
+def _wav_bytes(sr=8000, ns=64, nch=1, seed=3):
+    import io
+    import wave
+    s = np.random.default_rng(seed).integers(-32768, 32768,
+                                             size=ns * nch, dtype=np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(s.tobytes())
+    return buf.getvalue(), s
+
+
+def test_decode_real_wav():
+    """WAV self-upgrade: a genuine RIFF/WAVE payload decodes through
+    the stdlib `wave` path — real codec, no toy container, no optional
+    deps (VERDICT r3 item 8)."""
+    blob, s = _wav_bytes(sr=16000, ns=100)
+    out = MediaDecodeStage()(_batch([blob]))
+    assert out["dec_ok"].to_pylist() == [True]
+    assert out["dec_sample_rate"].to_pylist() == [16000]
+    assert out["dec_n_samples"].to_pylist() == [100]
+    want = float(np.abs(s.astype(np.int32)).mean())
+    assert out["feat_mean"].to_pylist()[0] == pytest.approx(want)
+
+
+def test_decode_real_wav_stereo_first_channel():
+    blob, s = _wav_bytes(sr=8000, ns=50, nch=2)
+    out = MediaDecodeStage()(_batch([blob]))
+    assert out["dec_ok"].to_pylist() == [True]
+    assert out["dec_n_samples"].to_pylist() == [50]
+    want = float(np.abs(s[::2].astype(np.int32)).mean())
+    assert out["feat_mean"].to_pylist()[0] == pytest.approx(want)
+
+
+def test_png_without_pil_skips_nonstrict_raises_strict():
+    """PNG payloads in a PIL-less environment: non-strict marks them
+    undecoded; strict raises NotImplementedError naming the missing
+    library (not the unknown-magic ValueError)."""
+    stage = MediaDecodeStage()
+    if stage._pil is not None:
+        pytest.skip("PIL present — covered by test_decode_real_png")
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 16
+    out = stage(_batch([png]))
+    assert out["dec_ok"].to_pylist() == [False]
     with pytest.raises(NotImplementedError):
-        MediaDecodeStage._decode_real_codec(memoryview(b"\xff\xd8\xff\xe0jpeg"))
+        MediaDecodeStage(strict=True)(_batch([png]))
+
+
+def test_decode_real_png():
+    """PNG self-upgrade — runs only where PIL is installed."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+    px = np.random.default_rng(5).integers(0, 256, size=(4, 6),
+                                           dtype=np.uint8)
+    buf = io.BytesIO()
+    PIL_Image.fromarray(px, mode="L").save(buf, format="PNG")
+    out = MediaDecodeStage()(_batch([buf.getvalue()]))
+    assert out["dec_ok"].to_pylist() == [True]
+    assert out["dec_width"].to_pylist() == [6]
+    assert out["dec_height"].to_pylist() == [4]
+    assert out["feat_mean"].to_pylist()[0] == pytest.approx(float(px.mean()))
+
+
+def test_embed_model_hook_loads_torch_weights(tmp_path, monkeypatch):
+    """EmbedStage real-model hook — runs only where torch is installed;
+    the seeded-stub default is pinned by the doc_embed oracle."""
+    torch = pytest.importorskip("torch")
+    from swarm_ray.ops.embed import EMBED_DIM, EmbedStage
+    from swarm_ray.ops.text import TOKENIZE_VOCAB
+    w = torch.ones((TOKENIZE_VOCAB, EMBED_DIM))
+    p = tmp_path / "weights.pt"
+    torch.save(w, p)
+    monkeypatch.setenv("SWARM_EMBED_MODEL", str(p))
+    m = EmbedStage._load_model(EMBED_DIM)
+    assert m.shape == (TOKENIZE_VOCAB, EMBED_DIM)
+    assert (m == 1.0).all()
+
+
+def test_embed_model_hook_falls_back_without_torch(tmp_path, monkeypatch):
+    """With $SWARM_EMBED_MODEL set but torch absent, the stage must
+    fall back to the deterministic stub rather than fail."""
+    try:
+        import torch  # noqa: F401
+        pytest.skip("torch present — fallback path not reachable")
+    except ImportError:
+        pass
+    from swarm_ray.ops.embed import EMBED_DIM, EmbedStage
+    monkeypatch.setenv("SWARM_EMBED_MODEL", str(tmp_path / "nope.pt"))
+    a = EmbedStage._load_model(EMBED_DIM)
+    monkeypatch.delenv("SWARM_EMBED_MODEL")
+    b = EmbedStage._load_model(EMBED_DIM)
+    assert (a == b).all()
 
 
 def test_resize_nearest_neighbour_golden():
