@@ -110,6 +110,25 @@ class BruteForceTopK:
         # final fold output.
         th = np.partition(sims, len(ids) - k, axis=0)[len(ids) - k]
         rows, cols = np.nonzero(sims >= th)
+        # Degenerate-batch guard (ADVICE r3): many identical embeddings
+        # tie every row at the threshold, blowing the widened set up
+        # toward n_corpus × n_queries. The batch-local (sim desc,
+        # vec_id asc) head of k rows per query is EXACTLY sufficient —
+        # any dropped row is dominated by k kept rows under the global
+        # fold's own ordering even after self-removal (k already
+        # includes the +1) — so past 4× that size, swap the tie-widened
+        # set for the exact per-query head. The lexsort loop runs only
+        # on degenerate batches; normal batches keep the single-kernel
+        # path.
+        if len(rows) > 4 * k * sims.shape[1]:
+            r_parts, c_parts = [], []
+            for j in range(sims.shape[1]):
+                rj = rows[cols == j]
+                top = rj[np.lexsort((ids[rj], -sims[rj, j]))[:k]]
+                r_parts.append(top)
+                c_parts.append(np.full(len(top), j, dtype=cols.dtype))
+            rows = np.concatenate(r_parts)
+            cols = np.concatenate(c_parts)
         return pa.table({
             "query_vec_id": pa.array(self.q_ids[cols]),
             "vec_id": pa.array(ids[rows]),

@@ -3,6 +3,7 @@ LSH ANN recall vs the exact baseline, centroids vs a numpy oracle."""
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
@@ -232,6 +233,45 @@ def test_kmeans_iterates_beyond_init(ray_session):
     zero = q_emb_kmeans(SF, iters=0)
     final = q_emb_kmeans(SF, iters=4)
     assert zero["n"].tolist() != final["n"].tolist()
+
+
+def test_knn_degenerate_batch_tie_cap(ray_session):
+    """A corpus dominated by one duplicated embedding must (a) not blow
+    the candidate set up to n_corpus × n_queries, and (b) still return
+    the exact (sim desc, vec_id asc) top-k (ADVICE r3)."""
+    import ray
+    import ray.data as rd
+    from swarm_ray.ops.ann import BruteForceTopK, knn_bruteforce
+
+    rng = np.random.default_rng(11)
+    dup = rng.standard_normal(8)
+    distinct = rng.standard_normal((20, 8))
+    m = np.vstack([np.tile(dup, (300, 1)), distinct])
+    ids = np.arange(len(m), dtype=np.int64)
+    q_ids, q = ids[:3], m[:3]
+
+    # stage-level: candidate rows bounded by k·n_queries, not corpus
+    stage = BruteForceTopK(ray.put((q_ids, q)), k=5)
+    out = stage(pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.array(list(m.astype(np.float32)),
+                              type=pa.list_(pa.float32()))}))
+    assert len(out) <= (5 + 1) * len(q_ids)
+
+    # end-to-end: exact vs a serial (sim desc, vec_id asc) recompute
+    corpus = rd.from_arrow(pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.array(list(m.astype(np.float32)),
+                              type=pa.list_(pa.float32()))}))
+    got = knn_bruteforce(corpus, q_ids, q, k=5).to_pandas() \
+        .sort_values(["query_vec_id", "rank"]).reset_index(drop=True)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn[:3] @ mn.T
+    for j, qid in enumerate(q_ids):
+        order = np.lexsort((ids, -sims[j]))
+        want = [int(i) for i in ids[order] if i != qid][:5]
+        g = got[got["query_vec_id"] == qid].sort_values("rank")
+        assert g["neighbor_vec_id"].tolist() == want
 
 
 def test_semantic_dedup_reconciles(ray_session):
