@@ -38,6 +38,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dedup_near": dedup.q_dedup_near,
     }
     try:
+        from . import spans
+        out.update({
+            "doc_dup_spans": spans.q_doc_dup_spans,
+            "doc_dedup_spans": spans.q_doc_dedup_spans,
+            "doc_source_overlap": spans.q_doc_source_overlap,
+            "doc_split_leakfree": spans.q_doc_split_leakfree,
+        })
+    except ImportError:
+        pass
+    try:
         from . import relational
         out.update(relational.queries())
     except ImportError:
@@ -88,6 +98,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_jaccard_pairs": sql.SQL_JACCARD_PAIRS,
         "doc_dup_clusters": sql.SQL_DUP_CLUSTERS,
         "doc_dedup_near": sql.SQL_DEDUP_NEAR,
+        "doc_dup_spans": sql.SQL_DOC_DUP_SPANS,
+        "doc_dedup_spans": sql.SQL_DOC_DEDUP_SPANS,
+        "doc_source_overlap": sql.SQL_DOC_SOURCE_OVERLAP,
+        "doc_split_leakfree": sql.SQL_DOC_SPLIT_LEAKFREE,
     }
     # doc_minhash_pairs: differential oracle — the generator-side
     # independent LSH recompute (fixtures.minhash_pairs_expected_dir,

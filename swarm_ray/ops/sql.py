@@ -340,3 +340,76 @@ WITH w AS (
 )
 SELECT doc_id, n_words, (1000 * hit) // n_words AS common_milli FROM per
 """
+
+
+# ----------------------------------------------------- span-dedup family
+# semantic twins of ops/spans.py (Lee-et-al-style fixed-width substring
+# dedup); SPAN_W / SPAN_MIN_DOCS are imported so a width change can
+# never desynchronize engine and oracle
+from .spans import (SPAN_MIN_DOCS, SPAN_W,  # noqa: E402
+                    SPLIT_SALT, SPLIT_TRAIN_HEX)
+
+_SPAN_BASE = f"""
+d AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+sh AS (SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
+       md5(array_to_string(
+           w[CAST(t.i AS BIGINT):CAST(t.i AS BIGINT)+{SPAN_W - 1}],' ')) AS g
+       FROM d, UNNEST(range(1, len(w)-{SPAN_W - 2})) AS t(i)
+       WHERE len(w) >= {SPAN_W}),
+freq AS (SELECT g FROM sh GROUP BY g
+         HAVING count(DISTINCT doc_id) >= {SPAN_MIN_DOCS}),
+cov AS (SELECT doc_id, list(DISTINCT p ORDER BY p) AS ps FROM
+        (SELECT sh.doc_id, CAST(t2.p AS BIGINT) AS p
+         FROM sh JOIN freq USING (g),
+              UNNEST(range(sh.pos, sh.pos+{SPAN_W})) AS t2(p))
+        GROUP BY doc_id)
+"""
+
+SQL_DOC_DUP_SPANS = f"""
+WITH {_SPAN_BASE}
+SELECT d.doc_id, CAST(len(d.w) AS BIGINT) AS n_words,
+       CAST(len(c.ps) AS BIGINT) AS covered_words,
+       (1000*len(c.ps))//len(d.w) AS covered_milli
+FROM d JOIN cov c USING (doc_id)
+"""
+
+SQL_DOC_DEDUP_SPANS = f"""
+WITH {_SPAN_BASE},
+dc AS (SELECT d.doc_id, d.w, COALESCE(c.ps, []) AS ps
+       FROM d LEFT JOIN cov c USING (doc_id)),
+kept AS (SELECT doc_id, list(w[CAST(t.i AS BIGINT)] ORDER BY t.i) AS kw
+         FROM dc, UNNEST(range(1, len(w)+1)) AS t(i)
+         WHERE NOT list_contains(ps, CAST(t.i AS BIGINT))
+         GROUP BY doc_id)
+SELECT doc_id, CAST(len(kw) AS BIGINT) AS n_kept,
+       md5(array_to_string(kw,' ')) AS kept_md5
+FROM kept
+"""
+
+SQL_DOC_SOURCE_OVERLAP = f"""
+WITH d AS (SELECT doc_id, source, string_split(text,' ') AS w
+           FROM documents),
+sh AS (SELECT DISTINCT source,
+       md5(array_to_string(
+           w[CAST(t.i AS BIGINT):CAST(t.i AS BIGINT)+{SPAN_W - 1}],' ')) AS g
+       FROM d, UNNEST(range(1, len(w)-{SPAN_W - 2})) AS t(i)
+       WHERE len(w) >= {SPAN_W})
+SELECT a.source AS source_a, b.source AS source_b,
+       COUNT(*)::BIGINT AS shared_shingles
+FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+SQL_DOC_SPLIT_LEAKFREE = f"""
+WITH clusters AS (
+{SQL_DUP_CLUSTERS.strip().rstrip()}
+), rep AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS r
+  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+)
+SELECT doc_id,
+  CASE WHEN substr(md5(CONCAT(CAST(r AS VARCHAR), '{SPLIT_SALT}')), 1, 4)
+            < '{SPLIT_TRAIN_HEX}'
+       THEN 'train' ELSE 'eval' END AS split
+FROM rep
+"""

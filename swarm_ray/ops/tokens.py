@@ -224,6 +224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_bigram_topk": q_bigram_topk,
         "seq_curriculum": q_seq_curriculum,
         "seq_token_budget": q_seq_token_budget,
+        "seq_stratified": q_seq_stratified,
     }
 
 
@@ -322,6 +323,19 @@ def oracle_sql() -> dict[str, str]:
                    MAX(n_tok) AS max_tok,
                    MIN(n_tok) AS min_tok
             FROM ranked GROUP BY shard
+        """,
+        "seq_stratified": f"""
+            SELECT source,
+                   CAST(row_number() OVER (
+                        PARTITION BY source
+                        ORDER BY md5(doc_id || '{STRAT_SALT}')) AS BIGINT)
+                     AS rank,
+                   doc_id
+            FROM read_parquet('{glob}')
+            QUALIFY row_number() OVER (
+                        PARTITION BY source
+                        ORDER BY md5(doc_id || '{STRAT_SALT}'))
+                    <= {STRAT_QUOTA}
         """,
     }
 
@@ -878,6 +892,82 @@ def q_seq_token_budget(sf_dir: str,
             .groupby("source")
             .aggregate(_Sum("rows_kept", alias_name="rows_kept"),
                        _Sum("tok_kept", alias_name="tok_kept")))
+
+
+# ---------------------------------------------- stratified exact-quota sample
+
+STRAT_SALT = ":strat1"
+STRAT_QUOTA = 500          # rows kept per source
+STRAT_BUCKETS = 64         # level-2 fan-in width (see docstring)
+
+
+def q_seq_stratified(sf_dir: str, quota: int = STRAT_QUOTA
+                     ) -> ray.data.Dataset:
+    """Stratified EXACT-QUOTA sampling: the first ``quota`` rows per
+    source under the deterministic md5(doc_id||salt) order — the
+    "N examples from every source" eval-set / ablation draw that
+    rate-based sampling (q_seq_mixture) can't guarantee. md5 keys are
+    distinct so the order is total and the draw reproducible at any
+    parallelism.
+
+    Scale shape — per-key top-Q with a TWO-LEVEL combiner, no global
+    sort: (1) each block keeps its local Q-head per source (block
+    output ≤ Q×#sources rows); (2) partials fold per (source,
+    hash-bucket) — the salted-key recipe, so one source's survivors
+    spread over ``STRAT_BUCKETS`` groups of ≤ its own Q-heads instead
+    of one group of #blocks×Q (at 10^12 rows, #blocks ~10^6 would make
+    the single-level fold group itself corpus-shaped); (3) the final
+    per-source fold sees ≤ STRAT_BUCKETS×Q bounded rows and assigns
+    ranks. top-Q(∪ parts) = top-Q(∪ top-Q(parts)) makes every level
+    exact. Output: (source, rank, doc_id), SQL-checked against a
+    row_number() window oracle."""
+    import pyarrow.compute as pc
+
+    from ..stages.ids import md5_hex
+
+    def local_head(t: pa.Table) -> pd.DataFrame:
+        salted = pc.binary_join_element_wise(
+            t["doc_id"].combine_chunks().cast(pa.string()),
+            pa.scalar(STRAT_SALT), pa.scalar(""))
+        df_ = pd.DataFrame({
+            "source": t["source"].to_pandas(),
+            "doc_id": t["doc_id"].to_pandas(),
+            "skey": md5_hex(salted).to_pandas(),
+        })
+        df_ = df_.sort_values(["source", "skey"], kind="mergesort") \
+            .groupby("source", sort=False).head(quota)
+        # level-2 routing key: stable content hash of the SORT key so
+        # bucket membership never depends on parallelism
+        df_["bucket"] = (
+            df_["skey"].str[:4].apply(int, base=16) % STRAT_BUCKETS
+        ).astype("int64")
+        return df_
+
+    def bucket_head(df_: pd.DataFrame) -> pd.DataFrame:
+        return df_.sort_values("skey", kind="mergesort").head(quota)
+
+    def final_head(df_: pd.DataFrame) -> pd.DataFrame:
+        df_ = df_.sort_values("skey", kind="mergesort").head(quota)
+        return pd.DataFrame({
+            "source": df_["source"].to_numpy(),
+            "rank": np.arange(1, len(df_) + 1, dtype=np.int64),
+            "doc_id": df_["doc_id"].to_numpy(),
+        })
+
+    ds = ray.data.read_parquet(_seq_files(sf_dir),
+                               columns=["doc_id", "source"])
+    partial = ds.map_batches(local_head, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    # repartition(1) before the final fold: its input is ≤ #sources ×
+    # STRAT_BUCKETS × quota rows BY CONSTRUCTION (level-2 already
+    # folded), so one partition is safe at any corpus size and avoids
+    # the schema-less empty reduce bundles Ray's Aggregate emits for
+    # keyless partitions (the q_media_stats recipe).
+    return (partial.groupby(["source", "bucket"]).map_groups(
+                bucket_head, batch_format="pandas")
+            .repartition(1)
+            .groupby("source").map_groups(
+                final_head, batch_format="pandas"))
 
 
 # ------------------------------------------------- curriculum / global rank

@@ -6,6 +6,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from swarm_ray import fixtures
+from swarm_ray.ops import tokens
 from swarm_ray.ops.tokens import PackBins, q_seq_pack, q_token_topk
 
 
@@ -274,3 +275,54 @@ def test_topk_select_is_tie_safe():
     cnt2 = np.full(6, 7)
     sel2 = _topk_select(keys, cnt2, 4)
     assert sorted(keys[sel2].tolist()) == [10, 20, 30, 40]
+
+
+# ------------------------------------------------- stratified sample
+
+def test_seq_stratified_matches_serial_recompute(ray_session):
+    """Exact-quota draw == a serial pandas recompute of the same
+    md5-ordered per-source head (first-principles, no engine code)."""
+    import hashlib as _hl
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    got = tokens.q_seq_stratified("/root/testdata/sf0.001").to_pandas() \
+        .sort_values(["source", "rank"]).reset_index(drop=True)
+    frames = [pq.read_table(f, columns=["doc_id", "source"]).to_pandas()
+              for f in fixtures.sequences_files("sf0.001")]
+    df = pd.concat(frames, ignore_index=True)
+    df["skey"] = [
+        _hl.md5((d + tokens.STRAT_SALT).encode()).hexdigest()
+        for d in df["doc_id"]]
+    exp = df.sort_values(["source", "skey"], kind="mergesort") \
+        .groupby("source").head(tokens.STRAT_QUOTA)
+    exp["rank"] = exp.groupby("source").cumcount() + 1
+    exp = exp[["source", "rank", "doc_id"]] \
+        .sort_values(["source", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # quota is EXACT: every source yields min(count, quota) rows
+    counts = df.groupby("source").size()
+    per = got.groupby("source").size()
+    for src, n in counts.items():
+        assert per.get(src, 0) == min(n, tokens.STRAT_QUOTA)
+
+
+def test_seq_stratified_parallelism_independent(ray_session, monkeypatch):
+    """The draw must not change with block layout: force many tiny
+    blocks through the level-1 combiner and pin equality."""
+    import pandas as pd
+
+    base = tokens.q_seq_stratified("/root/testdata/sf0.001").to_pandas()
+
+    real_read = tokens.ray.data.read_parquet
+
+    def shredded(paths, **kw):
+        return real_read(paths, override_num_blocks=37, **kw)
+
+    monkeypatch.setattr(tokens.ray.data, "read_parquet", shredded)
+    shred = tokens.q_seq_stratified("/root/testdata/sf0.001").to_pandas()
+    key = ["source", "rank"]
+    pd.testing.assert_frame_equal(
+        base.sort_values(key).reset_index(drop=True),
+        shred.sort_values(key).reset_index(drop=True))
