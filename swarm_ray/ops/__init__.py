@@ -27,6 +27,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tfidf_top": text.q_doc_tfidf_top,
         "doc_chunks": text.q_doc_chunks,
         "doc_common_frac": text.q_doc_common_frac,
+        "doc_lm_score": text.q_doc_lm_score,
+        "doc_quality_topp": text.q_doc_quality_topp,
         "doc_pii_redact": text.q_doc_pii,
         # dedup family
         "doc_dedup_exact": dedup.q_dedup_exact,
@@ -91,6 +93,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_tfidf_top": sql.SQL_DOC_TFIDF_TOP,
         "doc_chunks": sql.SQL_DOC_CHUNKS,
         "doc_common_frac": sql.SQL_DOC_COMMON_FRAC,
+        "doc_lm_score": sql.SQL_DOC_LM_SCORE,
+        "doc_quality_topp": sql.SQL_DOC_QUALITY_TOPP,
         "doc_pii_redact": text.pii_oracle_sql(),
         "doc_dedup_exact": sql.SQL_DEDUP_EXACT,
         "doc_dedup_incremental": sql.SQL_DEDUP_INCREMENTAL,

@@ -342,6 +342,57 @@ SELECT doc_id, n_words, (1000 * hit) // n_words AS common_milli FROM per
 """
 
 
+# unigram-LM familiarity: per-term corpus frequency → integer milli-log
+# per term (the single float op, identical libm ln in numpy/DuckDB) →
+# exact integer per-doc fold. Matches ops/text.py q_doc_lm_score.
+SQL_DOC_LM_SCORE = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), ctf AS (
+  SELECT term, COUNT(*)::BIGINT AS c FROM w GROUP BY 1
+), llr AS (
+  SELECT term, CAST(floor(1000 * ln(c) + 0.5) AS BIGINT) AS lm FROM ctf
+), per AS (
+  SELECT w.doc_id, COUNT(*)::BIGINT AS n_words,
+         SUM(l.lm)::BIGINT AS total_lfam
+  FROM w JOIN llr l USING (term) GROUP BY 1
+)
+SELECT doc_id, n_words, total_lfam,
+       total_lfam // n_words AS fam_milli
+FROM per
+"""
+
+
+# per-source top-half quality gate: threshold = the ceil(n/2)-th LARGEST
+# stop_ratio_milli per source (ties kept). Mirrors the bounded-domain
+# histogram CDF walk in ops/text.py q_doc_quality_topp.
+SQL_DOC_QUALITY_TOPP = f"""
+WITH s AS (
+  SELECT source,
+    (1000 * CAST(len(list_filter(string_split(text, ' '),
+         x -> x IN ({_inlist(STOPWORDS)}))) AS BIGINT))
+      // CAST(len(string_split(text, ' ')) AS BIGINT) AS score
+  FROM documents
+), h AS (
+  SELECT source, score, COUNT(*)::BIGINT AS c FROM s GROUP BY 1, 2
+), t AS (
+  SELECT source, score, c,
+    SUM(c) OVER (PARTITION BY source ORDER BY score DESC
+                 ROWS UNBOUNDED PRECEDING) AS cum,
+    SUM(c) OVER (PARTITION BY source) AS n
+  FROM h
+), q AS (
+  SELECT source, MAX(n)::BIGINT AS n_docs,
+         MAX(score) FILTER (WHERE cum >= (n + 1) // 2) AS thr
+  FROM t GROUP BY source
+)
+SELECT q.source, q.n_docs,
+       CAST(q.thr AS BIGINT) AS threshold_milli,
+       CAST(t.cum AS BIGINT) AS n_kept
+FROM q JOIN t ON t.source = q.source AND t.score = q.thr
+"""
+
+
 # ----------------------------------------------------- span-dedup family
 # semantic twins of ops/spans.py (Lee-et-al-style fixed-width substring
 # dedup); SPAN_W / SPAN_MIN_DOCS are imported so a width change can

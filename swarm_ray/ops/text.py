@@ -815,3 +815,160 @@ def q_doc_common_frac(sf_dir: str) -> ray.data.Dataset:
     return docs.map_batches(CommonFrac, fn_constructor_args=(common_ref,),
                             batch_format="pyarrow", zero_copy_batch=True,
                             concurrency=autoscaling_pool())
+
+
+# ------------------------------------------------------- unigram LM score
+
+def q_doc_lm_score(sf_dir: str) -> ray.data.Dataset:
+    """Corpus-trained unigram-LM familiarity score — the integer-exact
+    core of a CCNet-style LM quality filter: per doc, the mean log
+    corpus-frequency of its words (high = built from common corpus
+    vocabulary, low = rare/garbled tokens). Equal to mean word
+    log-probability up to the constant ln(N_corpus), so it ranks docs
+    identically to unigram perplexity without needing the corpus-total
+    scalar mid-pipeline.
+
+    Scale shape — the tf-idf plan's two keyed exchanges, zero
+    broadcast, zero driver state (at 100 TB the vocabulary itself is
+    corpus-shaped, so a broadcast count table is off the table):
+
+      1. explode distinct (doc_id, term, tf) block-locally;
+      2. repartition by TERM → ctf (corpus term frequency) = group sum
+         in-block; each row picks up its term's integer
+         ``llr_milli = floor(1000·ln(ctf) + 0.5)`` — the ONLY float op,
+         one libm call per distinct term, identical in numpy and
+         DuckDB, then everything downstream is exact int64;
+      3. repartition by DOC → n_words = Σtf, total_lfam = Σ tf·llr,
+         fam_milli = total_lfam // n_words (floor division, exact).
+
+    Because per-doc sums are integer, the result is independent of
+    summation order — parallelism-proof by construction."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..util import enable_hash_shuffle, keyed_partition_count
+    from .dedup import _docs_count
+
+    def explode_tf(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(t["text"].combine_chunks(), pattern=" ")
+        flat = words.values
+        counts = np.diff(words.offsets.to_numpy(zero_copy_only=False))
+        doc_of_pos = np.repeat(np.arange(len(t), dtype=np.int64), counts)
+        enc = pc.dictionary_encode(flat)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_codes = max(1, len(enc.dictionary))
+        key = doc_of_pos * n_codes + codes
+        uniq, tf = np.unique(key, return_counts=True)
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(doc_ids[uniq // n_codes], type=pa.int64()),
+            "term": enc.dictionary.take(pa.array(uniq % n_codes)),
+            "tf": pa.array(tf.astype(np.int64), type=pa.int64()),
+        })
+
+    def attach_llr(df_: pd.DataFrame) -> pd.DataFrame:
+        if df_.empty:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "tf": pd.Series([], dtype="int64"),
+                                 "w": pd.Series([], dtype="int64")})
+        # all rows of a term are co-located ⇒ ctf = term group sum
+        ctf = df_.groupby("term", sort=False)["tf"].transform("sum") \
+            .to_numpy(dtype=np.float64)
+        llr = np.floor(1000.0 * np.log(ctf) + 0.5).astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": df_["doc_id"].to_numpy(),
+            "tf": df_["tf"].to_numpy(),
+            "w": df_["tf"].to_numpy() * llr,
+        })
+
+    def per_doc(df_: pd.DataFrame) -> pd.DataFrame:
+        if df_.empty:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "n_words": pd.Series([], dtype="int64"),
+                                 "total_lfam": pd.Series([], dtype="int64"),
+                                 "fam_milli": pd.Series([], dtype="int64")})
+        g = df_.groupby("doc_id", sort=False).agg(
+            n_words=("tf", "sum"), total_lfam=("w", "sum")).reset_index()
+        g["fam_milli"] = g["total_lfam"] // g["n_words"]
+        return g.astype({"doc_id": "int64", "n_words": "int64",
+                         "total_lfam": "int64", "fam_milli": "int64"})
+
+    ds = ray.data.read_parquet(_doc_files(sf_dir),
+                               columns=["doc_id", "text"])
+    tf_rows = ds.map_batches(explode_tf, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    # same sizing as tf-idf: ~54 distinct terms/doc × ~26 B per row
+    nparts = keyed_partition_count(_docs_count(sf_dir) * 54 * 26)
+    enable_hash_shuffle(tf_rows, nparts)
+    weighted = (tf_rows.repartition(nparts, keys=["term"])
+                .map_batches(attach_llr, batch_format="pandas",
+                             batch_size=None))
+    return (weighted.repartition(nparts, keys=["doc_id"])
+            .map_batches(per_doc, batch_format="pandas", batch_size=None))
+
+
+# ------------------------------------- per-source quantile quality gate
+
+def q_doc_quality_topp(sf_dir: str) -> ray.data.Dataset:
+    """Per-source top-half quality gate by EXACT quantile — the "keep
+    each source's best 50% by quality score" curation pass. Score =
+    ``stop_ratio_milli`` (higher stopword density ≈ natural language,
+    matching q_doc_quality's oracle-checked definition); per source the
+    threshold is the ⌈n/2⌉-th LARGEST score and every doc at or above
+    it is kept (ties keep, so the gate is deterministic).
+
+    Scale shape — exact distributed quantiles with NO sort and NO
+    per-doc exchange: the score domain is bounded (floor-milli ratio ∈
+    [0, 1000]), so per-block partial HISTOGRAMS (source, score, cnt)
+    fold through one vocab-bounded groupby — ≤ 1001 × #sources rows
+    ever move or reach the final fold regardless of corpus size. The
+    CDF walk that picks the threshold runs over that bounded table.
+    This is the bounded-domain histogram-quantile pattern: at 10^12
+    docs the shuffle payload is unchanged (~KB per source)."""
+    import numpy as np
+
+    from .agg import grouped_sum
+
+    def score_hist(df_: pd.DataFrame) -> pd.DataFrame:
+        df_ = df_.reset_index(drop=True)
+        words = df_["text"].str.split(" ")
+        n_words = words.str.len().to_numpy(dtype=np.int64)
+        # quality_batch's vectorized stopword count (explode + isin +
+        # bincount — the measured C path)
+        exploded = words.explode()
+        mask = exploded.isin(STOPWORDS).to_numpy()
+        stop = np.bincount(exploded.index.to_numpy()[mask],
+                           minlength=len(df_)).astype(np.int64)
+        score = (1000 * stop) // n_words
+        out = pd.DataFrame({"source": df_["source"].to_numpy(),
+                            "score": score})
+        h = out.groupby(["source", "score"], sort=False).size() \
+            .rename("cnt").reset_index()
+        return h.astype({"score": "int64", "cnt": "int64"})
+
+    def thresholds(df_: pd.DataFrame) -> pd.DataFrame:
+        # input: one source's full histogram (bounded ≤ 1001 rows)
+        df_ = df_.sort_values("score", ascending=False, kind="mergesort")
+        cum = df_["cnt"].cumsum().to_numpy()
+        n = int(cum[-1])
+        k = (n + 1) // 2
+        idx = int(np.searchsorted(cum, k))      # first row reaching k
+        return pd.DataFrame({
+            "source": [df_["source"].iloc[0]],
+            "n_docs": np.array([n], dtype=np.int64),
+            "threshold_milli": np.array([df_["score"].iloc[idx]],
+                                        dtype=np.int64),
+            "n_kept": np.array([cum[idx]], dtype=np.int64),
+        })
+
+    ds = ray.data.read_parquet(_doc_files(sf_dir),
+                               columns=["source", "text"])
+    partial = ds.map_batches(score_hist, batch_format="pandas",
+                             batch_size=8192)
+    hist = grouped_sum(partial, ["source", "score"], "cnt", alias="cnt")
+    # the folded histogram is ≤ 1001 × #sources rows BY CONSTRUCTION —
+    # one partition is safe at any corpus size (the q_seq_stratified
+    # final-fold recipe)
+    return (hist.repartition(1)
+            .groupby("source").map_groups(thresholds,
+                                          batch_format="pandas"))

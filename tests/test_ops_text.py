@@ -289,3 +289,102 @@ def test_text_ops_on_multifile_corpus(ray_session):
     assert embed.q_doc_embed(d).count() == 3000
     near = dedup.q_dedup_near(d).to_pandas()
     assert (near["kept"] + near["removed"]).sum() == 3000
+
+
+# --------------------------------------------------- unigram LM score
+
+def test_lm_score_matches_serial_recompute(ray_session, tmp_path):
+    """Two-exchange unigram-LM familiarity must equal a plain-Python
+    per-doc recompute (integer llr per term, exact int64 folds), and be
+    independent of block layout — the same corpus split over 3 files
+    must hash identically to the single-file read."""
+    import math
+    from collections import Counter
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from swarm_ray.ops.text import q_doc_lm_score
+
+    texts = [
+        "the the the cat",           # common + rare mix
+        "cat sat on the mat",
+        "zyx qwv",                   # all-rare (ctf=1 -> llr 0)
+        "the of and to a",           # all-common
+        "",                          # split -> [""], 1 word
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts)})
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+    got = (q_doc_lm_score(str(tmp_path)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    ctf = Counter(w for s in texts for w in s.split(" "))
+    llr = {w: int(math.floor(1000 * math.log(c) + 0.5))
+           for w, c in ctf.items()}
+    for i, s in enumerate(texts):
+        words = s.split(" ")
+        total = sum(llr[w] for w in words)
+        row = got.iloc[i]
+        assert row["n_words"] == len(words), i
+        assert row["total_lfam"] == total, i
+        assert row["fam_milli"] == total // len(words), i
+
+    # parallelism independence: same corpus split over 3 files
+    multi = tmp_path / "multi"
+    multi.mkdir()
+    pq.write_table(t.slice(0, 2), multi / "documents-000.parquet")
+    pq.write_table(t.slice(2, 2), multi / "documents-001.parquet")
+    pq.write_table(t.slice(4, 1), multi / "documents-002.parquet")
+    got2 = (q_doc_lm_score(str(multi)).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, got2)
+
+
+# ------------------------------------------- per-source quantile gate
+
+def test_quality_topp_exact_quantile(ray_session, tmp_path):
+    """Histogram-fold quantile gate: threshold must be the ceil(n/2)-th
+    largest stop_ratio_milli per source, n_kept counts the ties at the
+    threshold, independent of file layout."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from swarm_ray.ops.text import STOPWORDS, q_doc_quality_topp
+
+    # source A: scores 0, 250, 500, 500, 1000 -> n=5, k=3,
+    #   desc order 1000,500,500,250,0 -> cum 1,2,3 -> thr=500, kept=3
+    # source B: scores 0, 1000 -> n=2, k=1 -> thr=1000, kept=1
+    docs = [
+        ("A", "x y z w"),                       # 0/4 -> 0
+        ("A", "the x y z"),                     # 1/4 -> 250
+        ("A", "the of x y"),                    # 2/4 -> 500
+        ("A", "the a x y"),                     # 2/4 -> 500
+        ("A", "the of and to"),                 # 4/4 -> 1000
+        ("B", "q r"),                           # 0
+        ("B", "the of"),                        # 1000
+    ]
+    assert all(w in STOPWORDS for w in ("the", "of", "and", "to", "a"))
+    t = pa.table({
+        "doc_id": pa.array(range(len(docs)), type=pa.int64()),
+        "source": pa.array([s for s, _ in docs]),
+        "text": pa.array([x for _, x in docs]),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+    got = (q_doc_quality_topp(str(tmp_path)).to_pandas()
+           .sort_values("source").reset_index(drop=True))
+    assert list(got["source"]) == ["A", "B"]
+    assert list(got["n_docs"]) == [5, 2]
+    assert list(got["threshold_milli"]) == [500, 1000]
+    assert list(got["n_kept"]) == [3, 1]
+
+    # layout independence
+    multi = tmp_path / "multi"
+    multi.mkdir()
+    pq.write_table(t.slice(0, 3), multi / "documents-000.parquet")
+    pq.write_table(t.slice(3, 4), multi / "documents-001.parquet")
+    got2 = (q_doc_quality_topp(str(multi)).to_pandas()
+            .sort_values("source").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, got2)
