@@ -929,35 +929,25 @@ def pii_documents_dir(label: str) -> Path:
     return out
 
 
-def kmeans_expected_dir(sf_dir: str | os.PathLike) -> Path:
-    """Generator-side expected output for ``emb_kmeans``: an INDEPENDENT
-    single-process recompute of the fixed-point Lloyd plan — load the
-    whole embeddings table, floor-scale to int64, iterate assignment
-    (argmin L2 via the integer 2·e·c − ||c||² form) and integer
-    centroid update ``Σe // n``, then emit per-cluster sizes and
-    member-coordinate checksums under the final centroids. Every step
-    is integer arithmetic, so this serial recompute and the engine's
-    distributed partial-sum plan are bit-identical BY CONSTRUCTION —
-    the oracle compare is exact, not statistical. Only the constants
-    (k, iters, scale) are shared with the engine; the loop below is
-    re-derived with plain numpy, not the engine's fold."""
+def _kmeans_serial(sf_dir: str | os.PathLike):
+    """INDEPENDENT single-process recompute of the fixed-point Lloyd
+    plan — load the whole embeddings table, floor-scale to int64,
+    iterate assignment (argmin L2 via the integer 2·e·c − ||c||² form)
+    and integer centroid update ``Σe // n``. Every step is integer
+    arithmetic, so this serial recompute and the engine's distributed
+    partial-sum plan are bit-identical BY CONSTRUCTION — oracle
+    compares are exact, not statistical. Only the constants (k, iters,
+    scale) are shared with the engine; the loop below is re-derived
+    with plain numpy, not the engine's fold.
+
+    Returns (row_count, sorted vec_ids, final-pass assignments,
+    per-cluster counts, per-cluster coordinate sums)."""
     from .ops.ann import KMEANS_ITERS, KMEANS_K, KMEANS_SCALE
 
-    label = label_for_sf_dir(sf_dir)
-    out = FIXTURE_ROOT / label / "kmeans_expected"
-    meta = out / "_FIXTURE.json"
     t = pq.read_table(Path(sf_dir) / "embeddings.parquet",
                       columns=["vec_id", "embedding"])
-    if meta.exists():
-        try:
-            m = json.loads(meta.read_text())
-            if m["rows"] == len(t) and m.get("version") == ANN_FIXTURE_VERSION:
-                return out
-        except Exception:
-            pass
-        shutil.rmtree(out, ignore_errors=True)
-
-    order = np.argsort(t["vec_id"].to_numpy())
+    ids = t["vec_id"].to_numpy()
+    order = np.argsort(ids)
     emb = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)[order]
     e = np.floor(emb * KMEANS_SCALE).astype(np.int64)
     cents = e[:KMEANS_K].copy()
@@ -971,20 +961,66 @@ def kmeans_expected_dir(sf_dir: str | os.PathLike) -> Path:
         new = cents.copy()
         new[nz] = sums[nz] // counts[nz, None]
         cents = new
-    tbl = pa.table({
-        "cluster": pa.array(np.arange(KMEANS_K, dtype=np.int64)),
-        "n": pa.array(counts),
-        "csum_e6": pa.array(sums.sum(axis=1)),
-    })
+    return len(t), ids[order], a, counts, sums
+
+
+def _write_fixture_dir(out: Path, tbl: pa.Table, rows: int) -> Path:
     tmp = out.with_name(out.name + ".tmp")
     shutil.rmtree(tmp, ignore_errors=True)
     tmp.mkdir(parents=True)
     pq.write_table(tbl, tmp / "expected.parquet")
     (tmp / "_FIXTURE.json").write_text(json.dumps(
-        {"rows": len(t), "version": ANN_FIXTURE_VERSION}))
+        {"rows": rows, "version": ANN_FIXTURE_VERSION}))
     out.parent.mkdir(parents=True, exist_ok=True)
     if out.exists():
         shutil.rmtree(tmp, ignore_errors=True)
     else:
         os.replace(tmp, out)
     return out
+
+
+def _fixture_fresh(out: Path, rows: int) -> bool:
+    meta = out / "_FIXTURE.json"
+    if meta.exists():
+        try:
+            m = json.loads(meta.read_text())
+            if m["rows"] == rows and m.get("version") == ANN_FIXTURE_VERSION:
+                return True
+        except Exception:
+            pass
+        shutil.rmtree(out, ignore_errors=True)
+    return False
+
+
+def kmeans_expected_dir(sf_dir: str | os.PathLike) -> Path:
+    """Generator-side expected output for ``emb_kmeans``: per-cluster
+    sizes and member-coordinate checksums under the final centroids of
+    the serial fixed-point recompute (see ``_kmeans_serial``)."""
+    from .ops.ann import KMEANS_K
+
+    out = FIXTURE_ROOT / label_for_sf_dir(sf_dir) / "kmeans_expected"
+    rows = pq.read_metadata(Path(sf_dir) / "embeddings.parquet").num_rows
+    if _fixture_fresh(out, rows):
+        return out
+    n, _, _, counts, sums = _kmeans_serial(sf_dir)
+    tbl = pa.table({
+        "cluster": pa.array(np.arange(KMEANS_K, dtype=np.int64)),
+        "n": pa.array(counts),
+        "csum_e6": pa.array(sums.sum(axis=1)),
+    })
+    return _write_fixture_dir(out, tbl, n)
+
+
+def kmeans_assign_expected_dir(sf_dir: str | os.PathLike) -> Path:
+    """Generator-side (vec_id, cluster) assignment table under the
+    serial recompute's final centroids — the differential topology for
+    ``emb_cluster_sample`` (DuckDB independently re-derives the salted
+    order and per-cluster quota draw on top of it)."""
+    out = FIXTURE_ROOT / label_for_sf_dir(sf_dir) / "kmeans_assign_expected"
+    rows = pq.read_metadata(Path(sf_dir) / "embeddings.parquet").num_rows
+    if _fixture_fresh(out, rows):
+        return out
+    n, ids, a, _, _ = _kmeans_serial(sf_dir)
+    tbl = pa.table({"vec_id": pa.array(ids.astype(np.int64)),
+                    "cluster": pa.array(a.astype(np.int64))})
+    return _write_fixture_dir(out, tbl, n)

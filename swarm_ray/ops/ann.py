@@ -578,84 +578,91 @@ def kmeans_assign(e: np.ndarray, cents: np.ndarray) -> np.ndarray:
     return np.argmax(scores, axis=1)
 
 
+def _kmeans_stats(corpus: ray.data.Dataset, cents_now: np.ndarray,
+                  k: int, dim: int) -> tuple[np.ndarray, np.ndarray]:
+    """One Lloyd pass over the materialized corpus: broadcast the
+    (k×d) centroid matrix (~4 KB; ``ray.put`` once per pass) →
+    per-batch partials (counts + per-cluster coordinate sums, ONE row
+    per batch) → a map-only 64-way fold → k×(d+1) integers on the
+    driver. No shuffle at all."""
+    cref = ray.put(cents_now)
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        e = kmeans_scaled(_emb_matrix(t["embedding"]))
+        a = kmeans_assign(e, c)
+        counts = np.bincount(a, minlength=k).astype(np.int64)
+        sums = np.zeros((k, dim), dtype=np.int64)
+        np.add.at(sums, a, e)
+        return pa.table({
+            "counts": pa.FixedSizeListArray.from_arrays(
+                pa.array(counts), k),
+            "sums": pa.FixedSizeListArray.from_arrays(
+                pa.array(sums.reshape(-1)), k * dim)})
+
+    def fold(t: pa.Table) -> pa.Table:
+        c = t["counts"].combine_chunks()
+        s = t["sums"].combine_chunks()
+        cm = c.values.to_numpy(zero_copy_only=False).reshape(len(c), k)
+        sm = s.values.to_numpy(zero_copy_only=False).reshape(len(s), k * dim)
+        return pa.table({
+            "counts": pa.FixedSizeListArray.from_arrays(
+                pa.array(cm.sum(axis=0)), k),
+            "sums": pa.FixedSizeListArray.from_arrays(
+                pa.array(sm.sum(axis=0)), k * dim)})
+
+    parts = (corpus.map_batches(partial, batch_format="pyarrow",
+                                zero_copy_batch=True, batch_size=4096)
+             .map_batches(fold, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=64)
+             .to_pandas())
+    counts = np.sum(np.stack([np.asarray(v) for v in parts["counts"]]),
+                    axis=0)
+    sums = np.sum(np.stack([np.asarray(v) for v in parts["sums"]]),
+                  axis=0).reshape(k, dim)
+    return counts, sums
+
+
+def kmeans_fit(sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+               ) -> tuple[np.ndarray, ray.data.Dataset]:
+    """Fit the fixed-point distributed Lloyd loop; returns the final
+    (k×d) int64 centroid matrix and the materialized pruned corpus.
+
+    The corpus is materialized UN-WIDENED: the pruned float32 column
+    as stored (≤1× stored bytes pinned in the object store). The int64
+    fixed-point widening happens per batch inside the pass — transient,
+    never pinned. (Round-3 shape rescaled+materialized the int64 copy:
+    2× stored bytes pinned for the whole Lloyd loop.)"""
+    init = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filter=pc.field("vec_id") < k,
+    ).to_pandas().sort_values("vec_id")
+    cents = kmeans_scaled(np.asarray(list(init["embedding"])))
+    dim = cents.shape[1]
+    corpus = (ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                    columns=["embedding"])
+              .materialize())
+    for _ in range(iters):
+        counts, sums = _kmeans_stats(corpus, cents, k, dim)
+        nonzero = counts > 0
+        cents[nonzero] = sums[nonzero] // counts[nonzero, None]
+    return cents, corpus
+
+
 def q_emb_kmeans(sf_dir: str, k: int = KMEANS_K,
                  iters: int = KMEANS_ITERS) -> pd.DataFrame:
     """FULL-CORPUS distributed k-means (Lloyd) over the embedding
     column — the clustering pass behind semantic dedup / topic-balanced
-    curation. Per iteration: broadcast the (k×d) centroid matrix
-    (~4 KB; ``ray.put`` once per round) → per-batch partials (counts +
-    per-cluster coordinate sums, ONE row per batch) → a map-only
-    64-way fold → a tiny driver update ``c = Σe // n``. No shuffle at
-    all — the corpus is materialized once AS STORED (the pruned
-    float32 column, ≤1× the stored bytes; the fixed-point rescale is
-    fused into each pass's ``partial``, one multiply+floor per row per
-    iteration) and streamed ``iters+1`` times; only k×(d+1) integers
-    per batch ever move.
+    curation. See ``kmeans_fit`` / ``_kmeans_stats`` for the plan shape
+    (zero shuffle, ≤1× stored-corpus footprint, k×(d+1) ints per batch
+    moved).
     Output: per-cluster size + member-coordinate checksum under the
     final centroids, SQL-checked against an independent serial
     recompute (``fixtures.kmeans_expected_dir``) — exact, not
     statistical, because the whole pipeline is fixed-point integer
     (see ``kmeans_scaled``)."""
-    d_cols = ["vec_id", "embedding"]
-    init = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=d_cols,
-        filter=pc.field("vec_id") < k,
-    ).to_pandas().sort_values("vec_id")
-    cents = kmeans_scaled(np.asarray(list(init["embedding"])))
-    dim = cents.shape[1]
-
-    # Materialize the corpus UN-WIDENED: the pruned float32 column as
-    # stored (≤1× stored bytes pinned in the object store). The int64
-    # fixed-point widening happens per batch inside `partial` below —
-    # transient, never pinned. (Round-3 shape rescaled+materialized the
-    # int64 copy: 2× stored bytes pinned for the whole Lloyd loop.)
-    corpus = (ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                                    columns=["embedding"])
-              .materialize())
-
-    def stats_for(cents_now: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        cref = ray.put(cents_now)
-
-        def partial(t: pa.Table) -> pa.Table:
-            c = ray.get(cref)
-            e = kmeans_scaled(_emb_matrix(t["embedding"]))
-            a = kmeans_assign(e, c)
-            counts = np.bincount(a, minlength=k).astype(np.int64)
-            sums = np.zeros((k, dim), dtype=np.int64)
-            np.add.at(sums, a, e)
-            return pa.table({
-                "counts": pa.FixedSizeListArray.from_arrays(
-                    pa.array(counts), k),
-                "sums": pa.FixedSizeListArray.from_arrays(
-                    pa.array(sums.reshape(-1)), k * dim)})
-
-        def fold(t: pa.Table) -> pa.Table:
-            c = t["counts"].combine_chunks()
-            s = t["sums"].combine_chunks()
-            cm = c.values.to_numpy(zero_copy_only=False).reshape(len(c), k)
-            sm = s.values.to_numpy(zero_copy_only=False).reshape(len(s), k * dim)
-            return pa.table({
-                "counts": pa.FixedSizeListArray.from_arrays(
-                    pa.array(cm.sum(axis=0)), k),
-                "sums": pa.FixedSizeListArray.from_arrays(
-                    pa.array(sm.sum(axis=0)), k * dim)})
-
-        parts = (corpus.map_batches(partial, batch_format="pyarrow",
-                                    zero_copy_batch=True, batch_size=4096)
-                 .map_batches(fold, batch_format="pyarrow",
-                              zero_copy_batch=True, batch_size=64)
-                 .to_pandas())
-        counts = np.sum(np.stack([np.asarray(v) for v in parts["counts"]]),
-                        axis=0)
-        sums = np.sum(np.stack([np.asarray(v) for v in parts["sums"]]),
-                      axis=0).reshape(k, dim)
-        return counts, sums
-
-    for _ in range(iters):
-        counts, sums = stats_for(cents)
-        nonzero = counts > 0
-        cents[nonzero] = sums[nonzero] // counts[nonzero, None]
-    counts, sums = stats_for(cents)      # final assignment under final cents
+    cents, corpus = kmeans_fit(sf_dir, k, iters)
+    counts, sums = _kmeans_stats(corpus, cents, k, cents.shape[1])
     return pd.DataFrame({
         "cluster": np.arange(k, dtype=np.int64),
         "n": counts.astype(np.int64),
@@ -671,6 +678,94 @@ def q_emb_kmeans_checked(sf_dir: str) -> pd.DataFrame:
     return q_emb_kmeans(sf_dir)
 
 
+# --------------------------------------------- cluster-balanced sampling
+
+CS_QUOTA = 25           # vectors kept per cluster
+CS_SALT = ":csamp1"
+CS_BUCKETS = 64         # level-2 fan-in width (the q_seq_stratified recipe)
+
+
+def q_emb_cluster_sample(sf_dir: str, quota: int = CS_QUOTA
+                         ) -> ray.data.Dataset:
+    """Cluster-balanced exact-quota sampling — the topic-diverse
+    eval/curation draw: fit the fixed-point k-means, assign every
+    vector to its nearest centroid, keep the first ``quota`` vectors
+    per CLUSTER under the deterministic md5(vec_id||salt) order.
+    Unlike per-source stratification this balances by LEARNED
+    structure, so a corpus dominated by one topic still yields a
+    spread sample.
+
+    Scale shape — the broadcast + two-level top-Q combiner, composed:
+    centroids are k×d ints (~4 KB, ``ray.put`` once); assignment is a
+    vectorized batch matmul fused with the local per-cluster Q-head
+    (block output ≤ quota×k rows); partials fold per (cluster,
+    hash-bucket) then one bounded final fold (≤ k × CS_BUCKETS × quota
+    rows by construction — top-Q(∪ parts) = top-Q(∪ top-Q(parts))).
+    The corpus streams once past the Lloyd passes; no per-vector
+    exchange ever happens.
+
+    Oracle: differential — the fixture supplies serially-recomputed
+    assignments (bit-identical by fixed-point construction); DuckDB
+    independently re-derives the salted order and the per-cluster
+    quota draw."""
+    from ..stages.ids import md5_hex
+
+    cents, _ = kmeans_fit(sf_dir)
+    cref = ray.put(cents)
+    k = cents.shape[0]
+
+    def assign_head(t: pa.Table) -> pd.DataFrame:
+        c = ray.get(cref)
+        e = kmeans_scaled(_emb_matrix(t["embedding"]))
+        a = kmeans_assign(e, c)
+        salted = pc.binary_join_element_wise(
+            t["vec_id"].combine_chunks().cast(pa.string()),
+            pa.scalar(CS_SALT), pa.scalar(""))
+        df_ = pd.DataFrame({
+            "cluster": a.astype(np.int64),
+            "vec_id": t["vec_id"].to_numpy(zero_copy_only=False),
+            "skey": md5_hex(salted).to_pandas(),
+        })
+        df_ = df_.sort_values(["cluster", "skey"], kind="mergesort") \
+            .groupby("cluster", sort=False).head(quota)
+        df_["bucket"] = (
+            df_["skey"].str[:4].apply(int, base=16) % CS_BUCKETS
+        ).astype("int64")
+        return df_
+
+    def bucket_head(df_: pd.DataFrame) -> pd.DataFrame:
+        return df_.sort_values("skey", kind="mergesort").head(quota)
+
+    def final_head(df_: pd.DataFrame) -> pd.DataFrame:
+        df_ = df_.sort_values("skey", kind="mergesort").head(quota)
+        return pd.DataFrame({
+            "cluster": df_["cluster"].to_numpy(),
+            "rank": np.arange(1, len(df_) + 1, dtype=np.int64),
+            "vec_id": df_["vec_id"].to_numpy(),
+        })
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    partial = ds.map_batches(assign_head, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    # final-fold input ≤ k × CS_BUCKETS × quota rows BY CONSTRUCTION —
+    # repartition(1) is safe at any corpus size (the q_seq_stratified
+    # final-fold recipe)
+    return (partial.groupby(["cluster", "bucket"]).map_groups(
+                bucket_head, batch_format="pandas")
+            .repartition(1)
+            .groupby("cluster").map_groups(final_head,
+                                           batch_format="pandas"))
+
+
+def q_emb_cluster_sample_checked(sf_dir: str) -> ray.data.Dataset:
+    """Driver-facing ``emb_cluster_sample``: materializes the serial
+    assignment fixture so the DuckDB oracle has its topology table."""
+    from .. import fixtures
+    fixtures.kmeans_assign_expected_dir(sf_dir)
+    return q_emb_cluster_sample(sf_dir)
+
+
 # ------------------------------------------------------------ registry
 
 def queries():
@@ -682,7 +777,29 @@ def queries():
         "emb_dedup_semantic": q_emb_dedup_semantic,
         "emb_centroids": q_emb_centroids,
         "emb_kmeans": q_emb_kmeans_checked,
+        "emb_cluster_sample": q_emb_cluster_sample_checked,
     }
+
+
+def _cluster_sample_sql() -> str:
+    from pathlib import Path
+
+    from .. import fixtures
+    glob = str(Path(fixtures.FIXTURE_ROOT) /
+               fixtures.label_for_sf_dir(fixtures.oracle_sf_dir()) /
+               "kmeans_assign_expected" / "*.parquet")
+    return f"""
+WITH a AS (
+  SELECT vec_id, cluster FROM read_parquet('{glob}')
+), r AS (
+  SELECT cluster, vec_id,
+    row_number() OVER (PARTITION BY cluster
+      ORDER BY md5(CONCAT(CAST(vec_id AS VARCHAR), '{CS_SALT}'))) AS rank
+  FROM a
+)
+SELECT cluster, CAST(rank AS BIGINT) AS rank, vec_id
+FROM r WHERE rank <= {CS_QUOTA}
+"""
 
 
 def _candidate_rank_sql(fixture_name: str) -> str:
@@ -723,6 +840,7 @@ def oracle_sql():
     return {
         "emb_lsh_ann": _candidate_rank_sql("lsh_candidates_expected"),
         "emb_kmeans": _kmeans_expected_sql(),
+        "emb_cluster_sample": _cluster_sample_sql(),
         "emb_ivf_ann": _candidate_rank_sql("ivf_candidates_expected"),
         "emb_knn": f"""
 WITH q AS (

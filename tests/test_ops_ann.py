@@ -323,3 +323,40 @@ def test_semantic_dedup_antijoin_path_matches_broadcast(ray_session,
     again = _ann.q_emb_dedup_semantic(SF).to_pandas() \
         .sort_values("label").reset_index(drop=True)
     pd.testing.assert_frame_equal(again, base)
+
+
+# ------------------------------------------------- cluster-balanced sample
+
+def test_cluster_sample_matches_serial_recompute(ray_session, tmp_path,
+                                                 monkeypatch):
+    """Cluster-balanced exact-quota draw must equal a plain-Python
+    recompute: serial fixed-point k-means assignment + per-cluster
+    quota under the salted md5 order. Also pins quota exactness (no
+    cluster exceeds CS_QUOTA; smaller clusters keep all members)."""
+    import hashlib
+
+    from swarm_ray import fixtures
+    from swarm_ray.ops.ann import (CS_QUOTA, CS_SALT,
+                                   q_emb_cluster_sample_checked)
+
+    monkeypatch.setattr(fixtures, "FIXTURE_ROOT", tmp_path / "fx")
+    got = (q_emb_cluster_sample_checked(SF).to_pandas()
+           .sort_values(["cluster", "rank"]).reset_index(drop=True))
+
+    # independent recompute from the serial assignment fixture
+    exp_assign = pq.read_table(
+        fixtures.kmeans_assign_expected_dir(SF) / "expected.parquet"
+    ).to_pandas()
+    exp_assign["skey"] = exp_assign["vec_id"].map(
+        lambda v: hashlib.md5(f"{v}{CS_SALT}".encode()).hexdigest())
+    exp = (exp_assign.sort_values(["cluster", "skey"])
+           .groupby("cluster").head(CS_QUOTA))
+    exp["rank"] = exp.groupby("cluster").cumcount() + 1
+    exp = exp[["cluster", "rank", "vec_id"]].reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), exp.astype("int64"))
+    sizes = exp_assign.groupby("cluster").size()
+    kept = got.groupby("cluster").size()
+    for c, n in sizes.items():
+        assert kept.get(c, 0) == min(n, CS_QUOTA)
