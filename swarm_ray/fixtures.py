@@ -611,6 +611,113 @@ def ivf_candidates_expected_dir(sf_dir: str | os.PathLike) -> Path:
         np.concatenate(v_col) if v_col else np.empty(0, dtype=np.int64))
 
 
+def pq_expected_dir(sf_dir: str | os.PathLike) -> Path:
+    """Generator-side expected artifacts for ``emb_pq_ann``, re-derived
+    serially from constants only (the ``minhash_pairs_expected``
+    independence standard — no engine classes imported): normalize +
+    floor-scale the corpus to int64, run the fixed-point Lloyd loop
+    inline for the coarse quantizer and each PQ sub-codebook, encode,
+    and emit three tables —
+
+    * ``pairs.parquet``   (query_vec_id, vec_id) probe topology
+    * ``recon.parquet``   (vec_id, recon: list<int64>) PQ reconstructions
+    * ``qint.parquet``    (query_vec_id, qint: list<int64>) integer queries
+
+    DuckDB then does ALL the scoring (``list_inner_product`` — exact,
+    the values are integer sums < 2^53) and ranking itself."""
+    from .ops.ann import (PQ_ITERS, PQ_KSUB, PQ_M, PQ_NLIST, PQ_NPROBE,
+                          PQ_SAMPLE, PQ_SCALE, TOP_K)  # constants only
+
+    label = label_for_sf_dir(sf_dir)
+    out = FIXTURE_ROOT / label / "pq_expected"
+    ids, m, q_ids, q = _ann_corpus_queries(sf_dir)
+    # freshness is keyed on the PQ constants too — a parameter change
+    # must regenerate, not silently reuse a stale topology
+    params = [PQ_M, PQ_KSUB, PQ_NLIST, PQ_NPROBE, PQ_SAMPLE, PQ_ITERS,
+              PQ_SCALE]
+    meta = out / "_FIXTURE.json"
+    if meta.exists():
+        try:
+            mt = json.loads(meta.read_text())
+            if (mt["rows"] == len(ids)
+                    and mt.get("version") == ANN_FIXTURE_VERSION
+                    and mt.get("pq_params") == params):
+                return out
+        except Exception:
+            pass
+        shutil.rmtree(out, ignore_errors=True)
+
+    def to_int(x: np.ndarray) -> np.ndarray:
+        return np.floor(x / np.linalg.norm(x, axis=1, keepdims=True)
+                        * PQ_SCALE).astype(np.int64)
+
+    def score_int(e: np.ndarray, c: np.ndarray) -> np.ndarray:
+        return 2 * (e @ c.T) - (c * c).sum(axis=1)
+
+    def lloyd(s: np.ndarray, k: int) -> np.ndarray:
+        cents = s[:min(k, len(s))].copy()
+        for _ in range(PQ_ITERS):
+            a = np.argmax(score_int(s, cents), axis=1)
+            counts = np.bincount(a, minlength=len(cents))
+            sums = np.zeros((len(cents), s.shape[1]), dtype=np.int64)
+            np.add.at(sums, a, s)
+            nz = counts > 0
+            cents[nz] = sums[nz] // counts[nz, None]
+        return cents
+
+    x = to_int(m)                            # ids already vec_id-sorted
+    samp = x[ids < PQ_SAMPLE]
+    coarse = lloyd(samp, PQ_NLIST)
+    sub = x.shape[1] // PQ_M
+    books = [lloyd(np.ascontiguousarray(samp[:, i * sub:(i + 1) * sub]),
+                   PQ_KSUB) for i in range(PQ_M)]
+    codes = np.stack([
+        np.argmax(score_int(np.ascontiguousarray(
+            x[:, i * sub:(i + 1) * sub]), books[i]), axis=1)
+        for i in range(PQ_M)], axis=1)
+    recon = np.concatenate([books[i][codes[:, i]] for i in range(PQ_M)],
+                           axis=1)
+    assign = np.argmax(score_int(x, coarse), axis=1)
+    qi = to_int(q)
+    probes = np.argsort(-score_int(qi, coarse), axis=1,
+                        kind="stable")[:, :PQ_NPROBE]
+    q_col, v_col = [], []
+    for j in range(len(q_ids)):
+        sel = np.flatnonzero(np.isin(assign, probes[j]))
+        q_col.append(np.full(len(sel), q_ids[j], dtype=np.int64))
+        v_col.append(ids[sel].astype(np.int64))
+
+    dim = x.shape[1]
+    tmp = out.with_name(out.name + ".tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    tmp.mkdir(parents=True)
+    pq.write_table(pa.table({
+        "query_vec_id": pa.array(np.concatenate(q_col)
+                                 if q_col else np.empty(0, np.int64)),
+        "vec_id": pa.array(np.concatenate(v_col)
+                           if v_col else np.empty(0, np.int64)),
+    }), tmp / "pairs.parquet")
+    pq.write_table(pa.table({
+        "vec_id": pa.array(ids.astype(np.int64)),
+        "recon": pa.FixedSizeListArray.from_arrays(
+            pa.array(recon.reshape(-1)), dim),
+    }), tmp / "recon.parquet")
+    pq.write_table(pa.table({
+        "query_vec_id": pa.array(q_ids.astype(np.int64)),
+        "qint": pa.FixedSizeListArray.from_arrays(
+            pa.array(qi.reshape(-1)), dim),
+    }), tmp / "qint.parquet")
+    (tmp / "_FIXTURE.json").write_text(json.dumps(
+        {"rows": len(ids), "version": ANN_FIXTURE_VERSION,
+         "pq_params": params}))
+    out.parent.mkdir(parents=True, exist_ok=True)
+    if out.exists():
+        shutil.rmtree(tmp, ignore_errors=True)
+    else:
+        os.replace(tmp, out)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Multimodal media fixture (binary payload columns + typed metadata)
 # ---------------------------------------------------------------------------

@@ -778,6 +778,7 @@ def queries():
         "emb_centroids": q_emb_centroids,
         "emb_kmeans": q_emb_kmeans_checked,
         "emb_cluster_sample": q_emb_cluster_sample_checked,
+        "emb_pq_ann": q_knn_pq_checked,
     }
 
 
@@ -841,6 +842,7 @@ def oracle_sql():
         "emb_lsh_ann": _candidate_rank_sql("lsh_candidates_expected"),
         "emb_kmeans": _kmeans_expected_sql(),
         "emb_cluster_sample": _cluster_sample_sql(),
+        "emb_pq_ann": _pq_rank_sql(),
         "emb_ivf_ann": _candidate_rank_sql("ivf_candidates_expected"),
         "emb_knn": f"""
 WITH q AS (
@@ -1005,6 +1007,230 @@ def q_knn_ivf_checked(sf_dir: str) -> ray.data.Dataset:
     from .. import fixtures
     fixtures.ivf_candidates_expected_dir(sf_dir)
     return q_knn_ivf(sf_dir)
+
+
+# ------------------------------------------- IVF-PQ (compressed) ANN
+#
+# Product quantization (Jégou et al., "Product Quantization for Nearest
+# Neighbor Search", TPAMI 2011) is the 100 TB residency path: the
+# stored 64×float32 (256 B) vector becomes M=16 7-bit codes (~14 B
+# packed) held per worker, so a corpus that can't fit in cluster
+# memory as floats CAN fit as codes. Everything
+# below is fixed-point int64 (the `kmeans_scaled` trick): training,
+# coarse assignment, encoding, and the ADC scores are exact integer
+# arithmetic (max |dot| ≤ 64·PQ_SCALE² ≈ 6.4e13 < 2^53), so results
+# are bit-identical at ANY batch size / parallelism AND DuckDB's
+# float64 ``list_inner_product`` over the same integers reproduces the
+# engine's scores exactly — a bit-exact oracle for a lossy index.
+
+PQ_M = 16                # subspaces (dim 64 → 4 dims each)
+PQ_KSUB = 128            # codewords per subspace (7 bits × 16 ≈ 14 B/vec
+                         # packed vs 256 B float32 — 16× residency cut;
+                         # recall@5 ≥ 0.6 vs brute force pytest-pinned on
+                         # the no-cluster-structure synthetic corpus, the
+                         # hardest case for PQ)
+PQ_SCALE = 1_000_000     # fixed-point scale for normalized components
+PQ_SAMPLE = 2048         # bounded training sample (first vec_ids)
+PQ_ITERS = 8
+PQ_NLIST = 16            # coarse lists; scale ≈ sqrt(corpus)
+PQ_NPROBE = 8
+
+
+def _pq_int(m: np.ndarray) -> np.ndarray:
+    """L2-normalize rows, then floor-scale to int64 fixed point — the
+    quantization contract shared (as constants only) with the fixture
+    and the SQL oracle."""
+    return np.floor(_normalize(m) * PQ_SCALE).astype(np.int64)
+
+
+def _lloyd_int(x: np.ndarray, k: int, iters: int = PQ_ITERS) -> np.ndarray:
+    """Fixed-point Lloyd over integer rows — init = first k rows,
+    assignment via the integer ``2·x·c − ||c||²`` L2 form
+    (``kmeans_assign``), update ``Σ // n``. Same recipe as
+    ``q_emb_kmeans``; runs driver-side on the BOUNDED sample only."""
+    cents = x[:min(k, len(x))].copy()
+    for _ in range(iters):
+        a = kmeans_assign(x, cents)
+        counts = np.bincount(a, minlength=len(cents))
+        sums = np.zeros((len(cents), x.shape[1]), dtype=np.int64)
+        np.add.at(sums, a, x)
+        nz = counts > 0
+        cents[nz] = sums[nz] // counts[nz, None]
+    return cents
+
+
+def train_pq(sample_int: np.ndarray, nlist: int = PQ_NLIST,
+             m_sub: int = PQ_M, ksub: int = PQ_KSUB
+             ) -> tuple[np.ndarray, np.ndarray]:
+    """(coarse (nlist, d), codebooks (M, ksub, d/M)) from an integer
+    sample matrix. Both are tiny (nlist·d + M·ksub·(d/M) ints — ~5 KB
+    here) and broadcast once per job via ``ray.put``."""
+    coarse = _lloyd_int(sample_int, nlist)
+    sub = sample_int.shape[1] // m_sub
+    books = np.stack([
+        _lloyd_int(np.ascontiguousarray(
+            sample_int[:, m * sub:(m + 1) * sub]), ksub)
+        for m in range(m_sub)])
+    return coarse, books
+
+
+def pq_encode(x_int: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, d) int matrix → (n, M) codes: per-subspace integer-L2
+    argmin against the codebook. THE compression step — at scale this
+    output (not the vectors) is what an index server would persist."""
+    sub = x_int.shape[1] // len(books)
+    return np.stack([
+        kmeans_assign(np.ascontiguousarray(
+            x_int[:, m * sub:(m + 1) * sub]), books[m])
+        for m in range(len(books))], axis=1)
+
+
+def pq_fit(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """Train the coarse quantizer + PQ codebooks on the bounded
+    deterministic sample (first PQ_SAMPLE vec_ids) — the standard
+    train-on-sample recipe; the full corpus never reaches the driver."""
+    t = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filter=pc.field("vec_id") < PQ_SAMPLE,
+    ).to_pandas().sort_values("vec_id")
+    return train_pq(_pq_int(np.asarray(list(t["embedding"]),
+                                       dtype=np.float64)))
+
+
+class PqScore:
+    """Corpus-side IVF-PQ stage: coarse-assign each vector (integer
+    L2), PQ-encode it, and ADC-score ONLY (query, vector) pairs whose
+    coarse list is probed — one integer LUT gather per subspace, no
+    float math, no per-query Python loop. Candidate triples are the
+    only exchange; full-precision vectors never leave the scan task."""
+
+    def __init__(self, state_ref, k: int = TOP_K):
+        coarse, books, q_ids, q_int, probes = ray.get(state_ref)
+        self.coarse = coarse
+        self.books = books
+        self.q_ids = q_ids
+        self.k = k
+        # per-query ADC lookup tables: LUT[j, m, c] = q_sub[j] · book[m][c]
+        sub = q_int.shape[1] // len(books)
+        self.lut = np.stack([
+            q_int[:, m * sub:(m + 1) * sub] @ books[m].T      # (nq, ksub)
+            for m in range(len(books))], axis=1)              # (nq, M, ksub)
+        self.by_list: dict[int, np.ndarray] = {
+            int(c): np.flatnonzero((probes == c).any(axis=1))
+            for c in np.unique(probes)}
+
+    _EMPTY = pa.schema([("query_vec_id", pa.int64()), ("vec_id", pa.int64()),
+                        ("sim", pa.int64())])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy()
+        x_int = _pq_int(_emb_matrix(batch["embedding"]))
+        assign = kmeans_assign(x_int, self.coarse)
+        codes = pq_encode(x_int, self.books)
+        out_q, out_v, out_s = [], [], []
+        for c in np.unique(assign):
+            qrows = self.by_list.get(int(c))
+            if qrows is None:
+                continue
+            vrows = np.flatnonzero(assign == c)
+            lut = self.lut[qrows]                        # (nq_c, M, ksub)
+            cv = codes[vrows]                            # (nv, M)
+            sims = np.zeros((len(vrows), len(qrows)), dtype=np.int64)
+            for m in range(cv.shape[1]):
+                sims += lut[:, m, :][:, cv[:, m]].T      # (nv, nq_c)
+            kk = min(self.k + 1, len(vrows))             # +1: self-match
+            # tie-safe local candidates (the BruteForceTopK rule): PQ
+            # collapses distinct vectors onto identical codes, so exact
+            # sim ties are COMMON here — keep every row tying the kk-th
+            # largest so the global (sim desc, vec_id asc) fold can't
+            # lose the right neighbor to an arbitrary partition subset
+            th = np.partition(sims, len(vrows) - kk, axis=0)[len(vrows) - kk]
+            rr, cc = np.nonzero(sims >= th)
+            out_q.append(np.asarray(qrows)[cc])
+            out_v.append(vrows[rr])
+            out_s.append(sims[rr, cc])
+        if not out_q:
+            return self._EMPTY.empty_table()
+        sel = np.concatenate(out_q)
+        return pa.table({
+            "query_vec_id": pa.array(self.q_ids[sel]),
+            "vec_id": pa.array(ids[np.concatenate(out_v)]),
+            "sim": pa.array(np.concatenate(out_s), type=pa.int64()),
+        })
+
+
+def knn_pq(corpus: ray.data.Dataset, q_ids: np.ndarray, q: np.ndarray,
+           coarse: np.ndarray, books: np.ndarray, k: int = TOP_K,
+           nprobe: int = PQ_NPROBE, batch_size: int = 4096
+           ) -> ray.data.Dataset:
+    """IVF-PQ ANN over an arbitrary query set. Probe order uses the
+    SAME integer L2 form as assignment, stable-sorted so ties resolve
+    to the lower list id on every path (engine, fixture, oracle)."""
+    from ..util import autoscaling_pool
+    q_int = _pq_int(q)
+    score = 2 * (q_int @ coarse.T) - (coarse * coarse).sum(axis=1)
+    probes = np.argsort(-score, axis=1, kind="stable")[:, :nprobe]
+    state_ref = ray.put((coarse, books, q_ids, q_int, probes))
+    cand = corpus.map_batches(
+        PqScore, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=autoscaling_pool(),
+        fn_constructor_kwargs={"state_ref": state_ref, "k": k})
+    return _fold_per_query(cand, k)
+
+
+def q_knn_pq(sf_dir: str) -> ray.data.Dataset:
+    """IVF-PQ ADC approximate top-k — the compressed-residency scale
+    path beside brute-force / LSH / IVF. Train-on-sample quantizers,
+    per-batch integer encode + LUT scoring, same global fold. Recall
+    vs brute force and batch-size invariance are pytest-pinned."""
+    coarse, books = pq_fit(sf_dir)
+    q_ids, q = _load_queries(sf_dir)
+    return knn_pq(_read_emb(sf_dir), q_ids, q, coarse, books)
+
+
+def q_knn_pq_checked(sf_dir: str) -> ray.data.Dataset:
+    """Driver-facing ``emb_pq_ann``: engine pipeline + fixture
+    materialization (probe topology, integer reconstructions and
+    integer queries for DuckDB's exact re-score)."""
+    from .. import fixtures
+    fixtures.pq_expected_dir(sf_dir)
+    return q_knn_pq(sf_dir)
+
+
+def _pq_rank_sql() -> str:
+    """Differential IVF-PQ oracle: the fixture supplies probe topology
+    + integer PQ reconstructions + integer queries (all re-derived
+    serially from constants); DuckDB re-scores with
+    ``list_inner_product`` and re-ranks. The scores are sums of
+    integer products < 2^53, so DuckDB's float64 sum is EXACT and
+    bit-equal to the engine's int64 ADC — a lossy index with a
+    loss-free oracle."""
+    from pathlib import Path
+
+    from .. import fixtures
+    root = (Path(fixtures.FIXTURE_ROOT) /
+            fixtures.label_for_sf_dir(fixtures.oracle_sf_dir()) /
+            "pq_expected")
+    return f"""
+WITH c AS (
+  SELECT query_vec_id, vec_id FROM read_parquet('{root / "pairs.parquet"}')
+  WHERE vec_id <> query_vec_id
+), scored AS (
+  SELECT c.query_vec_id, c.vec_id,
+    list_inner_product(CAST(q.qint AS DOUBLE[]),
+                       CAST(r.recon AS DOUBLE[])) AS sim
+  FROM c
+  JOIN read_parquet('{root / "qint.parquet"}') q USING (query_vec_id)
+  JOIN read_parquet('{root / "recon.parquet"}') r USING (vec_id)
+), ranked AS (
+  SELECT query_vec_id, vec_id,
+    ROW_NUMBER() OVER (PARTITION BY query_vec_id
+                       ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_vec_id, rank, vec_id AS neighbor_vec_id
+FROM ranked WHERE rank <= {TOP_K}
+"""
 
 
 def _kmeans_expected_sql() -> str:

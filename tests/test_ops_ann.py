@@ -360,3 +360,78 @@ def test_cluster_sample_matches_serial_recompute(ray_session, tmp_path,
     kept = got.groupby("cluster").size()
     for c, n in sizes.items():
         assert kept.get(c, 0) == min(n, CS_QUOTA)
+
+
+# ------------------------------------------------------------ IVF-PQ ANN
+
+def test_pq_ann_recall():
+    """IVF-PQ ADC top-k keeps recall@5 ≥ 0.6 vs brute force on the
+    synthetic corpus — the hardest PQ case (no cluster structure for
+    the codebooks to exploit; real embedding corpora do better)."""
+    exact = _exact_numpy(SF)
+    approx = ann.q_knn_pq(SF).to_pandas()
+    hits = total = 0
+    for qid, neigh in exact.items():
+        got = set(approx[approx["query_vec_id"] == qid]["neighbor_vec_id"])
+        hits += len(got & set(neigh))
+        total += len(neigh)
+    recall = hits / total
+    assert recall >= 0.6, f"PQ recall {recall:.2f} below floor"
+
+
+def test_pq_ann_batch_size_invariance(ray_session):
+    """The whole PQ path is fixed-point integer, so results must be
+    BIT-IDENTICAL under any batching/parallelism — re-running with a
+    tiny batch size (different batch compositions, different local
+    top-k thresholds, different fold arrival order) changes nothing."""
+    coarse, books = ann.pq_fit(SF)
+    q_ids, q = ann._load_queries(SF)
+    base = (knn := lambda bs, nparts: ann.knn_pq(
+        ann._read_emb(SF).repartition(nparts), q_ids, q, coarse, books,
+        batch_size=bs).to_pandas()
+        .sort_values(["query_vec_id", "rank"]).reset_index(drop=True))
+    a = base(4096, 1)
+    b = base(37, 13)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_pq_1k_queries(ray_session):
+    """1000 queries through the PQ path: per-query integer LUTs built
+    once per actor, inverted probe lists, no per-query Python loop."""
+    corpus, ids, m = _synth_corpus()
+    nq, k = 1000, 3
+    q_ids, q = ids[:nq], m[:nq]
+    samp = ann._pq_int(m[:1024])
+    coarse, books = ann.train_pq(samp, nlist=8, m_sub=16, ksub=128)
+    approx = ann.knn_pq(corpus, q_ids, q, coarse, books, k=k,
+                        nprobe=6).to_pandas()
+    exact = ann.knn_bruteforce(corpus, q_ids, q, k=k).to_pandas()
+    hits = total = 0
+    for qid, g in exact.groupby("query_vec_id"):
+        want = set(g["neighbor_vec_id"])
+        got = set(approx[approx["query_vec_id"] == qid]["neighbor_vec_id"])
+        hits += len(got & want)
+        total += len(want)
+    assert hits / total >= 0.55, f"PQ@1k recall {hits/total:.2f}"
+
+
+def test_pq_encode_compression_shape():
+    """pq_encode emits one small int per subspace — the compressed
+    representation is (n, M) codes in [0, PQ_KSUB), not vectors."""
+    rng = np.random.default_rng(3)
+    x = ann._pq_int(rng.standard_normal((200, 64)))
+    coarse, books = ann.train_pq(x)
+    codes = pq_encode_out = ann.pq_encode(x, books)
+    assert codes.shape == (200, ann.PQ_M)
+    assert codes.min() >= 0 and codes.max() < ann.PQ_KSUB
+    # reconstruction = codebook gather; ADC score == q · recon exactly
+    recon = np.concatenate(
+        [books[m][codes[:, m]] for m in range(ann.PQ_M)], axis=1)
+    q = ann._pq_int(rng.standard_normal((5, 64)))
+    sub = 64 // ann.PQ_M
+    lut = np.stack([q[:, m*sub:(m+1)*sub] @ books[m].T
+                    for m in range(ann.PQ_M)], axis=1)
+    adc = np.zeros((200, 5), dtype=np.int64)
+    for m in range(ann.PQ_M):
+        adc += lut[:, m, :][:, codes[:, m]].T
+    np.testing.assert_array_equal(adc, recon @ q.T)
