@@ -221,6 +221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_sample": q_seq_sample,
         "seq_shuffle": q_seq_shuffle,
         "seq_mixture": q_seq_mixture,
+        "seq_mixture_temp": q_seq_mixture_temp,
         "seq_bigram_topk": q_bigram_topk,
         "seq_curriculum": q_seq_curriculum,
         "seq_token_budget": q_seq_token_budget,
@@ -284,6 +285,29 @@ def oracle_sql() -> dict[str, str]:
             WHERE substr(md5(doc_id || '{MIX_SALT}'), 1, 4) <
                   CASE source {_mix_case_sql()} ELSE 'g000' END
             GROUP BY source ORDER BY source
+        """,
+        "seq_mixture_temp": f"""
+            WITH cnt AS (
+              SELECT source, COUNT(*)::DOUBLE AS c
+              FROM read_parquet('{glob}') GROUP BY source
+            ), lifted AS (
+              SELECT source,
+                     POW(c / SUM(c) OVER (), {TEMP_ALPHA})
+                       / (c / SUM(c) OVER ()) AS lift
+              FROM cnt
+            ), thr AS (
+              SELECT source,
+                CASE WHEN lift >= MAX(lift) OVER () THEN 'g000'
+                     ELSE lpad(lower(to_hex(CAST(FLOOR(
+                            lift / MAX(lift) OVER () * 65536)
+                            AS BIGINT))), 4, '0') END AS t4
+              FROM lifted
+            )
+            SELECT s.source, COUNT(*)::BIGINT AS rows_kept,
+                   SUM(CAST(s.n_tok AS BIGINT))::BIGINT AS tok_kept
+            FROM read_parquet('{glob}') s JOIN thr USING (source)
+            WHERE substr(md5(s.doc_id || '{TEMP_SALT}'), 1, 4) < thr.t4
+            GROUP BY s.source ORDER BY s.source
         """,
         "seq_bigram_topk": f"""
             SELECT CAST(a AS INTEGER) AS tok_a, CAST(b AS INTEGER) AS tok_b,
@@ -472,6 +496,75 @@ def q_seq_mixture(sf_dir: str) -> ray.data.Dataset:
     ds = ray.data.read_parquet(_seq_files(sf_dir),
                                columns=["doc_id", "source", "n_tok"])
     return (ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("source")
+            .aggregate(_Sum("rows_kept", alias_name="rows_kept"),
+                       _Sum("tok_kept", alias_name="tok_kept")))
+
+
+# ----------------------------------------- temperature-rebalanced mixing
+
+TEMP_ALPHA = 0.7        # rebalancing exponent: α<1 flattens toward rare
+TEMP_SALT = ":temp1"
+
+
+def q_seq_mixture_temp(sf_dir: str, alpha: float = TEMP_ALPHA
+                       ) -> ray.data.Dataset:
+    """TEMPERATURE-rebalanced data mixing — the multilingual-LM
+    α-sampling recipe (sample source s ∝ p_s^α; α<1 upweights rare
+    sources): unlike ``q_seq_mixture`` the keep rates are derived FROM
+    the corpus — ``rate_s = (p_s^α / p_s) / max_t(p_t^α / p_t)``, so
+    the rarest source keeps everything and hot sources downsample
+    toward balance, with no hand-set weight table to drift stale.
+
+    Scale: pass 1 is per-batch (source, count) partials → a tiny
+    groupby (#blocks × #sources rows cross, a pruned one-column read);
+    the driver does #sources float ops; pass 2 is the q_seq_mixture
+    ZERO-SHUFFLE hash-coin filter under the derived thresholds.
+    Oracle: DuckDB independently re-derives shares → lifts → rates →
+    the same fixed-width hex thresholds from the raw table itself —
+    the rate DERIVATION is checked, not just the filter."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..stages.ids import md5_hex
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select(["source"]), ["source"])
+        return g.aggregate([("source", "count")]) \
+            .rename_columns(["source", "c"])
+
+    counts = (ray.data.read_parquet(_seq_files(sf_dir), columns=["source"])
+              .map_batches(count_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .groupby("source").aggregate(_Sum("c", alias_name="c"))
+              .to_pandas())
+    c = counts["c"].to_numpy(dtype=np.float64)
+    p = c / c.sum()
+    lift = np.power(p, alpha) / p
+    rates = lift / lift.max()
+    srcs = pa.array(counts["source"].tolist())
+    thresholds = pa.array([_mix_threshold_hex(float(r)) for r in rates])
+
+    def sample(batch: pa.Table) -> pa.Table:
+        salted = pc.binary_join_element_wise(
+            batch["doc_id"].combine_chunks().cast(pa.string()),
+            pa.scalar(TEMP_SALT), pa.scalar(""))
+        coin = pc.utf8_slice_codeunits(md5_hex(salted), 0, 4)
+        idx = pc.index_in(batch["source"], value_set=srcs)
+        thr = pc.take(thresholds, pc.fill_null(idx, 0))
+        # a source unseen in pass 1 can't occur on one input, but the
+        # q_seq_mixture schema-drift rule holds: unknown ⇒ keep-all
+        thr = pc.if_else(pc.is_null(idx), pa.scalar("g000"), thr)
+        kept = batch.filter(pc.less(coin, thr))
+        g = pa.TableGroupBy(kept.select(["source", "n_tok"]), ["source"])
+        part = g.aggregate([("n_tok", "sum"), ("source", "count")])
+        return part.rename_columns(["source", "tok_kept", "rows_kept"])
+
+    ds = ray.data.read_parquet(_seq_files(sf_dir),
+                               columns=["doc_id", "source", "n_tok"])
+    return (ds.map_batches(sample, batch_format="pyarrow",
+                           zero_copy_batch=True)
             .groupby("source")
             .aggregate(_Sum("rows_kept", alias_name="rows_kept"),
                        _Sum("tok_kept", alias_name="tok_kept")))

@@ -326,3 +326,40 @@ def test_seq_stratified_parallelism_independent(ray_session, monkeypatch):
     pd.testing.assert_frame_equal(
         base.sort_values(key).reset_index(drop=True),
         shred.sort_values(key).reset_index(drop=True))
+
+
+def test_seq_mixture_temp_matches_recompute(ray_session):
+    """Temperature-rebalanced mixing: rates derived from the corpus
+    (p^α lift, max-normalized) must reproduce an independent
+    pandas+hashlib recompute, the rarest source must keep everything,
+    and the hot source must be downsampled below its raw share."""
+    import hashlib
+    import numpy as np
+    from swarm_ray.ops.tokens import (TEMP_ALPHA, TEMP_SALT,
+                                      q_seq_mixture_temp)
+    got = q_seq_mixture_temp("/tmp/x/sf0.001").to_pandas() \
+        .sort_values("source").reset_index(drop=True)
+    df = _seq_frames()
+    cnt = df.groupby("source").size()
+    p = cnt / cnt.sum()
+    lift = np.power(p, TEMP_ALPHA) / p
+    rates = lift / lift.max()
+    def thr_of(src):
+        n = min(65536, int(rates[src] * 65536))
+        return "g000" if n >= 65536 else format(n, "04x")
+    coin = df["doc_id"].map(
+        lambda d: hashlib.md5((d + TEMP_SALT).encode()).hexdigest()[:4])
+    kept = df[coin < df["source"].map(thr_of)]
+    exp = kept.groupby("source").agg(
+        rows_kept=("doc_id", "size"), tok_kept=("n_tok", "sum")).reset_index()
+    exp = exp.sort_values("source").reset_index(drop=True)
+    assert got["source"].tolist() == exp["source"].tolist()
+    assert got["rows_kept"].tolist() == exp["rows_kept"].tolist()
+    assert got["tok_kept"].tolist() == exp["tok_kept"].tolist()
+    # rarest source keeps all rows; hottest is downsampled below its share
+    kept_rate = got.set_index("source")["rows_kept"] / cnt
+    assert kept_rate[cnt.idxmin()] == 1.0
+    assert kept_rate[cnt.idxmax()] < 1.0
+    # post-sampling shares are flatter than raw shares
+    post = got.set_index("source")["rows_kept"]
+    assert (post.max() / post.min()) < (cnt.max() / cnt.min())
