@@ -175,7 +175,14 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    lo_cpus, hi_cpus = 8, 32
+    # The N-vs-4N pair is env-tunable because the efficiency reading is
+    # only meaningful when the HI leg's CPUs actually exist: this shared
+    # VM's co-tenants can cap usable capacity below 32 (observed
+    # 2026-08-18: 16-CPU and 32-CPU legs read the SAME wall time while
+    # 4→16 scaled at 0.92 — the host, not the engine, was the ceiling).
+    # Default stays 8→32; record which pair produced a reading.
+    lo_cpus = int(os.environ.get("BENCH_SCALE_LO", "8"))
+    hi_cpus = int(os.environ.get("BENCH_SCALE_HI", "32"))
 
     def run(ncpu: int) -> dict:
         # headline only — the efficiency ratio uses just the flagship
@@ -198,10 +205,12 @@ def run_scaling() -> dict:
     thr_lo, thr_hi = lo["seq_per_sec"], hi["seq_per_sec"]
     eff = (thr_hi / thr_lo) / (hi_cpus / lo_cpus)
     return {
-        "metric": "scaling efficiency (num_cpus 8 → 32, same input)",
+        "metric": f"scaling efficiency (num_cpus {lo_cpus} → {hi_cpus},"
+                  " same input)",
         "sf": lo["sf"], "rows": lo["rows"],
-        "sec_8": lo["value"], "sec_32": hi["value"],
-        "seq_per_sec_8": thr_lo, "seq_per_sec_32": thr_hi,
+        "cpus_lo": lo_cpus, "cpus_hi": hi_cpus,
+        f"sec_{lo_cpus}": lo["value"], f"sec_{hi_cpus}": hi["value"],
+        f"seq_per_sec_{lo_cpus}": thr_lo, f"seq_per_sec_{hi_cpus}": thr_hi,
         "scaling_efficiency": round(eff, 3),
     }
 

@@ -195,6 +195,8 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
     out["doc_minhash_pairs"] = timed(lambda: dedup.q_minhash_pairs(sf_dir))
 
     for name, fn in (("emb_knn", "ann.q_knn_bruteforce"),
+                     ("emb_pq_ann", "ann.q_knn_pq"),
+                     ("seq_mixture_temp", "tokens.q_seq_mixture_temp"),
                      ("media_stats", "media.q_media_stats"),
                      ("events_hourly", "relational.q_events_hourly")):
         try:
