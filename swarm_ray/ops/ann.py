@@ -779,6 +779,7 @@ def queries():
         "emb_kmeans": q_emb_kmeans_checked,
         "emb_cluster_sample": q_emb_cluster_sample_checked,
         "emb_pq_ann": q_knn_pq_checked,
+        "emb_knn_classify": q_knn_classify,
     }
 
 
@@ -843,6 +844,7 @@ def oracle_sql():
         "emb_kmeans": _kmeans_expected_sql(),
         "emb_cluster_sample": _cluster_sample_sql(),
         "emb_pq_ann": _pq_rank_sql(),
+        "emb_knn_classify": _knn_classify_sql(),
         "emb_ivf_ann": _candidate_rank_sql("ivf_candidates_expected"),
         "emb_knn": f"""
 WITH q AS (
@@ -1007,6 +1009,94 @@ def q_knn_ivf_checked(sf_dir: str) -> ray.data.Dataset:
     from .. import fixtures
     fixtures.ivf_candidates_expected_dir(sf_dir)
     return q_knn_ivf(sf_dir)
+
+
+# ------------------------------------------- kNN label propagation
+
+KNNC_SEED_N = 200       # labeled seed set = vec_id < KNNC_SEED_N
+KNNC_K = 5              # neighbors voting per unlabeled vector
+
+
+def q_knn_classify(sf_dir: str, seed_n: int = KNNC_SEED_N,
+                   k: int = KNNC_K) -> ray.data.Dataset:
+    """kNN LABEL PROPAGATION — the embedding-side quality/topic
+    classifier staple (label a bounded curated seed set, propagate to
+    the whole corpus by cosine majority vote; the fastText-classifier
+    analogue for curation pipelines, cf. CCNet/LLaMA data filtering).
+
+    Scale shape — the INVERSE of ANN search, and the best one in this
+    file: the BOUNDED side (seed matrix + labels, here 200×64 floats)
+    is broadcast once via ``ray.put``; the UNBOUNDED corpus streams
+    through one ``map_batches`` pass that is completely self-contained
+    — matmul against the seeds, stable top-k, bincount vote — so there
+    is NO fold, NO shuffle, and NO candidate exchange at all. A 100 TB
+    corpus classifies in exactly one streaming read.
+
+    Determinism: neighbor rank is (sim DESC, seed vec_id ASC) via a
+    stable argsort over seeds pre-sorted by vec_id; vote ties break to
+    the SMALLEST label (argmax over labels sorted by ``np.unique``) —
+    both mirrored literally in the SQL oracle's window clauses."""
+    seeds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+        filter=pc.field("vec_id") < seed_n,
+    ).to_pandas().sort_values("vec_id")
+    sn = _normalize(np.asarray(list(seeds["embedding"]), dtype=np.float64))
+    uniq = np.unique(seeds["label"].to_numpy())
+    lab_idx = np.searchsorted(uniq, seeds["label"].to_numpy())
+    state = ray.put((sn, lab_idx, uniq))
+
+    def classify(t: pa.Table) -> pa.Table:
+        s, li, u = ray.get(state)
+        ids = t["vec_id"].to_numpy()
+        en = _normalize(_emb_matrix(t["embedding"]))
+        sims = en @ s.T                              # (n, n_seed)
+        kk = min(k, sims.shape[1])
+        # stable argsort on -sims: equal sims keep seed order, which IS
+        # vec_id ascending (seeds sorted above) — the SQL tie-break
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+        lab_k = li[order]                            # (n, kk) label indices
+        counts = np.zeros((len(ids), len(u)), dtype=np.int64)
+        np.add.at(counts,
+                  (np.repeat(np.arange(len(ids)), kk), lab_k.ravel()), 1)
+        pred = np.argmax(counts, axis=1)             # tie → smallest label
+        return pa.table({
+            "vec_id": pa.array(ids.astype(np.int64)),
+            "pred_label": pa.array(u[pred].astype(np.int64)),
+            "votes": pa.array(counts[np.arange(len(ids)), pred]),
+        })
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filter=pc.field("vec_id") >= seed_n,
+    ).map_batches(classify, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _knn_classify_sql() -> str:
+    return f"""
+WITH lab AS (
+  SELECT vec_id AS s_id, label, embedding FROM embeddings
+  WHERE vec_id < {KNNC_SEED_N}
+), unl AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= {KNNC_SEED_N}
+), scored AS (
+  SELECT u.vec_id, l.s_id, l.label,
+    list_cosine_similarity(CAST(u.embedding AS DOUBLE[]),
+                           CAST(l.embedding AS DOUBLE[])) AS sim
+  FROM unl u CROSS JOIN lab l
+), topk AS (
+  SELECT vec_id, label FROM scored
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY sim DESC, s_id ASC) <= {KNNC_K}
+), votes AS (
+  SELECT vec_id, label, COUNT(*) AS votes FROM topk GROUP BY vec_id, label
+)
+SELECT vec_id, CAST(label AS BIGINT) AS pred_label,
+       CAST(votes AS BIGINT) AS votes
+FROM votes
+QUALIFY row_number() OVER (PARTITION BY vec_id
+                           ORDER BY votes DESC, label ASC) = 1
+"""
 
 
 # ------------------------------------------- IVF-PQ (compressed) ANN

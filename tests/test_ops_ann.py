@@ -435,3 +435,53 @@ def test_pq_encode_compression_shape():
     for m in range(ann.PQ_M):
         adc += lut[:, m, :][:, codes[:, m]].T
     np.testing.assert_array_equal(adc, recon @ q.T)
+
+
+# ------------------------------------------------- kNN label propagation
+
+def test_knn_classify_matches_serial_recompute(ray_session):
+    """The streaming propagation pass must equal a plain-numpy serial
+    recompute: stable (sim desc, seed-id asc) top-k + majority vote
+    with ties to the smallest label."""
+    got = (ann.q_knn_classify(SF).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    t = pq.read_table(f"{SF}/embeddings.parquet").to_pandas() \
+        .sort_values("vec_id")
+    m = np.asarray(list(t["embedding"]), dtype=np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    labels = t["label"].to_numpy()
+    seed = t["vec_id"].to_numpy() < ann.KNNC_SEED_N
+    sims = mn[~seed] @ mn[seed].T
+    order = np.argsort(-sims, axis=1, kind="stable")[:, :ann.KNNC_K]
+    lab_k = labels[seed][order]
+    preds, votes = [], []
+    for row in lab_k:
+        vals, cnts = np.unique(row, return_counts=True)
+        best = vals[np.lexsort((vals, -cnts))][0]
+        preds.append(int(best))
+        votes.append(int(cnts[vals == best][0]))
+    assert got["vec_id"].tolist() == t["vec_id"].to_numpy()[~seed].tolist()
+    assert got["pred_label"].tolist() == preds
+    assert got["votes"].tolist() == votes
+
+
+def test_knn_classify_separable_corpus(ray_session, tmp_path):
+    """On a corpus whose labels follow real cluster structure the
+    propagated labels must recover them (the sf fixture's labels are
+    random w.r.t. geometry, so accuracy there is meaningless)."""
+    rng = np.random.default_rng(11)
+    n, dim, n_lab = 600, 16, 4
+    centers = rng.standard_normal((n_lab, dim)) * 4
+    lab = np.arange(n) % n_lab
+    m = centers[lab] + rng.standard_normal((n, dim)) * 0.3
+    flat = pa.array(m.astype(np.float32).reshape(-1), type=pa.float32())
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.FixedSizeListArray.from_arrays(flat, dim),
+        "label": pa.array(lab.astype(np.int32)),
+    })
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+    got = ann.q_knn_classify(str(tmp_path), seed_n=200, k=5).to_pandas()
+    truth = lab[got["vec_id"].to_numpy()]
+    acc = (got["pred_label"].to_numpy() == truth).mean()
+    assert acc >= 0.95, f"propagation accuracy {acc:.2f} on separable data"
