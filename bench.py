@@ -251,9 +251,12 @@ def run_dedup_bench() -> dict:
 
 
 def run_scaling_dedup() -> dict:
-    """8-vs-32-CPU fresh-process scaling of the dedup family (VERDICT
-    r1 item 2) — same synthetic corpus, efficiency = speedup / 4."""
-    lo_cpus, hi_cpus = 8, 32
+    """N-vs-4N fresh-process scaling of the dedup family (VERDICT r1
+    item 2) — same synthetic corpus, efficiency = speedup / 4. Takes
+    the same BENCH_SCALE_LO/HI pair override as run_scaling (see the
+    capacity-ceiling note there)."""
+    lo_cpus = int(os.environ.get("BENCH_SCALE_LO", "8"))
+    hi_cpus = int(os.environ.get("BENCH_SCALE_HI", "32"))
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_DEDUP_LEG="1")
@@ -263,12 +266,13 @@ def run_scaling_dedup() -> dict:
 
     lo = run(lo_cpus)
     hi = run(hi_cpus)
-    res = {"metric": "dedup scaling efficiency (num_cpus 8 → 32)",
-           "docs": lo["docs"]}
+    res = {"metric": f"dedup scaling efficiency (num_cpus {lo_cpus} → "
+                     f"{hi_cpus})",
+           "docs": lo["docs"], "cpus_lo": lo_cpus, "cpus_hi": hi_cpus}
     for k in ("minhash_sec", "exact_sec"):
         eff = (lo[k] / hi[k]) / (hi_cpus / lo_cpus)
         res[k.replace("_sec", "")] = {
-            "sec_8": lo[k], "sec_32": hi[k],
+            f"sec_{lo_cpus}": lo[k], f"sec_{hi_cpus}": hi[k],
             "scaling_efficiency": round(eff, 3)}
     return res
 
