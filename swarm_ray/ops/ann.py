@@ -780,6 +780,7 @@ def queries():
         "emb_cluster_sample": q_emb_cluster_sample_checked,
         "emb_pq_ann": q_knn_pq_checked,
         "emb_knn_classify": q_knn_classify,
+        "emb_semdedup": q_emb_semdedup_checked,
     }
 
 
@@ -845,6 +846,7 @@ def oracle_sql():
         "emb_cluster_sample": _cluster_sample_sql(),
         "emb_pq_ann": _pq_rank_sql(),
         "emb_knn_classify": _knn_classify_sql(),
+        "emb_semdedup": _semdedup_sql(),
         "emb_ivf_ann": _candidate_rank_sql("ivf_candidates_expected"),
         "emb_knn": f"""
 WITH q AS (
@@ -1009,6 +1011,99 @@ def q_knn_ivf_checked(sf_dir: str) -> ray.data.Dataset:
     from .. import fixtures
     fixtures.ivf_candidates_expected_dir(sf_dir)
     return q_knn_ivf(sf_dir)
+
+
+# ------------------------------------------------ SemDeDup (clustered)
+
+SEMDEDUP_TAU = 0.45      # margin to nearest within-cluster cosine at
+                         # sf0.01 is 1.6e-3 — 12 orders above ULP drift
+
+
+def q_emb_semdedup(sf_dir: str, tau: float = SEMDEDUP_TAU
+                   ) -> ray.data.Dataset:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
+    over the FULL corpus made tractable by k-means partitioning —
+    pairwise cosine runs only WITHIN each cluster, so the quadratic
+    cost is bounded by cluster size, not corpus size. A vector is
+    removed iff an EARLIER one (vec_id asc) in its cluster has
+    cos ≥ τ; output: per-cluster (n, kept, removed).
+
+    Contrast with ``q_emb_dedup_semantic`` (exact full pair scan,
+    oracle-bounded prefix): here the whole corpus dedupes and the ONE
+    keyed exchange — corpus repartitioned by cluster id — IS the
+    algorithm. At scale, k grows with the corpus (SemDeDup's own
+    recipe keeps expected cluster size constant), so per-group
+    pairwise stays bounded; a hot cluster splits on a second hash key
+    at the same bound. Assignment is the fixed-point k-means —
+    bit-exact at any parallelism and serially reproducible, which is
+    what lets DuckDB re-derive the exact same partition from the
+    fixture assignment table and re-score every within-cluster pair
+    itself."""
+    cents, _ = kmeans_fit(sf_dir)
+    cref = ray.put(cents)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        e = kmeans_scaled(_emb_matrix(t["embedding"]))
+        return t.append_column("cluster", pa.array(
+            kmeans_assign(e, c).astype(np.int64)))
+
+    def dedup_group(df_: pd.DataFrame) -> pd.DataFrame:
+        df_ = df_.sort_values("vec_id")
+        mn = _normalize(np.asarray(list(df_["embedding"]),
+                                   dtype=np.float64))
+        sims = mn @ mn.T
+        rem = np.triu(sims >= tau, 1).any(axis=0)   # earlier-row hit
+        return pd.DataFrame({
+            "cluster": df_["cluster"].iloc[:1].to_numpy(),
+            "n": np.array([len(df_)], dtype=np.int64),
+            "kept": np.array([int((~rem).sum())], dtype=np.int64),
+            "removed": np.array([int(rem.sum())], dtype=np.int64),
+        })
+
+    return (ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                  columns=["vec_id", "embedding"])
+            .map_batches(assign, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("cluster")
+            .map_groups(dedup_group, batch_format="pandas"))
+
+
+def q_emb_semdedup_checked(sf_dir: str) -> ray.data.Dataset:
+    """Driver-facing ``emb_semdedup``: materializes the serial k-means
+    assignment fixture (shared with ``emb_cluster_sample``) so DuckDB
+    can rebuild the identical cluster partition."""
+    from .. import fixtures
+    fixtures.kmeans_assign_expected_dir(sf_dir)
+    return q_emb_semdedup(sf_dir)
+
+
+def _semdedup_sql() -> str:
+    from pathlib import Path
+
+    from .. import fixtures
+    glob = str(Path(fixtures.FIXTURE_ROOT) /
+               fixtures.label_for_sf_dir(fixtures.oracle_sf_dir()) /
+               "kmeans_assign_expected" / "*.parquet")
+    return f"""
+WITH e AS (
+  SELECT a.cluster, a.vec_id, emb.embedding
+  FROM read_parquet('{glob}') a
+  JOIN embeddings emb USING (vec_id)
+), rem AS (
+  SELECT DISTINCT b.vec_id
+  FROM e x JOIN e b ON x.cluster = b.cluster AND x.vec_id < b.vec_id
+  WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[]))
+        >= {SEMDEDUP_TAU}
+)
+SELECT e.cluster, COUNT(*)::BIGINT AS n,
+       SUM(CASE WHEN rem.vec_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS kept,
+       SUM(CASE WHEN rem.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS removed
+FROM e LEFT JOIN rem ON e.vec_id = rem.vec_id
+GROUP BY e.cluster ORDER BY e.cluster
+"""
 
 
 # ------------------------------------------- kNN label propagation

@@ -485,3 +485,36 @@ def test_knn_classify_separable_corpus(ray_session, tmp_path):
     truth = lab[got["vec_id"].to_numpy()]
     acc = (got["pred_label"].to_numpy() == truth).mean()
     assert acc >= 0.95, f"propagation accuracy {acc:.2f} on separable data"
+
+
+# ------------------------------------------------------------ SemDeDup
+
+def test_semdedup_matches_serial_recompute(ray_session, tmp_path,
+                                           monkeypatch):
+    """Clustered semantic dedup must equal a plain-numpy recompute over
+    the serial k-means partition: within each cluster, a vector is
+    removed iff an earlier vec_id has cosine ≥ τ."""
+    from swarm_ray import fixtures
+    monkeypatch.setattr(fixtures, "FIXTURE_ROOT", tmp_path / "fx")
+    got = (ann.q_emb_semdedup(SF).to_pandas()
+           .sort_values("cluster").reset_index(drop=True))
+
+    n, ids, a, _, _ = fixtures._kmeans_serial(SF)
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"]).to_pandas() \
+        .sort_values("vec_id")
+    m = np.asarray(list(t["embedding"]), dtype=np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    rows = []
+    for c in np.unique(a):
+        sel = np.flatnonzero(a == c)          # ids sorted ⇒ sel sorted
+        sims = mn[sel] @ mn[sel].T
+        rem = np.triu(sims >= ann.SEMDEDUP_TAU, 1).any(axis=0)
+        rows.append((int(c), len(sel), int((~rem).sum()), int(rem.sum())))
+    exp = pd.DataFrame(rows, columns=["cluster", "n", "kept", "removed"])
+    pd.testing.assert_frame_equal(got.astype("int64"),
+                                  exp.astype("int64"))
+    # the fixture corpus plants near-dup pairs: some must be removed,
+    # and totals must conserve
+    assert got["removed"].sum() > 0
+    assert (got["kept"] + got["removed"]).sum() == got["n"].sum() == n
