@@ -1017,6 +1017,7 @@ def q_knn_ivf_checked(sf_dir: str) -> ray.data.Dataset:
 
 SEMDEDUP_TAU = 0.45      # margin to nearest within-cluster cosine at
                          # sf0.01 is 1.6e-3 — 12 orders above ULP drift
+SEMDEDUP_CHUNK = 2048    # pairwise chunk rows (memory = chunk × group)
 
 
 def q_emb_semdedup(sf_dir: str, tau: float = SEMDEDUP_TAU
@@ -1052,8 +1053,21 @@ def q_emb_semdedup(sf_dir: str, tau: float = SEMDEDUP_TAU
         df_ = df_.sort_values("vec_id")
         mn = _normalize(np.asarray(list(df_["embedding"]),
                                    dtype=np.float64))
-        sims = mn @ mn.T
-        rem = np.triu(sims >= tau, 1).any(axis=0)   # earlier-row hit
+        g = len(df_)
+        rem = np.zeros(g, dtype=bool)
+        # CHUNKED upper-triangle pairwise: live floats are O(chunk × g),
+        # never O(g²) — the (g × d) group matrix is the only full-size
+        # buffer, so a cluster bounds worker memory by its row count
+        # alone (the SemDeDup residency assumption), not its square.
+        # A removed row still removes later ones (u ranges over ALL
+        # earlier rows — matches the SQL oracle's self-join).
+        ch = SEMDEDUP_CHUNK
+        cols = np.arange(g)
+        for s in range(0, g, ch):
+            e = min(s + ch, g)
+            hits = (mn[s:e] @ mn.T) >= tau           # (chunk, g)
+            hits &= cols[None, :] > np.arange(s, e)[:, None]   # i < j only
+            rem |= hits.any(axis=0)
         return pd.DataFrame({
             "cluster": df_["cluster"].iloc[:1].to_numpy(),
             "n": np.array([len(df_)], dtype=np.int64),

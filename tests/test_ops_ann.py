@@ -518,3 +518,18 @@ def test_semdedup_matches_serial_recompute(ray_session, tmp_path,
     # and totals must conserve
     assert got["removed"].sum() > 0
     assert (got["kept"] + got["removed"]).sum() == got["n"].sum() == n
+
+
+def test_semdedup_chunk_boundary_invariance(ray_session, tmp_path,
+                                            monkeypatch):
+    """The chunked upper-triangle pass must give identical results when
+    every cluster spans many chunks (chunk = 7 rows)."""
+    from swarm_ray import fixtures
+    from swarm_ray.ops import ann as _ann
+    monkeypatch.setattr(fixtures, "FIXTURE_ROOT", tmp_path / "fx")
+    base = (_ann.q_emb_semdedup(SF).to_pandas()
+            .sort_values("cluster").reset_index(drop=True))
+    monkeypatch.setattr(_ann, "SEMDEDUP_CHUNK", 7)
+    small = (_ann.q_emb_semdedup(SF).to_pandas()
+             .sort_values("cluster").reset_index(drop=True))
+    pd.testing.assert_frame_equal(base, small)
