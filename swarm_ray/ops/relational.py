@@ -532,10 +532,72 @@ UNION ALL SELECT 3, COUNT(*) FROM s3
 
 # ------------------------------------------------------------ registry
 
+# ------------------------------------------------------------ retention
+
+def _retention_block(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-block cohort partials for ALL users in the block (users are
+    co-located by the keyed repartition, so per-user MIN and the
+    distinct-offset dedup are complete here and the partial user
+    counts fold additively downstream)."""
+    day = df["ts"].dt.floor("D")
+    cohort = day.groupby(df["user_id"]).transform("min")
+    u = pd.DataFrame({
+        "user_id": df["user_id"],
+        "cohort_day": cohort.dt.strftime("%Y-%m-%d"),
+        "offset_d": (day - cohort).dt.days.astype("int64"),
+    }).drop_duplicates(["user_id", "offset_d"])
+    return (u.groupby(["cohort_day", "offset_d"], sort=False).size()
+            .reset_index(name="users_part"))
+
+
+def q_events_retention(sf_dir: str) -> ray.data.Dataset:
+    """Cohort RETENTION matrix — users grouped by first-seen day, and
+    for each (cohort, day-offset) the number of distinct users active
+    at that offset: the standard telemetry/engagement rollup the
+    reference's aggregate plane stops short of (SURVEY §2.5 analogue).
+
+    Scale shape: ONE keyed hash repartition on user_id co-locates each
+    user's events, so cohort (global per-user MIN) and the distinct-
+    offset dedup are block-local and exact; blocks emit bounded
+    (cohort, offset) partial counts (≤ #days² rows per block) and a
+    tiny final groupby sums them. COUNT(DISTINCT user) never needs a
+    distinct shuffle because a user contributes each offset exactly
+    once from exactly one block. Same partitioning assumption as
+    q_events_sessionize (a user's events fit one block; hot users →
+    the salted-bucket recipe)."""
+    from ..util import enable_hash_shuffle, keyed_partition_count
+    ds = _read_events(sf_dir, ["user_id", "ts"])
+    nparts = keyed_partition_count(_events_count(sf_dir) * 16)
+    enable_hash_shuffle(ds, nparts)
+    return (ds.repartition(nparts, keys=["user_id"])
+            .map_batches(_retention_block, batch_format="pandas",
+                         batch_size=None)
+            .groupby(["cohort_day", "offset_d"])
+            .aggregate(Sum("users_part", alias_name="users")))
+
+
+SQL_EVENTS_RETENTION = """
+WITH d AS (
+  SELECT user_id, date_trunc('day', ts) AS day FROM events
+), f AS (
+  SELECT user_id, MIN(day) AS cohort FROM d GROUP BY user_id
+), j AS (
+  SELECT DISTINCT d.user_id, f.cohort,
+         date_diff('day', f.cohort, d.day) AS offset_d
+  FROM d JOIN f USING (user_id)
+)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+       CAST(offset_d AS BIGINT) AS offset_d,
+       COUNT(*)::BIGINT AS users
+FROM j GROUP BY cohort, offset_d ORDER BY cohort, offset_d
+"""
+
+
 def queries():
     return {
         "events_parse_props": q_events_parse_props,
         "events_hourly": q_events_hourly,
+        "events_retention": q_events_retention,
         "events_sliding": q_events_sliding,
         "events_top_users": q_events_top_users,
         "events_sessionize": q_events_sessionize,
@@ -552,6 +614,7 @@ def queries():
 def oracle_sql():
     return {
         "events_funnel": SQL_EVENTS_FUNNEL,
+        "events_retention": SQL_EVENTS_RETENTION,
         "tpch_priority_revenue": """
 SELECT o_orderpriority,
        COUNT(*)::BIGINT AS n_items,

@@ -137,3 +137,50 @@ def test_events_funnel_matches_pandas(ray_session):
     assert got["users"].tolist() == exp
     # funnel must be monotone non-increasing
     assert exp[0] >= exp[1] >= exp[2] > 0
+
+
+def test_retention_block_semantics():
+    """Cohort = per-user min day; each (user, offset) counts once; the
+    partial counts are per (cohort, offset)."""
+    from swarm_ray.ops.relational import _retention_block
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 2, 2, 3],
+        "ts": [ts(0), ts(30), ts(60 * 24 * 2),        # u1: day0 ×2, day2
+               ts(60 * 24), ts(60 * 24),              # u2: first seen day1
+               ts(60 * 24 * 2)],                      # u3: first seen day2
+    })
+    out = _retention_block(df).sort_values(
+        ["cohort_day", "offset_d"]).reset_index(drop=True)
+    # u1 cohort 01-01 offsets {0, 2}; u2 cohort 01-02 offset {0} (x2
+    # events dedup to one); u3 cohort 01-03 offset {0}
+    assert out.values.tolist() == [
+        ["2024-01-01", 0, 1], ["2024-01-01", 2, 1],
+        ["2024-01-02", 0, 1], ["2024-01-03", 0, 1]]
+
+
+def test_retention_matches_pandas(ray_session):
+    """Distributed retention equals a single-frame pandas recompute on
+    the sf0.001 events table."""
+    import pyarrow.parquet as pq
+    from swarm_ray.ops.relational import q_events_retention
+    sf = "/root/testdata/sf0.001"
+    got = (q_events_retention(sf).to_pandas()
+           .sort_values(["cohort_day", "offset_d"]).reset_index(drop=True))
+    ev = pq.read_table(f"{sf}/events.parquet",
+                       columns=["user_id", "ts"]).to_pandas()
+    day = ev["ts"].dt.floor("D")
+    cohort = day.groupby(ev["user_id"]).transform("min")
+    u = pd.DataFrame({
+        "user_id": ev["user_id"],
+        "cohort_day": cohort.dt.strftime("%Y-%m-%d"),
+        "offset_d": (day - cohort).dt.days.astype("int64"),
+    }).drop_duplicates(["user_id", "offset_d"])
+    exp = (u.groupby(["cohort_day", "offset_d"]).size()
+           .reset_index(name="users")
+           .sort_values(["cohort_day", "offset_d"]).reset_index(drop=True))
+    assert got["cohort_day"].tolist() == exp["cohort_day"].tolist()
+    assert got["offset_d"].tolist() == exp["offset_d"].tolist()
+    assert got["users"].tolist() == exp["users"].tolist()
+    # day-0 retention includes every user exactly once
+    n_users = ev["user_id"].nunique()
+    assert got[got["offset_d"] == 0]["users"].sum() == n_users
