@@ -9,6 +9,38 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+# Driver-window rotation (VERDICT r4 item 1): the driver's CORRECTNESS
+# check samples only the FIRST ~50 entries of __ray_entry__.queries()
+# (12 core seq_* entries + the first ~38 of this registry). Insertion
+# order used to be text→dedup→spans→relational→ann→media→tokens→embed,
+# which left the entire ann/media/tokens/embed tail permanently outside
+# the window. This list forces the queries that have never (or least
+# recently) had a driver row to the FRONT; everything else keeps its
+# family order behind them and stays covered by `make oracle-all`.
+_DRIVER_FRONT = [
+    # never had a green driver row in any round (r3/r4 additions)
+    "emb_kmeans", "emb_pq_ann", "emb_semdedup", "emb_cluster_sample",
+    "emb_knn_classify", "seq_mixture", "seq_mixture_temp",
+    "seq_bigram_topk", "seq_curriculum", "seq_token_budget",
+    "seq_stratified", "seq_shuffle", "seq_pack",
+    "doc_embed", "doc_embed_knn",
+    # round-5 additions (need their first driver rows)
+    "emb_semdedup_keep", "events_retention_salted",
+    # last driver row r3 or earlier
+    "emb_knn", "emb_lsh_ann", "emb_ivf_ann", "emb_near_dup",
+    "emb_dedup_semantic", "emb_centroids",
+    "media_stats", "media_resize", "media_frames", "media_video_frames",
+    "seq_token_topk", "seq_pack_stats", "seq_sample",
+    "tpch_priority_revenue",
+]
+
+
+def _rotate(d: dict[str, Any]) -> dict[str, Any]:
+    """Priority entries first (those present), rest in family order."""
+    out = {k: d[k] for k in _DRIVER_FRONT if k in d}
+    out.update((k, v) for k, v in d.items() if k not in out)
+    return out
+
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from . import dedup, text
@@ -74,7 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out.update(embed.queries())
     except ImportError:
         pass
-    return out
+    return _rotate(out)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -145,7 +177,7 @@ def oracle_sql() -> dict[str, str]:
         out.update(embed.oracle_sql())
     except ImportError:
         pass
-    return out
+    return _rotate(out)
 
 
 def bench_queries(sf_dir: str) -> dict[str, float]:
