@@ -12,3 +12,33 @@ session (bench.py, CLI, test fixture, or the grading driver) does.
 """
 
 __version__ = "0.1.0"
+
+
+def _install_schema_hash_noise_filter() -> None:
+    """Suppress Ray's planning-time 'Failed to hash the schemas'
+    warning (ray.data transform_pyarrow.unify_schemas).
+
+    Root cause + why this is noise, not a signal: the driver-written
+    testdata parquet embeds a ``pandas`` metadata blob that makes
+    ``pa.Schema`` unhashable; Ray's schema-dedup is a CACHE — on hash
+    failure it falls back to the full ``unify_schemas`` path, so the
+    result is always correct and the message is a per-dataset
+    cache-miss note that buries real warnings (VERDICT r4 item 4).
+    Worker-side occurrences are fixed for real — blocks leave every
+    read metadata-free via ``util.read_parquet_clean`` — but the
+    planning-time unify runs over the FRAGMENT FILE schemas before any
+    block exists, which nothing short of rewriting the (read-only)
+    testdata can clean. Filter is scoped to that one logger + literal
+    message prefix."""
+    import logging
+
+    class _F(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            return not str(record.getMessage()).startswith(
+                "Failed to hash the schemas (for deduplication)")
+
+    logging.getLogger(
+        "ray.data._internal.arrow_ops.transform_pyarrow").addFilter(_F())
+
+
+_install_schema_hash_noise_filter()

@@ -28,6 +28,7 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
+from ..util import read_parquet_clean
 
 TOP_K = 5
 N_QUERIES = 10          # query set = vec_id < N_QUERIES
@@ -40,7 +41,7 @@ LSH_SEED = 99
 
 
 def _read_emb(sf_dir: str) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    return read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                                  columns=["vec_id", "embedding"])
 
 
@@ -73,7 +74,7 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 
 def _load_queries(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
-    qt = ray.data.read_parquet(
+    qt = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
         filter=pc.field("vec_id") < N_QUERIES,
     ).to_pandas().sort_values("vec_id")
@@ -339,7 +340,7 @@ def q_lsh_ann_checked(sf_dir: str) -> ray.data.Dataset:
 def q_emb_near_dup(sf_dir: str) -> pd.DataFrame:
     """Embedding-cosine near-duplicate pairs over the bounded vec_id
     prefix (SQL-checked via list_cosine_similarity)."""
-    t = ray.data.read_parquet(
+    t = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
         filter=pc.field("vec_id") < NEAR_DUP_N,
     ).to_pandas().sort_values("vec_id")
@@ -386,7 +387,7 @@ def q_emb_dedup_semantic(sf_dir: str) -> ray.data.Dataset:
         clusters["doc_id"] != clusters["cluster_id"], "doc_id"]
         .to_numpy(dtype=np.int64))
 
-    corpus = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    corpus = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                                    columns=["vec_id", "label"])
 
     def counts(labels: pa.Array | pa.ChunkedArray,
@@ -510,7 +511,7 @@ def centroids_float(sf_dir: str) -> pd.DataFrame:
                          "vec_sum": pa.array(out_s, type=pa.list_(pa.float64())),
                          "n": pa.array(out_n, type=pa.int64())})
 
-    parts = ray.data.read_parquet(
+    parts = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
     ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
     rows = []
@@ -544,7 +545,7 @@ def q_emb_centroids(sf_dir: str) -> ray.data.Dataset:
             [("n", "sum"), ("csum_e6", "sum")]
         ).rename_columns(["label", "n", "csum_e6"])
 
-    return (ray.data.read_parquet(
+    return (read_parquet_clean(
                 f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
             .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
             .groupby("label")
@@ -633,13 +634,13 @@ def kmeans_fit(sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS
     fixed-point widening happens per batch inside the pass — transient,
     never pinned. (Round-3 shape rescaled+materialized the int64 copy:
     2× stored bytes pinned for the whole Lloyd loop.)"""
-    init = ray.data.read_parquet(
+    init = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
         filter=pc.field("vec_id") < k,
     ).to_pandas().sort_values("vec_id")
     cents = kmeans_scaled(np.asarray(list(init["embedding"])))
     dim = cents.shape[1]
-    corpus = (ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    corpus = (read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                                     columns=["embedding"])
               .materialize())
     for _ in range(iters):
@@ -744,7 +745,7 @@ def q_emb_cluster_sample(sf_dir: str, quota: int = CS_QUOTA
             "vec_id": df_["vec_id"].to_numpy(),
         })
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
     partial = ds.map_batches(assign_head, batch_format="pyarrow",
                              zero_copy_batch=True)
@@ -781,6 +782,7 @@ def queries():
         "emb_pq_ann": q_knn_pq_checked,
         "emb_knn_classify": q_knn_classify,
         "emb_semdedup": q_emb_semdedup_checked,
+        "emb_semdedup_keep": q_emb_semdedup_keep_checked,
     }
 
 
@@ -847,6 +849,7 @@ def oracle_sql():
         "emb_pq_ann": _pq_rank_sql(),
         "emb_knn_classify": _knn_classify_sql(),
         "emb_semdedup": _semdedup_sql(),
+        "emb_semdedup_keep": _semdedup_keep_sql(),
         "emb_ivf_ann": _candidate_rank_sql("ivf_candidates_expected"),
         "emb_knn": f"""
 WITH q AS (
@@ -915,7 +918,7 @@ def _train_coarse_centroids(sf_dir: str) -> np.ndarray:
     (first IVF_SAMPLE vec_ids — deterministic; at 100 TB this is the
     standard train-on-sample IVF recipe, the full corpus never reaches
     the driver). Returns (nlist, dim), L2-normalized."""
-    t = ray.data.read_parquet(
+    t = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
         filter=pc.field("vec_id") < IVF_SAMPLE,
     ).to_pandas().sort_values("vec_id")
@@ -1018,28 +1021,17 @@ def q_knn_ivf_checked(sf_dir: str) -> ray.data.Dataset:
 SEMDEDUP_TAU = 0.45      # margin to nearest within-cluster cosine at
                          # sf0.01 is 1.6e-3 — 12 orders above ULP drift
 SEMDEDUP_CHUNK = 2048    # pairwise chunk rows (memory = chunk × group)
+SEMDEDUP_GROUP_BOUND = 8192   # max rows per subgroup side of a pairwise
+                              # task; a cluster over this splits into
+                              # ceil(n/bound) vec_id-hash subgroups and
+                              # dedups via all subgroup PAIRS — exact,
+                              # per-task residency ≤ ~2×bound×d floats
 
 
-def q_emb_semdedup(sf_dir: str, tau: float = SEMDEDUP_TAU
-                   ) -> ray.data.Dataset:
-    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
-    over the FULL corpus made tractable by k-means partitioning —
-    pairwise cosine runs only WITHIN each cluster, so the quadratic
-    cost is bounded by cluster size, not corpus size. A vector is
-    removed iff an EARLIER one (vec_id asc) in its cluster has
-    cos ≥ τ; output: per-cluster (n, kept, removed).
-
-    Contrast with ``q_emb_dedup_semantic`` (exact full pair scan,
-    oracle-bounded prefix): here the whole corpus dedupes and the ONE
-    keyed exchange — corpus repartitioned by cluster id — IS the
-    algorithm. At scale, k grows with the corpus (SemDeDup's own
-    recipe keeps expected cluster size constant), so per-group
-    pairwise stays bounded; a hot cluster splits on a second hash key
-    at the same bound. Assignment is the fixed-point k-means —
-    bit-exact at any parallelism and serially reproducible, which is
-    what lets DuckDB re-derive the exact same partition from the
-    fixture assignment table and re-score every within-cluster pair
-    itself."""
+def _semdedup_assigned(sf_dir: str) -> ray.data.Dataset:
+    """Corpus with the fixed-point k-means cluster id appended:
+    (vec_id, embedding, cluster). Assignment is bit-exact at any
+    parallelism (see ``kmeans_scaled``)."""
     cents, _ = kmeans_fit(sf_dir)
     cref = ray.put(cents)
 
@@ -1049,41 +1041,215 @@ def q_emb_semdedup(sf_dir: str, tau: float = SEMDEDUP_TAU
         return t.append_column("cluster", pa.array(
             kmeans_assign(e, c).astype(np.int64)))
 
-    def dedup_group(df_: pd.DataFrame) -> pd.DataFrame:
-        df_ = df_.sort_values("vec_id")
-        mn = _normalize(np.asarray(list(df_["embedding"]),
-                                   dtype=np.float64))
-        g = len(df_)
-        rem = np.zeros(g, dtype=bool)
-        # CHUNKED upper-triangle pairwise: live floats are O(chunk × g),
-        # never O(g²) — the (g × d) group matrix is the only full-size
-        # buffer, so a cluster bounds worker memory by its row count
-        # alone (the SemDeDup residency assumption), not its square.
-        # A removed row still removes later ones (u ranges over ALL
-        # earlier rows — matches the SQL oracle's self-join).
-        ch = SEMDEDUP_CHUNK
-        cols = np.arange(g)
-        for s in range(0, g, ch):
-            e = min(s + ch, g)
-            hits = (mn[s:e] @ mn.T) >= tau           # (chunk, g)
-            hits &= cols[None, :] > np.arange(s, e)[:, None]   # i < j only
-            rem |= hits.any(axis=0)
-        return pd.DataFrame({
-            "cluster": df_["cluster"].iloc[:1].to_numpy(),
-            "n": np.array([len(df_)], dtype=np.int64),
-            "kept": np.array([int((~rem).sum())], dtype=np.int64),
-            "removed": np.array([int(rem.sum())], dtype=np.int64),
-        })
-
-    return (ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                                  columns=["vec_id", "embedding"])
-            .map_batches(assign, batch_format="pyarrow",
-                         zero_copy_batch=True)
-            .groupby("cluster")
-            .map_groups(dedup_group, batch_format="pandas"))
+    return read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def q_emb_semdedup_checked(sf_dir: str) -> ray.data.Dataset:
+def _cluster_sizes(assigned: ray.data.Dataset) -> dict[int, int]:
+    """Per-cluster row counts: per-batch ``np.unique`` partials folded
+    on the driver — ≤ #blocks × k tiny rows, no shuffle (the media-
+    stats partial recipe; a groupby here emits schema-less empty
+    reduce bundles at small scale, VERDICT r3 item 7)."""
+    def partial(t: pa.Table) -> pa.Table:
+        u, c = np.unique(t["cluster"].to_numpy(), return_counts=True)
+        return pa.table({"cluster": pa.array(u.astype(np.int64)),
+                         "n": pa.array(c.astype(np.int64))})
+
+    parts = assigned.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    return {int(c): int(n) for c, n in
+            parts.groupby("cluster")["n"].sum().items()}
+
+
+_HITS_SCHEMA = pa.schema([("cluster", pa.int64()), ("vec_id", pa.int64())])
+
+
+def _semdedup_hits(assigned: ray.data.Dataset, sizes: dict[int, int],
+                   tau: float, bound: int) -> ray.data.Dataset:
+    """Removed rows (cluster, vec_id) — possibly DUPLICATED across pair
+    tasks; every pairwise task memory-bounded. This is the hot-cluster
+    split VERDICT r4 item 2 demanded, and it is EXACT, not lossy:
+
+    Removal is a pure pairwise predicate — row j is removed iff ANY
+    earlier row i (vec_id asc, removed or not) in its cluster has
+    cos ≥ τ — so it distributes over an arbitrary partition of the
+    cluster: split cluster c into S_c = ceil(n_c / bound) subgroups by
+    ``vec_id % S_c`` and evaluate every ORDERED-BY-ID pair inside every
+    subgroup PAIR (a ≤ b), OR-ing the hits. No cross-subgroup pair is
+    missed (each (i, j) lands in exactly the (sub_i, sub_j) task) and
+    no transitive chain exists to break, so the union of per-pair hits
+    equals the single-task answer bit-for-bit.
+
+    Cost shape: a row in a split cluster is replicated S_c× (it joins
+    each of its S_c pair tasks) — Θ(n_c²/bound) bytes moved, the
+    inherent footprint of exact all-pairs at bounded memory. Normal
+    clusters (n ≤ bound) have S = 1: one (0,0) pair task, identical to
+    the unsplit plan, zero replication. Per-pair-group rows ≤ ~2×bound
+    under the vec_id-uniformity of ``% S`` (ids are dense ingest
+    sequence numbers; pinned by tests/test_ops_ann.py's planted-hot-
+    cluster case). The ONE keyed exchange routes by pair_key into
+    byte-sized partitions; a block holds many pair groups but the
+    pairwise buffers are per-group and chunked."""
+    from ..util import enable_hash_shuffle, small_exchange_partition_count
+
+    k_max = max(sizes) + 1 if sizes else 1
+    splits = np.ones(k_max, dtype=np.int64)
+    for c, n in sizes.items():
+        splits[c] = max(1, -(-n // bound))        # ceil div
+    maxs = int(splits.max())
+    sref = ray.put(splits)
+
+    def expand(t: pa.Table) -> pa.Table:
+        sp = ray.get(sref)
+        clu = t["cluster"].to_numpy()
+        vid = t["vec_id"].to_numpy()
+        s_per_row = sp[clu]                        # S_c per row
+        sub = vid % s_per_row
+        total = int(s_per_row.sum())
+        idx = np.repeat(np.arange(len(vid)), s_per_row)
+        offs = np.concatenate(([0], np.cumsum(s_per_row)[:-1]))
+        t_arr = np.arange(total) - np.repeat(offs, s_per_row)
+        sub_r = sub[idx]
+        lo = np.minimum(t_arr, sub_r)
+        hi = np.maximum(t_arr, sub_r)
+        key = (clu[idx] * maxs + lo) * maxs + hi
+        rep = t.take(pa.array(idx))
+        rep = rep.append_column("sub", pa.array(sub_r.astype(np.int64)))
+        return rep.append_column("pair_key", pa.array(key.astype(np.int64)))
+
+    def pair_block(df_: pd.DataFrame) -> pa.Table:
+        # output is ARROW: a pandas return would ride the next hash
+        # exchange through pa.Table.from_pandas, whose attached
+        # ``pandas`` schema metadata is unhashable and defeats Ray's
+        # schema-dedup cache (one aggregator warning per worker)
+        if df_.empty:
+            return _HITS_SCHEMA.empty_table()
+        outs: list[pd.DataFrame] = []
+        for key, g in df_.groupby("pair_key", sort=False):
+            b = int(key) % maxs
+            a = (int(key) // maxs) % maxs
+            vid = g["vec_id"].to_numpy()
+            sub = g["sub"].to_numpy()
+            mn = _normalize(np.asarray(list(g["embedding"]),
+                                       dtype=np.float64))
+            li = np.flatnonzero(sub == a)
+            ri = np.flatnonzero(sub == b)
+            hit_ids: list[np.ndarray] = []
+
+            def scan(cand: np.ndarray, base: np.ndarray) -> None:
+                # rows in ``cand`` removed by EARLIER (vec_id <) rows
+                # in ``base``. CHUNKED pairwise: live floats
+                # O(chunk × |base|); the (g × d) side matrices are
+                # each ≤ ~bound rows.
+                mb, vb = mn[base], vid[base]
+                for s in range(0, len(cand), SEMDEDUP_CHUNK):
+                    cs = cand[s:s + SEMDEDUP_CHUNK]
+                    hits = (mn[cs] @ mb.T) >= tau
+                    hits &= vb[None, :] < vid[cs][:, None]
+                    hit_ids.append(vid[cs][hits.any(axis=1)])
+
+            scan(ri, li)
+            if a != b:
+                # ordering crosses subgroups both ways: an earlier row
+                # in b removes a later row in a too
+                scan(li, ri)
+            out = (np.concatenate(hit_ids) if hit_ids
+                   else np.empty(0, dtype=np.int64))
+            outs.append(pd.DataFrame({
+                "cluster": np.full(len(out), int(g["cluster"].iloc[0]),
+                                   dtype=np.int64),
+                "vec_id": out.astype(np.int64)}))
+        if not outs:
+            return _HITS_SCHEMA.empty_table()
+        cat = pd.concat(outs, ignore_index=True)
+        return pa.table({"cluster": pa.array(cat["cluster"].to_numpy()),
+                         "vec_id": pa.array(cat["vec_id"].to_numpy())})
+
+    # exchange volume = Σ n_c × S_c replicated corpus rows
+    # (vec_id + cluster + sub + pair_key ints + float32 embedding)
+    row_bytes = 32 + 4 * _dim_of(assigned)
+    est = sum(n * max(1, -(-n // bound)) for n in sizes.values()) * row_bytes
+    n_parts = small_exchange_partition_count(est)
+    expanded = assigned.map_batches(expand, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    enable_hash_shuffle(expanded, n_parts)
+    return (expanded.repartition(n_parts, keys=["pair_key"])
+            .map_batches(pair_block, batch_format="pandas",
+                         batch_size=None))
+
+
+def _dim_of(assigned: ray.data.Dataset) -> int:
+    """Embedding dim from the schema (fixed-size or first-row probe)."""
+    try:
+        f = assigned.schema().base_schema.field("embedding").type
+        if hasattr(f, "list_size") and f.list_size:
+            return int(f.list_size)
+    except Exception:
+        pass
+    return 64
+
+
+def q_emb_semdedup(sf_dir: str, tau: float = SEMDEDUP_TAU,
+                   bound: int = SEMDEDUP_GROUP_BOUND) -> pd.DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
+    over the FULL corpus made tractable by k-means partitioning —
+    pairwise cosine runs only WITHIN each cluster, so the quadratic
+    cost is bounded by cluster size, not corpus size. A vector is
+    removed iff an EARLIER one (vec_id asc) in its cluster has
+    cos ≥ τ; output: per-cluster (n, kept, removed), ≤ k rows.
+
+    Contrast with ``q_emb_dedup_semantic`` (exact full pair scan,
+    oracle-bounded prefix): here the whole corpus dedupes and the ONE
+    keyed exchange — corpus routed by (cluster, subgroup-pair) — IS
+    the algorithm. At scale, k grows with the corpus (SemDeDup's own
+    recipe keeps expected cluster size constant); a cluster that still
+    exceeds ``bound`` rows splits into vec_id-hash subgroups and runs
+    every subgroup PAIR as its own bounded task — exact, see
+    ``_semdedup_removed_distinct``. The assigned corpus is
+    materialized once (≤ stored bytes + one int64 column — the same
+    residency class as ``kmeans_fit``) because the plan reads it
+    twice: the tiny counting pass that sizes the splits, then the
+    pairwise pass. Assignment is the fixed-point k-means — bit-exact
+    at any parallelism and serially reproducible, which is what lets
+    DuckDB re-derive the exact same partition from the fixture
+    assignment table and re-score every within-cluster pair itself."""
+    from ..util import enable_hash_shuffle, small_exchange_partition_count
+
+    assigned = _semdedup_assigned(sf_dir).materialize()
+    sizes = _cluster_sizes(assigned)
+    hits = _semdedup_hits(assigned, sizes, tau, bound)
+
+    # distinct + per-cluster removed counts: ONE keyed exchange on
+    # vec_id (a hit may fire in several pair tasks; same id → same
+    # partition), block-local drop_duplicates + unique-count partials,
+    # driver fold over ≤ n_parts × k tiny rows — never an id set.
+    def count_block(df_: pd.DataFrame) -> pd.DataFrame:
+        if df_.empty:
+            return pd.DataFrame({"cluster": np.empty(0, np.int64),
+                                 "removed": np.empty(0, np.int64)})
+        u, c = np.unique(
+            df_.drop_duplicates("vec_id")["cluster"].to_numpy(),
+            return_counts=True)
+        return pd.DataFrame({"cluster": u.astype(np.int64),
+                             "removed": c.astype(np.int64)})
+
+    n_parts = small_exchange_partition_count(sum(sizes.values()) * 16)
+    enable_hash_shuffle(hits, n_parts)
+    parts = (hits.repartition(n_parts, keys=["vec_id"])
+             .map_batches(count_block, batch_format="pandas",
+                          batch_size=None).to_pandas())
+    per_cluster = parts.groupby("cluster")["removed"].sum().to_dict()
+    clusters = sorted(sizes)
+    n = np.array([sizes[c] for c in clusters], dtype=np.int64)
+    rm = np.array([int(per_cluster.get(c, 0)) for c in clusters],
+                  dtype=np.int64)
+    return pd.DataFrame({
+        "cluster": np.array(clusters, dtype=np.int64),
+        "n": n, "kept": n - rm, "removed": rm})
+
+
+def q_emb_semdedup_checked(sf_dir: str) -> pd.DataFrame:
     """Driver-facing ``emb_semdedup``: materializes the serial k-means
     assignment fixture (shared with ``emb_cluster_sample``) so DuckDB
     can rebuild the identical cluster partition."""
@@ -1092,7 +1258,73 @@ def q_emb_semdedup_checked(sf_dir: str) -> ray.data.Dataset:
     return q_emb_semdedup(sf_dir)
 
 
-def _semdedup_sql() -> str:
+def q_emb_semdedup_keep(sf_dir: str, tau: float = SEMDEDUP_TAU,
+                        bound: int = SEMDEDUP_GROUP_BOUND
+                        ) -> ray.data.Dataset:
+    """SemDeDup KEEP-LIST — the artifact a curation pipeline actually
+    ships (the per-cluster counts of ``q_emb_semdedup`` are the audit
+    view). Output: one ``vec_id`` row per survivor.
+
+    Scale shape: the removed-hit frontier (int rows, distributed —
+    duplicates across pair tasks are harmless to an anti-join) unions
+    with the corpus id stream and anti-joins on ONE keyed vec_id
+    repartition with block-local ``np.isin`` — the ``q_dedup_near`` /
+    ``_semantic_antijoin_counts`` recipe; no id set ever lands on the
+    driver."""
+    from ..util import enable_hash_shuffle, small_exchange_partition_count
+
+    assigned = _semdedup_assigned(sf_dir).materialize()
+    sizes = _cluster_sizes(assigned)
+    removed = _semdedup_hits(assigned, sizes, tau, bound)
+
+    def tag_removal(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "vec_id": pc.cast(t["vec_id"], pa.int64()),
+            "is_removal": pa.array(np.ones(len(t), dtype=np.int8))})
+
+    def tag_corpus(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "vec_id": pc.cast(t["vec_id"], pa.int64()),
+            "is_removal": pa.array(np.zeros(len(t), dtype=np.int8))})
+
+    corpus_ids = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
+    ).map_batches(tag_corpus, batch_format="pyarrow",
+                  zero_copy_batch=True)
+    both = corpus_ids.union(
+        removed.map_batches(tag_removal, batch_format="pyarrow",
+                            zero_copy_batch=True))
+
+    _OUT = pa.schema([("vec_id", pa.int64())])
+
+    def keep_block(df_: pd.DataFrame) -> pd.DataFrame:
+        if df_.empty:
+            return _OUT.empty_table().to_pandas()
+        gone = df_.loc[df_["is_removal"] == 1, "vec_id"].to_numpy()
+        ids = df_.loc[df_["is_removal"] == 0, "vec_id"].to_numpy()
+        return pd.DataFrame(
+            {"vec_id": ids[~np.isin(ids, gone)].astype(np.int64)})
+
+    total = sum(sizes.values())
+    n_parts = small_exchange_partition_count(total * 9)
+    enable_hash_shuffle(both, n_parts)
+    return (both.repartition(n_parts, keys=["vec_id"])
+            .map_batches(keep_block, batch_format="pandas",
+                         batch_size=None))
+
+
+def q_emb_semdedup_keep_checked(sf_dir: str) -> ray.data.Dataset:
+    """Driver-facing ``emb_semdedup_keep`` (fixture: see
+    ``q_emb_semdedup_checked``)."""
+    from .. import fixtures
+    fixtures.kmeans_assign_expected_dir(sf_dir)
+    return q_emb_semdedup_keep(sf_dir)
+
+
+def _semdedup_cte() -> str:
+    """Shared WITH prefix: the fixture cluster assignment joined back
+    to the live embeddings, plus the removed-id set DuckDB re-derives
+    by re-scoring every within-cluster ordered pair itself."""
     from pathlib import Path
 
     from .. import fixtures
@@ -1110,13 +1342,25 @@ WITH e AS (
   WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
                                CAST(b.embedding AS DOUBLE[]))
         >= {SEMDEDUP_TAU}
-)
+)"""
+
+
+def _semdedup_sql() -> str:
+    return _semdedup_cte() + """
 SELECT e.cluster, COUNT(*)::BIGINT AS n,
        SUM(CASE WHEN rem.vec_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS kept,
        SUM(CASE WHEN rem.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
          AS removed
 FROM e LEFT JOIN rem ON e.vec_id = rem.vec_id
 GROUP BY e.cluster ORDER BY e.cluster
+"""
+
+
+def _semdedup_keep_sql() -> str:
+    return _semdedup_cte() + """
+SELECT e.vec_id
+FROM e LEFT JOIN rem ON e.vec_id = rem.vec_id
+WHERE rem.vec_id IS NULL
 """
 
 
@@ -1145,7 +1389,7 @@ def q_knn_classify(sf_dir: str, seed_n: int = KNNC_SEED_N,
     stable argsort over seeds pre-sorted by vec_id; vote ties break to
     the SMALLEST label (argmax over labels sorted by ``np.unique``) —
     both mirrored literally in the SQL oracle's window clauses."""
-    seeds = ray.data.read_parquet(
+    seeds = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet",
         columns=["vec_id", "embedding", "label"],
         filter=pc.field("vec_id") < seed_n,
@@ -1175,7 +1419,7 @@ def q_knn_classify(sf_dir: str, seed_n: int = KNNC_SEED_N,
             "votes": pa.array(counts[np.arange(len(ids)), pred]),
         })
 
-    return ray.data.read_parquet(
+    return read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
         filter=pc.field("vec_id") >= seed_n,
     ).map_batches(classify, batch_format="pyarrow", zero_copy_batch=True)
@@ -1288,7 +1532,7 @@ def pq_fit(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     """Train the coarse quantizer + PQ codebooks on the bounded
     deterministic sample (first PQ_SAMPLE vec_ids) — the standard
     train-on-sample recipe; the full corpus never reaches the driver."""
-    t = ray.data.read_parquet(
+    t = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
         filter=pc.field("vec_id") < PQ_SAMPLE,
     ).to_pandas().sort_values("vec_id")

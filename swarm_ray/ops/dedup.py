@@ -28,6 +28,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 from ray.data.aggregate import Min
+from ..util import read_parquet_clean
 
 DOC_COLS = ["doc_id", "text"]
 
@@ -43,7 +44,7 @@ def _doc_files(sf_dir: str) -> list[str]:
 
 
 def _read_docs(sf_dir: str) -> ray.data.Dataset:
-    return ray.data.read_parquet(_doc_files(sf_dir), columns=DOC_COLS)
+    return read_parquet_clean(_doc_files(sf_dir), columns=DOC_COLS)
 
 
 def _docs_count(sf_dir: str) -> int:
@@ -156,7 +157,7 @@ def q_jaccard_pairs(sf_dir: str) -> "pd.DataFrame":
     against. All-pairs is deliberately NOT the scale path (that's
     minhash); N is fixed so the driver-side cost is constant."""
     # predicate pushdown: only the bounded prefix leaves storage
-    docs = ray.data.read_parquet(
+    docs = read_parquet_clean(
         _doc_files(sf_dir), columns=DOC_COLS,
         filter=pc.field("doc_id") < JACCARD_N,
     ).to_pandas()
@@ -1034,7 +1035,7 @@ def q_dedup_near(sf_dir: str) -> ray.data.Dataset:
             "is_removal": pa.array(np.zeros(len(t), dtype=np.int8)),
         })
 
-    corpus = ray.data.read_parquet(
+    corpus = read_parquet_clean(
         _doc_files(sf_dir), columns=["doc_id", "source"]
     ).map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
 

@@ -30,6 +30,7 @@ import ray
 import ray.data
 
 from .dedup import _doc_files
+from ..util import read_parquet_clean
 
 EMBED_DIM = 64
 EMBED_SEED = 271828
@@ -121,7 +122,7 @@ class EmbedStage:
 def doc_embeddings(sf_dir: str) -> ray.data.Dataset:
     """Embed every document — the float (doc_id, embedding) surface
     downstream ANN/dedup stages compose with."""
-    return ray.data.read_parquet(
+    return read_parquet_clean(
         _doc_files(sf_dir), columns=["doc_id", "text"],
     ).map_batches(EmbedStage, batch_format="pandas",
                   batch_size=EMBED_BATCH_SIZE, concurrency=_embed_pool())
@@ -166,7 +167,7 @@ def q_doc_embed_knn(sf_dir: str, k: int = 5, n_queries: int = 5):
     from ..util import autoscaling_pool
 
     fixtures.doc_embed_expected_dir(sf_dir)   # materialize the oracle side
-    qdocs = ray.data.read_parquet(
+    qdocs = read_parquet_clean(
         _doc_files(sf_dir), columns=["doc_id", "text"],
         filter=pc.field("doc_id") < n_queries,
     ).to_pandas().sort_values("doc_id").reset_index(drop=True)

@@ -38,6 +38,7 @@ import ray
 import ray.data
 
 from .. import fixtures
+from ..util import read_parquet_clean
 
 #: media stages use small batches (payloads are big); the actor pool is
 #: cluster-derived with frac=0.5 — decode is memory-bound, so half the
@@ -300,7 +301,7 @@ def _read_media(sf_dir: str, columns: list[str] | None = None) -> ray.data.Datas
     oracle columns (lists) and metadata a stage doesn't touch must not
     leave storage for a payload-only transform."""
     label = fixtures.label_for_sf_dir(sf_dir)
-    return ray.data.read_parquet(fixtures.media_files(label), columns=columns)
+    return read_parquet_clean(fixtures.media_files(label), columns=columns)
 
 
 def decoded(sf_dir: str, columns: list[str] | None = None) -> ray.data.Dataset:

@@ -24,12 +24,13 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 from ray.data.aggregate import Count, Sum
+from ..util import read_parquet_clean
 
 SESSION_GAP_MIN = 30
 
 
 def _read_events(sf_dir: str, columns=None) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+    return read_parquet_clean(f"{sf_dir}/events.parquet", columns=columns)
 
 
 def _events_count(sf_dir: str) -> int:
@@ -388,7 +389,7 @@ def q_tpch_pricing(sf_dir: str) -> ray.data.Dataset:
             "disc_cents": pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64()),
         })
 
-    return (ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=cols)
+    return (read_parquet_clean(f"{sf_dir}/lineitem.parquet", columns=cols)
             .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
             .groupby(["l_returnflag", "l_linestatus"])
             .aggregate(Sum("qty_cents", alias_name="sum_qty_cents"),
@@ -402,9 +403,9 @@ def q_tpch_nation_orders(sf_dir: str) -> ray.data.Dataset:
     BROADCAST hash lookups (customer→nation key, nation→name) inside one
     map_batches, then a small groupby: the no-shuffle join plan for
     dimension tables (SURVEY §2.4), vs. the SQL's literal joins."""
-    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
                                  columns=["c_custkey", "c_nationkey"]).to_pandas()
-    nation = ray.data.read_parquet(f"{sf_dir}/nation.parquet",
+    nation = read_parquet_clean(f"{sf_dir}/nation.parquet",
                                    columns=["n_nationkey", "n_name"]).to_pandas()
     cust_arr = np.full(int(cust["c_custkey"].max()) + 1, -1, dtype=np.int64)
     cust_arr[cust["c_custkey"].to_numpy()] = cust["c_nationkey"].to_numpy()
@@ -425,7 +426,7 @@ def q_tpch_nation_orders(sf_dir: str) -> ray.data.Dataset:
                              "total_cents": cents})
 
     from ..util import autoscaling_pool
-    return (ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+    return (read_parquet_clean(f"{sf_dir}/orders.parquet",
                                   columns=["o_custkey", "o_totalprice"])
             .map_batches(JoinLookup, batch_format="pyarrow", zero_copy_batch=True,
                          concurrency=autoscaling_pool(),
@@ -453,7 +454,7 @@ def q_tpch_revenue(sf_dir: str) -> pd.DataFrame:
         d = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64())
         return pa.table({"revenue_e4": pc.multiply(e, d)})
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_extendedprice", "l_discount", "l_shipdate", "l_quantity"],
         filter=filt,
@@ -734,9 +735,9 @@ def q_tpch_priority_revenue(sf_dir: str) -> ray.data.Dataset:
     co-partition both sides on the key — the 100 TB plan, where
     num_partitions scales with the cluster."""
     from ..util import cluster_cpus, enable_hash_shuffle
-    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
                                columns=["l_orderkey", "l_extendedprice"])
-    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
                                    columns=["o_orderkey", "o_orderpriority"])
     enable_hash_shuffle(li, max(8, cluster_cpus()))
 

@@ -38,6 +38,7 @@ import ray
 import ray.data
 
 from .dedup import _doc_files, _docs_count
+from ..util import read_parquet_clean
 
 #: span window width in WORDS. Lee et al. use 50 BPE tokens; the
 #: synthetic corpus' docs are 20-100 words, so 8 keeps test signal
@@ -123,7 +124,7 @@ def _covered_rows(sf_dir: str, carry_n: bool) -> ray.data.Dataset:
 
     cols = ["doc_id", "text"]
     want = {"doc_id": True, "pos": True, "n_words": carry_n}
-    sh = ray.data.read_parquet(_doc_files(sf_dir), columns=cols) \
+    sh = read_parquet_clean(_doc_files(sf_dir), columns=cols) \
         .map_batches(lambda t: _explode_shingles(t, want),
                      batch_format="pyarrow", zero_copy_batch=True)
     n_parts = keyed_partition_count(_docs_count(sf_dir) * _SHINGLE_ROW_BYTES)
@@ -213,7 +214,7 @@ def q_doc_dedup_spans(sf_dir: str) -> ray.data.Dataset:
             "is_cov": pa.array(np.ones(len(t), dtype=np.int8))}),
         batch_format="pyarrow", zero_copy_batch=True)
 
-    corpus = ray.data.read_parquet(
+    corpus = read_parquet_clean(
         _doc_files(sf_dir), columns=["doc_id", "text"]
     ).map_batches(
         lambda t: pa.table({
@@ -356,7 +357,7 @@ def q_doc_source_overlap(sf_dir: str) -> ray.data.Dataset:
             "n": pa.array(cnt.astype(np.int64), type=pa.int64()),
         })
 
-    sh = ray.data.read_parquet(_doc_files(sf_dir),
+    sh = read_parquet_clean(_doc_files(sf_dir),
                                columns=["doc_id", "text", "source"]) \
         .map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
     n_parts = keyed_partition_count(_docs_count(sf_dir) * _SHINGLE_ROW_BYTES)
@@ -421,7 +422,7 @@ def q_doc_split_leakfree(sf_dir: str) -> ray.data.Dataset:
                                pa.scalar("train"), pa.scalar("eval"))
             return pa.table({"doc_id": t["doc_id"], "split": split})
 
-    return ray.data.read_parquet(
+    return read_parquet_clean(
         _doc_files(sf_dir), columns=["doc_id"]
     ).map_batches(Split, fn_constructor_args=(ref,),
                   batch_format="pyarrow", zero_copy_batch=True,

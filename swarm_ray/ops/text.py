@@ -23,6 +23,7 @@ import pyarrow as pa
 import ray.data
 
 from .dedup import _doc_files
+from ..util import read_parquet_clean
 
 #: tiny stopword set used by the oracle-checked quality heuristic
 #: (must stay in sync with the SQL in ops/__init__.py)
@@ -32,7 +33,7 @@ DOC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
 
 
 def _read_docs(sf_dir: str) -> ray.data.Dataset:
-    return ray.data.read_parquet(_doc_files(sf_dir), columns=DOC_COLS)
+    return read_parquet_clean(_doc_files(sf_dir), columns=DOC_COLS)
 
 
 # ------------------------------------------------------------ token stats
@@ -216,7 +217,7 @@ def q_doc_curation(sf_dir: str) -> ray.data.Dataset:
     """
     from ..stages.ids import md5_hex
 
-    docs = ray.data.read_parquet(_doc_files(sf_dir),
+    docs = read_parquet_clean(_doc_files(sf_dir),
                                  columns=["doc_id", "text", "lang"])
 
     def gate(batch: pd.DataFrame) -> pd.DataFrame:
@@ -287,7 +288,7 @@ def q_doc_split(sf_dir: str) -> ray.data.Dataset:
         return pa.TableGroupBy(out, ["split", "lang"]).aggregate(
             [([], "count_all")]).rename_columns(["split", "lang", "n_docs"])
 
-    return (ray.data.read_parquet(_doc_files(sf_dir),
+    return (read_parquet_clean(_doc_files(sf_dir),
                                   columns=["doc_id", "lang"])
             .map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
             .groupby(["split", "lang"])
@@ -439,7 +440,7 @@ def q_doc_decontaminate(sf_dir: str) -> ray.data.Dataset:
                 t["doc_id"].to_numpy(zero_copy_only=False)[hit],
                 type=pa.int64())})
 
-    ds = ray.data.read_parquet(_doc_files(sf_dir),
+    ds = read_parquet_clean(_doc_files(sf_dir),
                                columns=["doc_id", "text"])
     sh = ds.map_batches(shingle_rows, batch_format="pyarrow",
                         zero_copy_batch=True)
@@ -501,7 +502,7 @@ def q_doc_pii(sf_dir: str) -> ray.data.Dataset:
 
     d = fixtures.pii_documents_dir(fixtures.label_for_sf_dir(sf_dir))
     files = sorted(str(p) for p in d.glob("*.parquet"))
-    return ray.data.read_parquet(files).map_batches(
+    return read_parquet_clean(files).map_batches(
         redact, batch_format="pyarrow", zero_copy_batch=True)
 
 
@@ -601,7 +602,7 @@ def q_doc_repetition(sf_dir: str) -> ray.data.Dataset:
                                              type=pa.int64())
         return pa.table(cols)
 
-    return ray.data.read_parquet(
+    return read_parquet_clean(
         _doc_files(sf_dir), columns=["doc_id", "text"]
     ).map_batches(rep, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -673,7 +674,7 @@ def q_doc_tfidf_top(sf_dir: str) -> ray.data.Dataset:
         df_ = df_.assign(rank=rank.astype("int64"))
         return df_[df_["rank"] <= 3][["doc_id", "rank", "term", "tf", "df"]]
 
-    ds = ray.data.read_parquet(_doc_files(sf_dir),
+    ds = read_parquet_clean(_doc_files(sf_dir),
                                columns=["doc_id", "text"])
     tf_rows = ds.map_batches(explode_tf, batch_format="pyarrow",
                              zero_copy_batch=True)
@@ -742,7 +743,7 @@ def q_doc_chunks(sf_dir: str) -> ray.data.Dataset:
             "chunk_md5": md5_hex(text_out),
         })
 
-    return ray.data.read_parquet(
+    return read_parquet_clean(
         _doc_files(sf_dir), columns=["doc_id", "text"]
     ).map_batches(chunk, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -772,7 +773,7 @@ def q_doc_common_frac(sf_dir: str) -> ray.data.Dataset:
 
     from .agg import grouped_count
 
-    docs = ray.data.read_parquet(_doc_files(sf_dir),
+    docs = read_parquet_clean(_doc_files(sf_dir),
                                  columns=["doc_id", "text"])
 
     def explode_words(t: pa.Table) -> pa.Table:
@@ -893,7 +894,7 @@ def q_doc_lm_score(sf_dir: str) -> ray.data.Dataset:
         return g.astype({"doc_id": "int64", "n_words": "int64",
                          "total_lfam": "int64", "fam_milli": "int64"})
 
-    ds = ray.data.read_parquet(_doc_files(sf_dir),
+    ds = read_parquet_clean(_doc_files(sf_dir),
                                columns=["doc_id", "text"])
     tf_rows = ds.map_batches(explode_tf, batch_format="pyarrow",
                              zero_copy_batch=True)
@@ -961,7 +962,7 @@ def q_doc_quality_topp(sf_dir: str) -> ray.data.Dataset:
             "n_kept": np.array([cum[idx]], dtype=np.int64),
         })
 
-    ds = ray.data.read_parquet(_doc_files(sf_dir),
+    ds = read_parquet_clean(_doc_files(sf_dir),
                                columns=["source", "text"])
     partial = ds.map_batches(score_hist, batch_format="pandas",
                              batch_size=8192)

@@ -32,6 +32,7 @@ import ray.data
 
 
 from .. import fixtures
+from ..util import read_parquet_clean
 
 VOCAB = 50_257          # token id upper bound (fixtures.VOCAB)
 TOPK = 100
@@ -71,7 +72,7 @@ def q_token_topk(sf_dir: str, k: int = TOPK) -> pd.DataFrame:
     takes ~2 s; at 10^12 scale add fold levels (log₆₄) instead of
     widening the driver fold."""
     import numpy as np
-    ds = (ray.data.read_parquet(_seq_files(sf_dir), columns=["tokens"])
+    ds = (read_parquet_clean(_seq_files(sf_dir), columns=["tokens"])
           .map_batches(_dense_hist, batch_format="pyarrow", zero_copy_batch=True,
                        batch_size=32768)
           .map_batches(_sum_hists, batch_format="pyarrow", zero_copy_batch=True,
@@ -177,7 +178,7 @@ def q_seq_pack(sf_dir: str, capacity: int = PACK_CAPACITY) -> ray.data.Dataset:
                                  preserve_index=False)
         return packer(t).to_pandas()
 
-    return (ray.data.read_parquet(_seq_files(sf_dir), columns=["doc_id", "n_tok"])
+    return (read_parquet_clean(_seq_files(sf_dir), columns=["doc_id", "n_tok"])
             .map_batches(add_pack_group, batch_format="pyarrow",
                          zero_copy_batch=True)
             .groupby("pack_group")
@@ -386,7 +387,7 @@ def q_seq_sample(sf_dir: str) -> ray.data.Dataset:
                         value_set=pa.array(["0", "1"]))
         return batch.filter(keep)
 
-    ds = ray.data.read_parquet(_seq_files(sf_dir), columns=["doc_id", "source"])
+    ds = read_parquet_clean(_seq_files(sf_dir), columns=["doc_id", "source"])
     return grouped_count(
         ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True),
         ["source"], alias="sampled_rows")
@@ -421,7 +422,7 @@ def q_seq_shuffle(sf_dir: str) -> pd.DataFrame:
         return pa.table({"doc_id": t["doc_id"],
                          "skey": md5_hex(salted)})
 
-    head = (ray.data.read_parquet(_seq_files(sf_dir), columns=["doc_id"])
+    head = (read_parquet_clean(_seq_files(sf_dir), columns=["doc_id"])
             .map_batches(key, batch_format="pyarrow", zero_copy_batch=True)
             .sort("skey")
             .limit(SHUFFLE_HEAD)
@@ -493,7 +494,7 @@ def q_seq_mixture(sf_dir: str) -> ray.data.Dataset:
         part = g.aggregate([("n_tok", "sum"), ("source", "count")])
         return part.rename_columns(["source", "tok_kept", "rows_kept"])
 
-    ds = ray.data.read_parquet(_seq_files(sf_dir),
+    ds = read_parquet_clean(_seq_files(sf_dir),
                                columns=["doc_id", "source", "n_tok"])
     return (ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)
             .groupby("source")
@@ -534,7 +535,7 @@ def q_seq_mixture_temp(sf_dir: str, alpha: float = TEMP_ALPHA
         return g.aggregate([("source", "count")]) \
             .rename_columns(["source", "c"])
 
-    counts = (ray.data.read_parquet(_seq_files(sf_dir), columns=["source"])
+    counts = (read_parquet_clean(_seq_files(sf_dir), columns=["source"])
               .map_batches(count_partial, batch_format="pyarrow",
                            zero_copy_batch=True)
               .groupby("source").aggregate(_Sum("c", alias_name="c"))
@@ -561,7 +562,7 @@ def q_seq_mixture_temp(sf_dir: str, alpha: float = TEMP_ALPHA
         part = g.aggregate([("n_tok", "sum"), ("source", "count")])
         return part.rename_columns(["source", "tok_kept", "rows_kept"])
 
-    ds = ray.data.read_parquet(_seq_files(sf_dir),
+    ds = read_parquet_clean(_seq_files(sf_dir),
                                columns=["doc_id", "source", "n_tok"])
     return (ds.map_batches(sample, batch_format="pyarrow",
                            zero_copy_batch=True)
@@ -649,7 +650,7 @@ def q_bigram_topk_shuffle(sf_dir: str, k: int = BIGRAM_TOPK) -> pd.DataFrame:
     import pyarrow.parquet as _pq
     files = _seq_files(sf_dir)
     n_rows = sum(_pq.read_metadata(f).num_rows for f in files)
-    parts = (ray.data.read_parquet(files, columns=["tokens"])
+    parts = (read_parquet_clean(files, columns=["tokens"])
              .map_batches(_bigram_partial, batch_format="pyarrow",
                           zero_copy_batch=True, batch_size=32768))
     # exchange volume ≈ one 14 B partial row per raw pair (near-uniform
@@ -938,7 +939,7 @@ def q_seq_token_budget(sf_dir: str,
         return pa.TableGroupBy(part, ["source", "bucket"]).aggregate(
             [("n_tok", "sum")]).rename_columns(["source", "bucket", "tok"])
 
-    ds = ray.data.read_parquet(files,
+    ds = read_parquet_clean(files,
                                columns=["doc_id", "source", "n_tok"])
     sums = ds.map_batches(bucket_partial, batch_format="pyarrow",
                           zero_copy_batch=True).to_pandas()
@@ -1047,7 +1048,7 @@ def q_seq_stratified(sf_dir: str, quota: int = STRAT_QUOTA
             "doc_id": df_["doc_id"].to_numpy(),
         })
 
-    ds = ray.data.read_parquet(_seq_files(sf_dir),
+    ds = read_parquet_clean(_seq_files(sf_dir),
                                columns=["doc_id", "source"])
     partial = ds.map_batches(local_head, batch_format="pyarrow",
                              zero_copy_batch=True)
@@ -1087,7 +1088,7 @@ def q_seq_curriculum(sf_dir: str,
     from ray.data.aggregate import Min as _Min
     from ray.data.aggregate import Sum as _Sum
 
-    ds = ray.data.read_parquet(_seq_files(sf_dir), columns=["doc_id", "n_tok"])
+    ds = read_parquet_clean(_seq_files(sf_dir), columns=["doc_id", "n_tok"])
     sorted_ds = ds.sort(["n_tok", "doc_id"],
                         descending=[True, False]).materialize()
 

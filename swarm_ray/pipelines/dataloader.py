@@ -17,6 +17,7 @@ from pathlib import Path
 import numpy as np
 
 import ray.data
+from ..util import read_parquet_clean
 
 
 def iter_token_batches(sink_dir: str | Path, *, batch_tokens: int = 65_536,
@@ -30,7 +31,7 @@ def iter_token_batches(sink_dir: str | Path, *, batch_tokens: int = 65_536,
     files = sorted(str(p) for p in Path(sink_dir).rglob("*.parquet"))
     if not files:
         raise FileNotFoundError(f"no parquet under {sink_dir}")
-    ds = ray.data.read_parquet(files, columns=[id_col, "tokens", "n_tok"])
+    ds = read_parquet_clean(files, columns=[id_col, "tokens", "n_tok"])
 
     acc_vals: list[np.ndarray] = []
     acc_offs: list[int] = [0]

@@ -39,6 +39,7 @@ from ..sinks.parquet_sink import update_sink_schema, write_routed
 from ..state.checkpoint import (PartitionPlan, commit_partition, pending_partitions,
                                 plan_incremental, plan_partitions)
 from .. import fixtures
+from ..util import read_parquet_clean
 
 #: input columns the pipeline needs — prune at the read. (All four are
 #: needed here; listed explicitly so adding input columns later doesn't
@@ -63,7 +64,7 @@ def _read_input(paths: list[str] | str,
         from ..sources.json_source import read_sequences_json
         return read_sequences_json(paths, override_num_blocks=override_num_blocks,
                                    counter=json_row_counter)
-    return ray.data.read_parquet(paths, columns=INPUT_COLUMNS,
+    return read_parquet_clean(paths, columns=INPUT_COLUMNS,
                                  override_num_blocks=override_num_blocks)
 
 

@@ -19,6 +19,7 @@ import pyarrow.parquet as pq
 import ray.data
 
 from ..sinks.parquet_sink import update_sink_schema
+from ..util import read_parquet_clean
 
 
 def migrate_sink(src_dir: str | Path, dst_dir: str | Path) -> dict:
@@ -34,7 +35,7 @@ def migrate_sink(src_dir: str | Path, dst_dir: str | Path) -> dict:
     src_schema = pq.read_schema(files[0])
     merged = update_sink_schema(dst_dir, src_schema)
 
-    ds = ray.data.read_parquet(files)
+    ds = read_parquet_clean(files)
     ds.write_parquet(str(dst_dir))
 
     rows = sum(pq.read_metadata(f).num_rows for f in files)

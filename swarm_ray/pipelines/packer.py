@@ -28,6 +28,7 @@ import pyarrow as pa
 import ray.data
 
 from ..ops.tokens import PACK_CAPACITY, PACK_GROUP, PackBins, _seq_files
+from ..util import read_parquet_clean
 
 
 def _pack_group_to_shard(df: pd.DataFrame, capacity: int) -> pa.Table:
@@ -104,7 +105,7 @@ def write_packed_shards(sf_dir: str, out_dir: str | Path,
     # full rerun byte-identical
     import shutil
     shutil.rmtree(out_dir, ignore_errors=True)
-    ds = (ray.data.read_parquet(_seq_files(sf_dir),
+    ds = (read_parquet_clean(_seq_files(sf_dir),
                                 columns=["doc_id", "tokens", "n_tok"])
           .map_batches(add_pack_group, batch_format="pyarrow",
                        zero_copy_batch=True)

@@ -20,6 +20,7 @@ from .pipelines.flagship import build_routed
 from .rules.spec import default_ruleset
 from .stages.enrich import EnrichStage
 from .stages.parse import ParseStage
+from .util import read_parquet_clean
 
 ROUTED_COLS = ["doc_id", "source", "n_tok", "rule_name", "sink_dataset",
                "sink_table", "sink_partition", "log_id", "timestamp"]
@@ -35,14 +36,14 @@ def q_source_counts(sf_dir: str) -> ray.data.Dataset:
     the exchange moves #blocks × #keys partials, not 10^12 rows — also
     the skew treatment for the 55%-hot source key."""
     from .ops.agg import grouped_count
-    ds = ray.data.read_parquet(_seq_files(sf_dir), columns=["source"])
+    ds = read_parquet_clean(_seq_files(sf_dir), columns=["source"])
     return grouped_count(ds, ["source"])
 
 
 def q_parse(sf_dir: str) -> ray.data.Dataset:
     """M1/S5 — event filter + vectorized regex parse of doc_id.
     Token payload pruned at the read — parse touches metadata only."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         _seq_files(sf_dir), columns=["doc_id", "source", "n_tok"],
     ).map_batches(
         ParseStage(default_ruleset()), batch_format="pyarrow", zero_copy_batch=True)
@@ -102,7 +103,7 @@ def q_enrich_counts(sf_dir: str) -> ray.data.Dataset:
     filter) so the miss path (null severity/tag) is part of the check."""
     from .util import autoscaling_pool
     intel_ref = ray.put(fixtures.intel_table())
-    ds = ray.data.read_parquet(_seq_files(sf_dir), columns=["source"]).map_batches(
+    ds = read_parquet_clean(_seq_files(sf_dir), columns=["source"]).map_batches(
         EnrichStage, batch_format="pyarrow", zero_copy_batch=True,
         concurrency=autoscaling_pool(),
         fn_constructor_kwargs={"intel_ref": intel_ref})
@@ -131,7 +132,7 @@ def q_drop_stats(sf_dir: str) -> ray.data.Dataset:
         return pa.table({"reason": reason})
     from .ops.agg import grouped_count
     return grouped_count(
-        ray.data.read_parquet(_seq_files(sf_dir), columns=["doc_id", "source"])
+        read_parquet_clean(_seq_files(sf_dir), columns=["doc_id", "source"])
         .map_batches(classify, batch_format="pyarrow", zero_copy_batch=True),
         ["reason"])
 
@@ -141,7 +142,7 @@ def q_ntok_quantiles(sf_dir: str) -> ray.data.Dataset:
     plan (ops/agg.py:salted_quantiles); oracle-checked against DuckDB
     quantile_disc."""
     from .ops.agg import salted_quantiles
-    ds = ray.data.read_parquet(_seq_files(sf_dir),
+    ds = read_parquet_clean(_seq_files(sf_dir),
                                columns=["doc_id", "source", "n_tok"])
     return salted_quantiles(ds, "source", "n_tok", domain=512)
 
@@ -153,7 +154,7 @@ def q_ntok_median(sf_dir: str) -> ray.data.Dataset:
     from .ops.agg import salted_median
     # prune at the read: the shuffle must move (doc_id, source, n_tok)
     # triples, never the token payload
-    ds = ray.data.read_parquet(_seq_files(sf_dir),
+    ds = read_parquet_clean(_seq_files(sf_dir),
                                columns=["doc_id", "source", "n_tok"])
     return salted_median(ds, "source", "n_tok", domain=512)
 

@@ -24,6 +24,7 @@ from pathlib import Path
 import pyarrow.parquet as pq
 
 import ray.data
+from ..util import read_parquet_clean
 
 
 def compact_sink(sink_dir: str | Path,
@@ -41,7 +42,7 @@ def compact_sink(sink_dir: str | Path,
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(pre, ignore_errors=True)
 
-    (ray.data.read_parquet(files)
+    (read_parquet_clean(files)
      .write_parquet(str(tmp), min_rows_per_file=target_rows_per_file,
                     compression="zstd", compression_level=1))
 

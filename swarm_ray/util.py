@@ -13,6 +13,31 @@ pools from configuration rather than constants
 from __future__ import annotations
 
 
+def _strip_schema_metadata(t):
+    """Drop file-level schema metadata from a read block (rebuilds only
+    the schema object — the column buffers are untouched)."""
+    return t.replace_schema_metadata(None) if t.schema.metadata else t
+
+
+def read_parquet_clean(paths, **kw):
+    """``ray.data.read_parquet`` with schema metadata stripped at block
+    creation (``_block_udf`` runs inside each read task).
+
+    Why (VERDICT r4 item 4): the driver-written testdata parquet
+    carries a ``pandas`` metadata blob that makes ``pa.Schema``
+    unhashable, defeating Ray's schema-dedup cache — one
+    'Failed to hash the schemas' warning per exchange worker, per run,
+    burying real warnings. Blocks leaving this read are metadata-free,
+    so every downstream unify/concat hashes cleanly. The one
+    planning-time occurrence (fragment file schemas, before any block
+    exists) is filtered in ``swarm_ray.__init__`` — Ray falls back to
+    a full ``unify_schemas`` there, so that message is a cache-miss
+    note, never a correctness signal."""
+    import ray.data
+    kw.setdefault("_block_udf", _strip_schema_metadata)
+    return ray.data.read_parquet(paths, **kw)
+
+
 def cluster_cpus(default: int = 8) -> int:
     """Total cluster CPUs, without auto-initialising Ray."""
     import ray
@@ -44,6 +69,19 @@ def keyed_partition_count(est_bytes: int | None = None,
     if est_bytes:
         n = max(n, -(-est_bytes // target_bytes))   # ceil division
     return n
+
+
+def small_exchange_partition_count(est_bytes: int,
+                                   min_bytes: int = 4 << 20) -> int:
+    """Partition count for keyed exchanges whose volume may be TINY
+    relative to the cluster (hit frontiers, removal id streams):
+    scales down to one partition when the whole exchange fits in
+    ``min_bytes`` — empty hash partitions emit schema-less RefBundles
+    (one executor warning each, VERDICT r3 item 7 / r4 item 4) and
+    waste reduce tasks — and back up to the standard
+    ``keyed_partition_count`` as the byte estimate grows."""
+    return max(1, min(keyed_partition_count(est_bytes),
+                      -(-est_bytes // min_bytes)))
 
 
 def enable_hash_shuffle(ds, n_partitions: int | None = None):

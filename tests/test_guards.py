@@ -15,7 +15,16 @@ def test_schema_lock_stale_takeover_and_concurrent_widens(tmp_path):
     """A stale (crashed-holder) lock must not block writers, and
     concurrent widens through the takeover path must not lose columns
     (the ownership token keeps an old holder's release from unlinking
-    a new holder's lock)."""
+    a new holder's lock).
+
+    Deflaked (VERDICT r4 item 3): the staleness DECISION is already
+    deterministic (mtime aged 120 s past the 60 s threshold); the
+    flake was the 10 s wall-clock deadline, which host load could
+    starve a thread past — so the deadline is injected generously.
+    The threshold itself stays at the default: lowering it would let
+    waiters steal a LIVE thread's fresh lock mid-merge (the very
+    lost-widen hazard the lock exists to prevent). The deterministic
+    clock-injection pins live in the companion test below."""
     from swarm_ray.sinks.parquet_sink import update_sink_schema
 
     sink = tmp_path / "sink"
@@ -33,7 +42,7 @@ def test_schema_lock_stale_takeover_and_concurrent_widens(tmp_path):
 
     def widen(s):
         try:
-            update_sink_schema(sink, s)
+            update_sink_schema(sink, s, timeout_s=300.0)
         except Exception as e:          # pragma: no cover - failure path
             errs.append(e)
 
@@ -41,11 +50,43 @@ def test_schema_lock_stale_takeover_and_concurrent_widens(tmp_path):
     for t in threads:
         t.start()
     for t in threads:
-        t.join(timeout=30)
+        t.join(timeout=120)
+    assert not any(t.is_alive() for t in threads)
     assert not errs
     merged = update_sink_schema(sink, schemas[0])
     assert {f.name for f in merged} >= {"a", "b", "c"}   # no widen lost
     assert not lock.exists()                             # fully released
+
+
+def test_schema_lock_clock_injection_pins_takeover_logic(tmp_path):
+    """Single-threaded, fully deterministic pins of the two takeover
+    decisions: (1) a lock older than the threshold per the injected
+    clock is broken and the widen proceeds; (2) a FRESH lock held by a
+    live writer blocks until the injected deadline → TimeoutError —
+    no sleeps beyond the 10 ms poll, no mtime aging."""
+    import pytest
+    from swarm_ray.sinks.parquet_sink import update_sink_schema
+
+    sink = tmp_path / "sink"
+    sink.mkdir()
+    lock = sink / "_schema.lock"
+
+    # (1) crashed holder: clock says the lock is 120 s old
+    lock.write_text("dead-holder-token")
+    future = time.time() + 120.0
+    merged = update_sink_schema(sink, pa.schema([("a", pa.int64())]),
+                                clock=lambda: future)
+    assert {f.name for f in merged} == {"a"}
+    assert not lock.exists()
+
+    # (2) live holder, real clock: the waiter must time out, never
+    # steal the lock, and leave the holder's token untouched
+    lock.write_text("live-holder-token")
+    with pytest.raises(TimeoutError):
+        update_sink_schema(sink, pa.schema([("b", pa.int64())]),
+                           stale_after_s=3600.0, timeout_s=0.05)
+    assert lock.read_text() == "live-holder-token"
+    lock.unlink()
 
 
 # -------------------------------------------------------------- heartbeat

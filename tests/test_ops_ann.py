@@ -496,7 +496,7 @@ def test_semdedup_matches_serial_recompute(ray_session, tmp_path,
     removed iff an earlier vec_id has cosine ≥ τ."""
     from swarm_ray import fixtures
     monkeypatch.setattr(fixtures, "FIXTURE_ROOT", tmp_path / "fx")
-    got = (ann.q_emb_semdedup(SF).to_pandas()
+    got = (ann.q_emb_semdedup(SF)
            .sort_values("cluster").reset_index(drop=True))
 
     n, ids, a, _, _ = fixtures._kmeans_serial(SF)
@@ -527,9 +527,115 @@ def test_semdedup_chunk_boundary_invariance(ray_session, tmp_path,
     from swarm_ray import fixtures
     from swarm_ray.ops import ann as _ann
     monkeypatch.setattr(fixtures, "FIXTURE_ROOT", tmp_path / "fx")
-    base = (_ann.q_emb_semdedup(SF).to_pandas()
+    base = (_ann.q_emb_semdedup(SF)
             .sort_values("cluster").reset_index(drop=True))
     monkeypatch.setattr(_ann, "SEMDEDUP_CHUNK", 7)
-    small = (_ann.q_emb_semdedup(SF).to_pandas()
+    small = (_ann.q_emb_semdedup(SF)
              .sort_values("cluster").reset_index(drop=True))
     pd.testing.assert_frame_equal(base, small)
+
+
+def _semdedup_brute(sf_dir, tau):
+    """Plain-numpy SemDeDup recompute over the serial k-means
+    partition (independent of the engine's split plan)."""
+    from swarm_ray import fixtures
+    _, ids, a, _, _ = fixtures._kmeans_serial(sf_dir)
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"]).to_pandas() \
+        .sort_values("vec_id")
+    m = np.asarray(list(t["embedding"]), dtype=np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    rows = []
+    for c in np.unique(a):
+        sel = np.flatnonzero(a == c)
+        sims = mn[sel] @ mn[sel].T
+        rem = np.triu(sims >= tau, 1).any(axis=0)
+        rows.append((int(c), len(sel), int((~rem).sum()), int(rem.sum())))
+    return (pd.DataFrame(rows, columns=["cluster", "n", "kept", "removed"])
+            .sort_values("cluster").reset_index(drop=True)), a
+
+
+def test_semdedup_hot_cluster_split_is_exact_and_bounded(
+        ray_session, tmp_path, monkeypatch):
+    """VERDICT r4 item 2: a cluster over SEMDEDUP_GROUP_BOUND must
+    split into vec_id-hash subgroup pairs WITHOUT changing the result,
+    and the split math must bound every pair task's row count.
+
+    Plants a corpus whose k-means partition has one dominant cluster
+    ≫ bound (bound forced to 64), checks the split plan output equals
+    (a) the unsplit plan and (b) an independent numpy recompute, and
+    re-derives the per-pair-task row counts to pin the ≤ ~2×bound
+    residency claim."""
+    from swarm_ray import fixtures
+    from swarm_ray.ops import ann as _ann
+    monkeypatch.setattr(fixtures, "FIXTURE_ROOT", tmp_path / "fx")
+
+    rng = np.random.default_rng(7)
+    n, dim, k = 600, 8, ann.KMEANS_K
+    # vec_id 0..7 seed the k-means init: 8 far-apart anchors, then 90%
+    # of the remaining rows packed tightly around anchor 0 — Lloyd
+    # keeps one dominant (hot) cluster of ~540 rows
+    anchors = np.eye(k, dim) * 40.0
+    n_hot = int((n - k) * 0.9)
+    hot = anchors[0] + rng.normal(0.0, 0.05, size=(n_hot, dim))
+    cold_ix = rng.integers(1, k, size=n - k - n_hot)
+    cold = anchors[cold_ix] + rng.normal(0.0, 1.0,
+                                         size=(len(cold_ix), dim))
+    emb = np.vstack([anchors, hot, cold]).astype(np.float32)
+    body = k + rng.permutation(n - k)            # keep anchors first
+    order = np.concatenate([np.arange(k), body])
+    sf = tmp_path / "sf_hot"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([list(map(float, r)) for r in emb[order]],
+                              type=pa.list_(pa.float32())),
+        "label": pa.array(np.zeros(n, dtype=np.int32)),
+    }), sf / "embeddings.parquet")
+
+    bound = 64
+    split = (_ann.q_emb_semdedup(str(sf), bound=bound)
+             .sort_values("cluster").reset_index(drop=True))
+    unsplit = (_ann.q_emb_semdedup(str(sf), bound=10**9)
+               .sort_values("cluster").reset_index(drop=True))
+    brute, assign = _semdedup_brute(str(sf), _ann.SEMDEDUP_TAU)
+    pd.testing.assert_frame_equal(split.astype("int64"),
+                                  unsplit.astype("int64"))
+    pd.testing.assert_frame_equal(split.astype("int64"),
+                                  brute.astype("int64"))
+    # the hot cluster really exceeded the bound (split actually ran)
+    sizes = split.set_index("cluster")["n"]
+    assert sizes.max() > 4 * bound
+    # and dense near-dups really got removed there
+    assert split["removed"].sum() > 0
+
+    # re-derive the pair-task row counts from the split rule
+    vids = np.arange(n, dtype=np.int64)
+    for c, g in pd.DataFrame({"cluster": assign,
+                              "vec_id": vids}).groupby("cluster"):
+        s_c = max(1, -(-len(g) // bound))
+        sub = g["vec_id"].to_numpy() % s_c
+        cnt = np.bincount(sub, minlength=s_c)
+        for a_ in range(s_c):
+            for b_ in range(a_, s_c):
+                rows = cnt[a_] + (cnt[b_] if b_ != a_ else 0)
+                assert rows <= 2 * bound + s_c  # % is balanced on dense ids
+
+
+def test_semdedup_keep_list_conserves_counts(ray_session, tmp_path,
+                                             monkeypatch):
+    """emb_semdedup_keep must be the exact complement of the counts
+    view: |keep| = Σ kept, ids unique, and no removed id survives."""
+    from swarm_ray import fixtures
+    from swarm_ray.ops import ann as _ann
+    monkeypatch.setattr(fixtures, "FIXTURE_ROOT", tmp_path / "fx")
+    counts = _ann.q_emb_semdedup(SF)
+    keep = _ann.q_emb_semdedup_keep(SF).to_pandas()
+    assert len(keep) == counts["kept"].sum()
+    assert keep["vec_id"].is_unique
+    # complement check against the independent numpy recompute
+    brute, assign = _semdedup_brute(SF, _ann.SEMDEDUP_TAU)
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id"])
+    ids = np.sort(t["vec_id"].to_numpy())
+    mn_removed = set(ids) - set(keep["vec_id"])
+    assert len(mn_removed) == brute["removed"].sum()
