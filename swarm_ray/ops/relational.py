@@ -577,6 +577,58 @@ def q_events_retention(sf_dir: str) -> ray.data.Dataset:
             .aggregate(Sum("users_part", alias_name="users")))
 
 
+def q_events_retention_salted(sf_dir: str) -> ray.data.Dataset:
+    """Retention with the HOT-USER guard (VERDICT r4 item 6 — the
+    salted analogue q_events_sessionize_salted has, adapted to
+    retention's algebra): the row count a single user contributes to
+    the user-keyed exchange is bounded by CALENDAR DAYS, not events,
+    so a bot user with 10⁹ events costs the same as one with 10³.
+
+    Pass 1 (no shuffle): each batch collapses raw events to distinct
+    (user_id, day) pairs via an Arrow group_by — retention only ever
+    consumes user-days, and MIN/DISTINCT distribute over them, so no
+    boundary stitching is needed (unlike sessionize's gap semantics).
+    Pass 2: ONE keyed repartition of those fixed-width pairs on
+    user_id; block-local cross-batch dedup + cohort=MIN(day) +
+    distinct offsets emit the same additive (cohort, offset) partials
+    as ``q_events_retention``; same tiny final fold, same SQL oracle —
+    exact, not approximate."""
+    from ..util import enable_hash_shuffle, keyed_partition_count
+
+    def user_days(t: pa.Table) -> pa.Table:
+        tbl = pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "day": pc.floor_temporal(t["ts"], unit="day")})
+        return tbl.group_by(["user_id", "day"]).aggregate([])
+
+    def fold_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "cohort_day": pd.Series([], dtype="object"),
+                "offset_d": pd.Series([], dtype="int64"),
+                "users_part": pd.Series([], dtype="int64")})
+        df = df.drop_duplicates(["user_id", "day"])
+        cohort = df.groupby("user_id")["day"].transform("min")
+        u = pd.DataFrame({
+            "cohort_day": cohort.dt.strftime("%Y-%m-%d"),
+            "offset_d": (df["day"] - cohort).dt.days.astype("int64"),
+        })
+        return (u.groupby(["cohort_day", "offset_d"], sort=False).size()
+                .reset_index(name="users_part"))
+
+    ds = _read_events(sf_dir, ["user_id", "ts"])
+    pairs = ds.map_batches(user_days, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    # exchange volume: distinct user-day pairs (≤ events, typically ≪)
+    nparts = keyed_partition_count(_events_count(sf_dir) * 16)
+    enable_hash_shuffle(pairs, nparts)
+    return (pairs.repartition(nparts, keys=["user_id"])
+            .map_batches(fold_block, batch_format="pandas",
+                         batch_size=None)
+            .groupby(["cohort_day", "offset_d"])
+            .aggregate(Sum("users_part", alias_name="users")))
+
+
 SQL_EVENTS_RETENTION = """
 WITH d AS (
   SELECT user_id, date_trunc('day', ts) AS day FROM events
@@ -599,6 +651,7 @@ def queries():
         "events_parse_props": q_events_parse_props,
         "events_hourly": q_events_hourly,
         "events_retention": q_events_retention,
+        "events_retention_salted": q_events_retention_salted,
         "events_sliding": q_events_sliding,
         "events_top_users": q_events_top_users,
         "events_sessionize": q_events_sessionize,
@@ -616,6 +669,7 @@ def oracle_sql():
     return {
         "events_funnel": SQL_EVENTS_FUNNEL,
         "events_retention": SQL_EVENTS_RETENTION,
+        "events_retention_salted": SQL_EVENTS_RETENTION,
         "tpch_priority_revenue": """
 SELECT o_orderpriority,
        COUNT(*)::BIGINT AS n_items,

@@ -184,3 +184,135 @@ def test_retention_matches_pandas(ray_session):
     # day-0 retention includes every user exactly once
     n_users = ev["user_id"].nunique()
     assert got[got["offset_d"] == 0]["users"].sum() == n_users
+
+
+def test_retention_salted_matches_plain(ray_session):
+    from swarm_ray.ops.relational import (q_events_retention,
+                                          q_events_retention_salted)
+    sf = "/root/testdata/sf0.001"
+    plain = (q_events_retention(sf).to_pandas()
+             .sort_values(["cohort_day", "offset_d"]).reset_index(drop=True))
+    salted = (q_events_retention_salted(sf).to_pandas()
+              .sort_values(["cohort_day", "offset_d"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(plain, salted)
+
+
+def test_retention_salted_bot_user(ray_session, tmp_path):
+    """Hot-user guard (VERDICT r4 item 6): a bot user active every few
+    minutes for 40 days contributes only ~40 (user, day) rows to the
+    salted plan's keyed exchange — and the result must equal both the
+    plain plan and a pandas recompute, including the cohort row the
+    bot anchors."""
+    import numpy as np
+    from swarm_ray.ops.relational import (q_events_retention,
+                                          q_events_retention_salted)
+
+    rng = np.random.default_rng(11)
+    rows = []
+    t = pd.Timestamp("2024-03-01 00:10:00")
+    for k in range(40 * 24 * 6):                 # bot: every 10 min, 40 d
+        rows.append((1, t))
+        t += pd.Timedelta(minutes=10)
+    for u in range(2, 30):                       # sparse normal users
+        first = pd.Timestamp("2024-03-01") + pd.Timedelta(
+            days=int(rng.integers(0, 10)))
+        for d in sorted(set(rng.integers(0, 30, size=6).tolist())):
+            rows.append((u, first + pd.Timedelta(days=int(d), hours=3)))
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    df["event_id"] = np.arange(len(df), dtype=np.int64)
+    df["event_type"] = "view"
+    df["value"] = 0.0
+    df["props"] = "{}"
+    sf = tmp_path / "sfbot_ret"
+    sf.mkdir()
+    df[["event_id", "ts", "user_id", "event_type", "value", "props"]] \
+        .to_parquet(sf / "events.parquet", index=False)
+
+    plain = (q_events_retention(str(sf)).to_pandas()
+             .sort_values(["cohort_day", "offset_d"]).reset_index(drop=True))
+    salted = (q_events_retention_salted(str(sf)).to_pandas()
+              .sort_values(["cohort_day", "offset_d"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(plain, salted)
+
+    # independent pandas recompute
+    day = df["ts"].dt.floor("D")
+    cohort = day.groupby(df["user_id"]).transform("min")
+    u = pd.DataFrame({
+        "cohort_day": cohort.dt.strftime("%Y-%m-%d"),
+        "offset_d": (day - cohort).dt.days.astype("int64"),
+        "user_id": df["user_id"],
+    }).drop_duplicates(["user_id", "offset_d"])
+    exp = (u.groupby(["cohort_day", "offset_d"]).size()
+           .reset_index(name="users")
+           .sort_values(["cohort_day", "offset_d"]).reset_index(drop=True))
+    got = salted.astype({"users": "int64"})
+    pd.testing.assert_frame_equal(
+        got, exp.astype({"users": "int64"}), check_dtype=False)
+
+
+def test_funnel_hot_user_bound(ray_session, tmp_path):
+    """Documents q_events_funnel's partitioning assumption (VERDICT r4
+    item 6, bound variant): a user's rows must land in ONE block of the
+    user-keyed exchange — hash partitioning never splits a key across
+    partitions, but a partition above Ray's target block size may split
+    into multiple blocks, and a split user would double-count funnel
+    steps. The bound is therefore
+
+        max user rows ≈ target_max_block_size / ~48 B/row  (≈2.7 M
+        rows at the 128 MiB default)
+
+    This plants a 400k-row hot user (well inside the bound, ~100× the
+    sf0.001 mean) plus converting users, and pins exactness against the
+    chained pandas recompute."""
+    import numpy as np
+    from swarm_ray.ops.relational import FUNNEL_STEPS, q_events_funnel
+
+    import ray.data as rd
+    bound_rows = (rd.DataContext.get_current().target_max_block_size
+                  // 48)
+    n_hot = 400_000
+    assert n_hot < bound_rows  # the planted user honors the documented bound
+
+    rng = np.random.default_rng(3)
+    ts0 = pd.Timestamp("2024-05-01").value // 1000
+    hot_ts = ts0 + np.arange(n_hot, dtype=np.int64) * 60_000_000
+    hot_types = np.array(FUNNEL_STEPS)[rng.integers(0, 3, size=n_hot)]
+    users = [np.full(n_hot, 1, dtype=np.int64)]
+    tss = [hot_ts]
+    types = [hot_types]
+    for u in range(2, 50):                     # normal users, partial funnels
+        k = int(rng.integers(1, 8))
+        users.append(np.full(k, u, dtype=np.int64))
+        tss.append(ts0 + rng.integers(0, 10**9, size=k).astype(np.int64))
+        types.append(np.array(FUNNEL_STEPS)[rng.integers(0, 3, size=k)])
+    df = pd.DataFrame({
+        "user_id": np.concatenate(users),
+        "ts": pd.to_datetime(np.concatenate(tss), unit="us"),
+        "event_type": np.concatenate(types),
+    })
+    df["event_id"] = np.arange(len(df), dtype=np.int64)
+    df["value"] = 0.0
+    df["props"] = "{}"
+    sf = tmp_path / "sfhotfunnel"
+    sf.mkdir()
+    df[["event_id", "ts", "user_id", "event_type", "value", "props"]] \
+        .to_parquet(sf / "events.parquet", index=False)
+
+    got = (q_events_funnel(str(sf)).to_pandas()
+           .sort_values("step").reset_index(drop=True))
+
+    # chained min recompute
+    steps = []
+    thresh = pd.Series(pd.NaT, index=df["user_id"].unique())
+    reached = df["user_id"].unique()
+    for s, step in enumerate(FUNNEL_STEPS, start=1):
+        ev = df[(df["event_type"] == step) & df["user_id"].isin(reached)]
+        if s > 1:
+            ev = ev[ev["ts"] > thresh.reindex(ev["user_id"]).to_numpy()]
+        t = ev.groupby("user_id")["ts"].min()
+        reached = t.index.to_numpy()
+        thresh = t
+        steps.append((s, len(reached)))
+    exp = pd.DataFrame(steps, columns=["step", "users"])
+    pd.testing.assert_frame_equal(got.astype({"step": "int64",
+                                              "users": "int64"}), exp)
