@@ -45,14 +45,44 @@ def _embed_pool() -> tuple[int, int]:
     return autoscaling_pool(frac=1.0, min_size=1)
 
 
+class _SpmTokenizer:
+    """sentencepiece-backed drop-in for ``HashTokenizer.flat_ids`` —
+    same (flat int ids, per-doc lengths) contract; piece ids are
+    folded into the model's vocab rows so either tokenizer composes
+    with either model."""
+
+    def __init__(self, model_file: str, vocab: int):
+        import sentencepiece as spm
+        self._sp = spm.SentencePieceProcessor(model_file=model_file)
+        self._vocab = vocab
+
+    def flat_ids(self, texts) -> tuple[np.ndarray, np.ndarray]:
+        ids = self._sp.encode(list(texts))
+        lens = np.fromiter((len(x) for x in ids), dtype=np.int64,
+                           count=len(ids))
+        flat = (np.concatenate([np.asarray(x, dtype=np.int64)
+                                for x in ids if len(x)])
+                if lens.sum() else np.empty(0, dtype=np.int64))
+        return flat % self._vocab, lens
+
+
 class EmbedStage:
-    """documents.text → embedding via hashed-BoW × seeded projection."""
+    """documents.text → embedding via hashed-BoW × seeded projection.
+
+    Self-upgrading (the r4 media codec recipe, VERDICT r4 item 5):
+    both halves feature-detect ONCE per actor in ``__init__`` —
+    ``$SWARM_EMBED_MODEL`` + importable torch swaps the projection
+    matrix for real weights; ``$SWARM_EMBED_SPM`` + importable
+    sentencepiece swaps the hash tokenizer for a real BPE model. The
+    seeded projection × hash tokenizer stays the oracle-checked
+    default; interface, batch sizing and output schema are identical
+    on every path (pinned with and without the optional deps by
+    tests/test_ops_embed.py)."""
 
     def __init__(self, dim: int = EMBED_DIM):
         self._dim = dim
         self._model = self._load_model(dim)   # once per actor
-        from .text import HashTokenizer
-        self._tok = HashTokenizer()
+        self._tok = self._load_tokenizer(self._model.shape[0])
 
     @staticmethod
     def _load_model(dim: int) -> np.ndarray:
@@ -78,6 +108,23 @@ class EmbedStage:
         from .text import TOKENIZE_VOCAB
         rng = np.random.default_rng(EMBED_SEED)
         return rng.standard_normal((TOKENIZE_VOCAB, dim)).astype(np.float32)
+
+    @staticmethod
+    def _load_tokenizer(vocab: int):
+        # Tokenizer hook, feature-detected once per actor: if
+        # $SWARM_EMBED_SPM names a sentencepiece model AND the lib is
+        # importable, tokenize with it (ids folded into the model's
+        # vocab); otherwise the deterministic hash tokenizer. A bad
+        # model FILE raises loudly — only a missing LIBRARY falls back.
+        import os
+        path = os.environ.get("SWARM_EMBED_SPM")
+        if path:
+            try:
+                return _SpmTokenizer(path, vocab)
+            except ImportError:
+                pass   # no sentencepiece in this environment → hash
+        from .text import HashTokenizer
+        return HashTokenizer()
 
     def _forward(self, flat_ids: np.ndarray, lens: np.ndarray) -> np.ndarray:
         # batched "forward pass": segment-sum of token embedding rows

@@ -78,3 +78,125 @@ def test_forward_zero_length_segments_exact():
     out = st._forward(flat, np.array([0, 5, 0]))
     assert (out[0] == 0).all() and (out[2] == 0).all()
     np.testing.assert_allclose(out[1], norm(m[flat].sum(0)), rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------- self-upgrade hooks (r5)
+
+def _mk_texts():
+    return pd.DataFrame({"doc_id": np.arange(4, dtype=np.int64),
+                         "text": ["alpha beta", "beta gamma delta",
+                                  "", "alpha alpha epsilon"]})
+
+
+def test_embed_model_hook_fake_torch(monkeypatch, tmp_path):
+    """$SWARM_EMBED_MODEL + importable torch must swap the projection
+    for the loaded weights — exercised with an injected stub torch so
+    the REAL load path runs deterministically in this container."""
+    import sys
+    import types
+
+    from swarm_ray.ops.text import TOKENIZE_VOCAB
+
+    w = np.arange(TOKENIZE_VOCAB * EMBED_DIM, dtype=np.float32) \
+        .reshape(TOKENIZE_VOCAB, EMBED_DIM)
+
+    class _T:
+        def __init__(self, m): self._m = m
+        def detach(self): return self
+        def cpu(self): return self
+        def numpy(self): return self._m
+
+    fake = types.ModuleType("torch")
+    fake.load = lambda path, map_location=None, weights_only=None: _T(w)
+    monkeypatch.setitem(sys.modules, "torch", fake)
+    monkeypatch.setenv("SWARM_EMBED_MODEL", str(tmp_path / "w.pt"))
+    st = EmbedStage()
+    np.testing.assert_array_equal(st._model, w)
+    out = st(_mk_texts())            # interface unchanged on this path
+    assert out.column_names == ["doc_id", "embedding"]
+    assert len(out) == 4
+
+
+def test_embed_model_hook_shape_mismatch_raises(monkeypatch, tmp_path):
+    import sys
+    import types
+
+    class _T:
+        def detach(self): return self
+        def cpu(self): return self
+        def numpy(self): return np.zeros((3, 3), dtype=np.float32)
+
+    fake = types.ModuleType("torch")
+    fake.load = lambda *a, **k: _T()
+    monkeypatch.setitem(sys.modules, "torch", fake)
+    monkeypatch.setenv("SWARM_EMBED_MODEL", str(tmp_path / "w.pt"))
+    import pytest
+    with pytest.raises(ValueError):
+        EmbedStage()
+
+
+def test_embed_model_hook_without_torch_falls_back(monkeypatch):
+    """Env var set but torch missing → the seeded projection default,
+    bit-identical to the unconfigured stage."""
+    import importlib.util
+    if importlib.util.find_spec("torch") is not None:
+        import pytest
+        pytest.skip("torch present; fallback path not reachable")
+    monkeypatch.setenv("SWARM_EMBED_MODEL", "/nonexistent/w.pt")
+    np.testing.assert_array_equal(EmbedStage()._model,
+                                  EmbedStage._load_model(EMBED_DIM))
+
+
+def test_embed_spm_hook_fake_sentencepiece(monkeypatch, tmp_path):
+    """$SWARM_EMBED_SPM + importable sentencepiece must swap the
+    tokenizer; stub lib, real wrapper code."""
+    import sys
+    import types
+
+    class _SP:
+        def __init__(self, model_file): pass
+        def encode(self, texts):
+            return [[len(w) * 7 + i for i, w in enumerate(t.split())]
+                    for t in texts]
+
+    fake = types.ModuleType("sentencepiece")
+    fake.SentencePieceProcessor = _SP
+    monkeypatch.setitem(sys.modules, "sentencepiece", fake)
+    monkeypatch.setenv("SWARM_EMBED_SPM", str(tmp_path / "m.model"))
+    st = EmbedStage()
+    from swarm_ray.ops.embed import _SpmTokenizer
+    assert isinstance(st._tok, _SpmTokenizer)
+    flat, lens = st._tok.flat_ids(_mk_texts()["text"])
+    assert lens.tolist() == [2, 3, 0, 3]
+    assert flat.shape == (8,) and flat.max() < st._model.shape[0]
+    out = st(_mk_texts())
+    assert len(out) == 4             # incl. the empty doc, zero-vector
+    emb = np.asarray(out["embedding"].combine_chunks().values).reshape(
+        4, EMBED_DIM)
+    norms = np.linalg.norm(emb, axis=1)
+    np.testing.assert_allclose(norms[[0, 1, 3]], 1.0, rtol=1e-5)
+    assert norms[2] == 0.0
+
+
+def test_embed_spm_hook_without_lib_falls_back(monkeypatch):
+    import importlib.util
+    if importlib.util.find_spec("sentencepiece") is not None:
+        import pytest
+        pytest.skip("sentencepiece present; fallback path not reachable")
+    monkeypatch.setenv("SWARM_EMBED_SPM", "/nonexistent/m.model")
+    from swarm_ray.ops.text import HashTokenizer
+    assert isinstance(EmbedStage()._tok, HashTokenizer)
+
+
+def test_embed_real_torch_roundtrip(tmp_path, monkeypatch):
+    """Real-dependency path: only runs where torch actually ships."""
+    import importlib.util
+    import pytest
+    if importlib.util.find_spec("torch") is None:
+        pytest.skip("torch not installed in this container")
+    import torch
+    from swarm_ray.ops.text import TOKENIZE_VOCAB
+    w = torch.randn(TOKENIZE_VOCAB, EMBED_DIM)
+    torch.save(w, tmp_path / "w.pt")
+    monkeypatch.setenv("SWARM_EMBED_MODEL", str(tmp_path / "w.pt"))
+    np.testing.assert_allclose(EmbedStage()._model, w.numpy(), rtol=1e-6)
