@@ -630,22 +630,26 @@ def pq_expected_dir(sf_dir: str | os.PathLike) -> Path:
 
     label = label_for_sf_dir(sf_dir)
     out = FIXTURE_ROOT / label / "pq_expected"
-    ids, m, q_ids, q = _ann_corpus_queries(sf_dir)
     # freshness is keyed on the PQ constants too — a parameter change
-    # must regenerate, not silently reuse a stale topology
+    # must regenerate, not silently reuse a stale topology. Checked
+    # from the parquet FOOTER before any corpus load (ADVICE r4: the
+    # old order paid a full driver-side table read per invocation even
+    # when the fixture was already fresh).
     params = [PQ_M, PQ_KSUB, PQ_NLIST, PQ_NPROBE, PQ_SAMPLE, PQ_ITERS,
               PQ_SCALE]
+    rows = pq.read_metadata(Path(sf_dir) / "embeddings.parquet").num_rows
     meta = out / "_FIXTURE.json"
     if meta.exists():
         try:
             mt = json.loads(meta.read_text())
-            if (mt["rows"] == len(ids)
+            if (mt["rows"] == rows
                     and mt.get("version") == ANN_FIXTURE_VERSION
                     and mt.get("pq_params") == params):
                 return out
         except Exception:
             pass
         shutil.rmtree(out, ignore_errors=True)
+    ids, m, q_ids, q = _ann_corpus_queries(sf_dir)
 
     def to_int(x: np.ndarray) -> np.ndarray:
         return np.floor(x / np.linalg.norm(x, axis=1, keepdims=True)
@@ -1071,13 +1075,15 @@ def _kmeans_serial(sf_dir: str | os.PathLike):
     return len(t), ids[order], a, counts, sums
 
 
-def _write_fixture_dir(out: Path, tbl: pa.Table, rows: int) -> Path:
+def _write_fixture_dir(out: Path, tbl: pa.Table, rows: int,
+                       params: list | None = None) -> Path:
     tmp = out.with_name(out.name + ".tmp")
     shutil.rmtree(tmp, ignore_errors=True)
     tmp.mkdir(parents=True)
     pq.write_table(tbl, tmp / "expected.parquet")
     (tmp / "_FIXTURE.json").write_text(json.dumps(
-        {"rows": rows, "version": ANN_FIXTURE_VERSION}))
+        {"rows": rows, "version": ANN_FIXTURE_VERSION,
+         "params": params}))
     out.parent.mkdir(parents=True, exist_ok=True)
     if out.exists():
         shutil.rmtree(tmp, ignore_errors=True)
@@ -1086,12 +1092,19 @@ def _write_fixture_dir(out: Path, tbl: pa.Table, rows: int) -> Path:
     return out
 
 
-def _fixture_fresh(out: Path, rows: int) -> bool:
+def _fixture_fresh(out: Path, rows: int,
+                   params: list | None = None) -> bool:
+    """Freshness keys on row count + fixture version + the generator's
+    PARAMETER list (ADVICE r4: a KMEANS_K/ITERS/SCALE change must
+    regenerate, not silently reuse a stale partition — pq_expected
+    already keyed on its constants)."""
     meta = out / "_FIXTURE.json"
     if meta.exists():
         try:
             m = json.loads(meta.read_text())
-            if m["rows"] == rows and m.get("version") == ANN_FIXTURE_VERSION:
+            if (m["rows"] == rows
+                    and m.get("version") == ANN_FIXTURE_VERSION
+                    and m.get("params") == params):
                 return True
         except Exception:
             pass
@@ -1103,11 +1116,12 @@ def kmeans_expected_dir(sf_dir: str | os.PathLike) -> Path:
     """Generator-side expected output for ``emb_kmeans``: per-cluster
     sizes and member-coordinate checksums under the final centroids of
     the serial fixed-point recompute (see ``_kmeans_serial``)."""
-    from .ops.ann import KMEANS_K
+    from .ops.ann import KMEANS_ITERS, KMEANS_K, KMEANS_SCALE
 
     out = FIXTURE_ROOT / label_for_sf_dir(sf_dir) / "kmeans_expected"
     rows = pq.read_metadata(Path(sf_dir) / "embeddings.parquet").num_rows
-    if _fixture_fresh(out, rows):
+    params = [KMEANS_K, KMEANS_ITERS, KMEANS_SCALE]
+    if _fixture_fresh(out, rows, params):
         return out
     n, _, _, counts, sums = _kmeans_serial(sf_dir)
     tbl = pa.table({
@@ -1115,7 +1129,7 @@ def kmeans_expected_dir(sf_dir: str | os.PathLike) -> Path:
         "n": pa.array(counts),
         "csum_e6": pa.array(sums.sum(axis=1)),
     })
-    return _write_fixture_dir(out, tbl, n)
+    return _write_fixture_dir(out, tbl, n, params)
 
 
 def kmeans_assign_expected_dir(sf_dir: str | os.PathLike) -> Path:
@@ -1123,11 +1137,14 @@ def kmeans_assign_expected_dir(sf_dir: str | os.PathLike) -> Path:
     serial recompute's final centroids — the differential topology for
     ``emb_cluster_sample`` (DuckDB independently re-derives the salted
     order and per-cluster quota draw on top of it)."""
+    from .ops.ann import KMEANS_ITERS, KMEANS_K, KMEANS_SCALE
+
     out = FIXTURE_ROOT / label_for_sf_dir(sf_dir) / "kmeans_assign_expected"
     rows = pq.read_metadata(Path(sf_dir) / "embeddings.parquet").num_rows
-    if _fixture_fresh(out, rows):
+    params = [KMEANS_K, KMEANS_ITERS, KMEANS_SCALE]
+    if _fixture_fresh(out, rows, params):
         return out
     n, ids, a, _, _ = _kmeans_serial(sf_dir)
     tbl = pa.table({"vec_id": pa.array(ids.astype(np.int64)),
                     "cluster": pa.array(a.astype(np.int64))})
-    return _write_fixture_dir(out, tbl, n)
+    return _write_fixture_dir(out, tbl, n, params)

@@ -48,3 +48,64 @@ def test_sql_oracle_matches_python_oracle(rs, rows, tmp_path_factory):
         else:
             g = gts.to_pydatetime() if hasattr(gts, "to_pydatetime") else gts
             assert g == wts
+
+
+# ---------------- numpy ↔ DuckDB float-kernel parity (ADVICE r4) ----------
+
+def test_lm_score_log_parity_numpy_vs_duckdb():
+    """doc_lm_score's only float op is llr_milli = floor(1000·ln(ctf)
+    + 0.5); the oracle recomputes it in DuckDB. numpy's SIMD log and
+    DuckDB's libm are not a-priori bit-identical, so pin the EXACT
+    expression over the whole plausible ctf domain (1..2M — corpus
+    term frequencies at oracle scale are orders below the top end)."""
+    import duckdb
+    import numpy as np
+    n = 2_000_000
+    con = duckdb.connect()
+    sql = con.execute(
+        "SELECT CAST(FLOOR(1000*ln(CAST(x AS DOUBLE)) + 0.5) AS BIGINT)"
+        " AS v FROM range(1, ?) t(x)", [n + 1]
+    ).fetch_arrow_table()["v"].to_numpy()
+    npv = np.floor(1000.0 * np.log(np.arange(1, n + 1, dtype=np.float64))
+                   + 0.5).astype(np.int64)
+    assert int((sql != npv).sum()) == 0
+
+
+def test_mixture_temp_threshold_parity_numpy_vs_duckdb():
+    """seq_mixture_temp derives per-source keep thresholds with
+    numpy pow/divide and the oracle re-derives them with DuckDB
+    POW/division before discretizing to floor(lift/max·65536). Pin the
+    two derivations equal over many random count vectors (plus edge
+    shapes: equal counts, 1-vs-huge skew) so a rounding-boundary flip
+    would surface here, not as a flaky oracle run."""
+    import duckdb
+    import numpy as np
+    from swarm_ray.ops import tokens
+    con = duckdb.connect()
+    rng = np.random.default_rng(123)
+    cases = [rng.integers(1, 10_000_000,
+                          size=int(rng.integers(2, 12))).astype(np.float64)
+             for _ in range(60)]
+    cases += [np.array([5.0, 5.0, 5.0]),          # all-equal lifts
+              np.array([1.0, 9_999_999.0]),       # extreme skew
+              np.array([1.0, 1.0, 10_000_000.0])]
+    for c in cases:
+        p = c / c.sum()
+        lift = np.power(p, tokens.TEMP_ALPHA) / p
+        rates = lift / lift.max()
+        np_thr = [tokens._mix_threshold_hex(float(r)) for r in rates]
+        rows = ",".join(f"({i},{int(v)})" for i, v in enumerate(c))
+        q = f"""
+          WITH cnt AS (SELECT * FROM (VALUES {rows}) t(source, c)),
+          lifted AS (SELECT source,
+                            POW(c/SUM(c) OVER (), {tokens.TEMP_ALPHA})
+                            / (c/SUM(c) OVER ()) AS lift FROM cnt),
+          thr AS (SELECT source,
+              CASE WHEN lift >= MAX(lift) OVER () THEN 'g000'
+                   ELSE lpad(lower(to_hex(CAST(FLOOR(
+                          lift / MAX(lift) OVER () * 65536)
+                          AS BIGINT))), 4, '0') END AS t4
+              FROM lifted)
+          SELECT source, t4 FROM thr ORDER BY source"""
+        sql_thr = [r[1] for r in con.execute(q).fetchall()]
+        assert sql_thr == np_thr, (c, np_thr, sql_thr)
