@@ -37,17 +37,77 @@ def _partial_count(keys: list[str], alias: str):
     return fn
 
 
+def _sum_combine(keys: list[str], vals: list[str]):
+    """Block-local SUM fold over (keys, vals) partial rows. Runs the
+    aggregate even on a zero-row block: pyarrow returns the AGGREGATE
+    output schema (e.g. int32 partials widen to int64 sums) either way,
+    so every emitted block carries one stable schema."""
+    def fn(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select(keys + vals), keys)
+        return g.aggregate([(v, "sum") for v in vals]) \
+            .rename_columns(keys + vals)
+    return fn
+
+
+def tree_fold_sum(partials: ray.data.Dataset, keys: list[str],
+                  vals: list[str],
+                  out_names: list[str] | None = None) -> ray.data.Dataset:
+    """Exact SUM-per-group fold for BOUNDED key spaces (per-sink /
+    per-source counts, reason codes, score histograms) as a two-level
+    combine tree instead of a sort-based ``groupby`` exchange.
+
+    Why not ``groupby``: Ray's sort aggregate keeps one reduce
+    partition per input block, so a 64-block partial stream folding to
+    6 groups schedules ~58 reduce tasks whose partitions are EMPTY —
+    pure scheduling waste, and each empty partition emits a schema-less
+    RefBundle that trips the streaming executor's schema-consistency
+    warning once per op. The tree is exact for associative SUMs and
+    every stage is bounded:
+
+      partials (#blocks × #groups rows)
+        → repartition(width)  — coalesce, no key exchange
+        → block combine       — ≤ width × #groups rows
+        → repartition(1)      — tiny coalesce
+        → block combine       — exactly #groups rows
+
+    Callers MUST have a documented group-count bound (the level-2
+    block is ≤ width × #groups rows, the output ≤ #groups); unbounded
+    keys (doc_id, vocab words) stay on the shuffle path.
+    ``out_names`` renames the summed columns in the final block."""
+    from ..util import cluster_cpus
+
+    width = max(2, cluster_cpus() // 4)
+    combine = _sum_combine(keys, vals)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return combine(t).rename_columns(keys + (out_names or vals))
+
+    lvl1 = partials.repartition(width).map_batches(
+        combine, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True)
+    return lvl1.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True)
+
+
 def grouped_count(ds: ray.data.Dataset, keys: list[str],
-                  alias: str = "row_count") -> ray.data.Dataset:
+                  alias: str = "row_count",
+                  bounded_groups: bool = False) -> ray.data.Dataset:
     """count(*) per key group, with per-batch partial counts so the
-    shuffle moves only ``#blocks × #keys`` partial rows."""
+    shuffle moves only ``#blocks × #keys`` partial rows.
+    ``bounded_groups=True`` (caller documents a group-count bound)
+    folds the partials through ``tree_fold_sum`` — no sort exchange,
+    no empty reduce partitions."""
     partial = ds.map_batches(_partial_count(keys, alias),
                              batch_format="pyarrow", zero_copy_batch=True)
+    if bounded_groups:
+        return tree_fold_sum(partial, keys, [alias])
     return partial.groupby(keys).aggregate(Sum(alias, alias_name=alias))
 
 
 def grouped_sum(ds: ray.data.Dataset, keys: list[str], value: str,
-                alias: str | None = None) -> ray.data.Dataset:
+                alias: str | None = None,
+                bounded_groups: bool = False) -> ray.data.Dataset:
     """sum(value) per key group via per-batch partials."""
     alias = alias or f"sum_{value}"
 
@@ -57,6 +117,8 @@ def grouped_sum(ds: ray.data.Dataset, keys: list[str], value: str,
         ).rename_columns(keys + [alias])
 
     partial = ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+    if bounded_groups:
+        return tree_fold_sum(partial, keys, [alias])
     return partial.groupby(keys).aggregate(Sum(alias, alias_name=alias))
 
 

@@ -362,12 +362,12 @@ def q_doc_source_overlap(sf_dir: str) -> ray.data.Dataset:
         .map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
     n_parts = keyed_partition_count(_docs_count(sf_dir) * _SHINGLE_ROW_BYTES)
     enable_hash_shuffle(sh, n_parts)
-    from ray.data.aggregate import Sum as _Sum
-    return (sh.repartition(n_parts, keys=["g"])
-            .map_batches(pairs, batch_format="pyarrow",
-                         zero_copy_batch=True, batch_size=None)
-            .groupby(["source_a", "source_b"])
-            .aggregate(_Sum("n", alias_name="shared_shingles")))
+    from .agg import tree_fold_sum
+    return tree_fold_sum(
+        sh.repartition(n_parts, keys=["g"])
+        .map_batches(pairs, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None),
+        ["source_a", "source_b"], ["n"], out_names=["shared_shingles"])
 
 
 # ------------------------------------------------------ leak-free split

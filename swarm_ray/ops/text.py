@@ -966,7 +966,8 @@ def q_doc_quality_topp(sf_dir: str) -> ray.data.Dataset:
                                columns=["source", "text"])
     partial = ds.map_batches(score_hist, batch_format="pandas",
                              batch_size=8192)
-    hist = grouped_sum(partial, ["source", "score"], "cnt", alias="cnt")
+    hist = grouped_sum(partial, ["source", "score"], "cnt", alias="cnt",
+                       bounded_groups=True)
     # the folded histogram is ≤ 1001 × #sources rows BY CONSTRUCTION —
     # one partition is safe at any corpus size (the q_seq_stratified
     # final-fold recipe)

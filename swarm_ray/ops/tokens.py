@@ -390,7 +390,7 @@ def q_seq_sample(sf_dir: str) -> ray.data.Dataset:
     ds = read_parquet_clean(_seq_files(sf_dir), columns=["doc_id", "source"])
     return grouped_count(
         ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True),
-        ["source"], alias="sampled_rows")
+        ["source"], alias="sampled_rows", bounded_groups=True)
 
 
 # ------------------------------------------------------------ seeded shuffle
@@ -467,12 +467,11 @@ def q_seq_mixture(sf_dir: str) -> ray.data.Dataset:
     epoch). Output: per-source kept rows + kept token mass, SQL-checked.
 
     Scale: pure per-batch filter (zero shuffle) + per-batch partial
-    (source → count, Σn_tok) so the one exchange moves ``#blocks ×
-    #sources`` partial rows. Unknown sources default to keep-all, so a
+    (source → count, Σn_tok) folded by the bounded combine tree
+    (``agg.tree_fold_sum``) — only ``#blocks × #sources`` partial rows
+    ever move. Unknown sources default to keep-all, so a
     schema drift never silently drops data."""
     import pyarrow.compute as pc
-
-    from ray.data.aggregate import Sum as _Sum
 
     from ..stages.ids import md5_hex
 
@@ -496,10 +495,10 @@ def q_seq_mixture(sf_dir: str) -> ray.data.Dataset:
 
     ds = read_parquet_clean(_seq_files(sf_dir),
                                columns=["doc_id", "source", "n_tok"])
-    return (ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby("source")
-            .aggregate(_Sum("rows_kept", alias_name="rows_kept"),
-                       _Sum("tok_kept", alias_name="tok_kept")))
+    from .agg import tree_fold_sum
+    return tree_fold_sum(
+        ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True),
+        ["source"], ["rows_kept", "tok_kept"])
 
 
 # ----------------------------------------- temperature-rebalanced mixing
@@ -517,16 +516,15 @@ def q_seq_mixture_temp(sf_dir: str, alpha: float = TEMP_ALPHA
     the rarest source keeps everything and hot sources downsample
     toward balance, with no hand-set weight table to drift stale.
 
-    Scale: pass 1 is per-batch (source, count) partials → a tiny
-    groupby (#blocks × #sources rows cross, a pruned one-column read);
+    Scale: pass 1 is per-batch (source, count) partials → the bounded
+    combine tree (#blocks × #sources rows cross, a pruned one-column
+    read);
     the driver does #sources float ops; pass 2 is the q_seq_mixture
     ZERO-SHUFFLE hash-coin filter under the derived thresholds.
     Oracle: DuckDB independently re-derives shares → lifts → rates →
     the same fixed-width hex thresholds from the raw table itself —
     the rate DERIVATION is checked, not just the filter."""
     import pyarrow.compute as pc
-
-    from ray.data.aggregate import Sum as _Sum
 
     from ..stages.ids import md5_hex
 
@@ -535,11 +533,12 @@ def q_seq_mixture_temp(sf_dir: str, alpha: float = TEMP_ALPHA
         return g.aggregate([("source", "count")]) \
             .rename_columns(["source", "c"])
 
-    counts = (read_parquet_clean(_seq_files(sf_dir), columns=["source"])
-              .map_batches(count_partial, batch_format="pyarrow",
-                           zero_copy_batch=True)
-              .groupby("source").aggregate(_Sum("c", alias_name="c"))
-              .to_pandas())
+    from .agg import tree_fold_sum
+    counts = tree_fold_sum(
+        read_parquet_clean(_seq_files(sf_dir), columns=["source"])
+        .map_batches(count_partial, batch_format="pyarrow",
+                     zero_copy_batch=True),
+        ["source"], ["c"]).to_pandas()
     c = counts["c"].to_numpy(dtype=np.float64)
     p = c / c.sum()
     lift = np.power(p, alpha) / p
@@ -564,11 +563,10 @@ def q_seq_mixture_temp(sf_dir: str, alpha: float = TEMP_ALPHA
 
     ds = read_parquet_clean(_seq_files(sf_dir),
                                columns=["doc_id", "source", "n_tok"])
-    return (ds.map_batches(sample, batch_format="pyarrow",
-                           zero_copy_batch=True)
-            .groupby("source")
-            .aggregate(_Sum("rows_kept", alias_name="rows_kept"),
-                       _Sum("tok_kept", alias_name="tok_kept")))
+    return tree_fold_sum(
+        ds.map_batches(sample, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["source"], ["rows_kept", "tok_kept"])
 
 
 # --------------------------------------------------------- bigram top-k
@@ -917,10 +915,8 @@ def q_seq_token_budget(sf_dir: str,
     repartition keyed on the UNIFORM bucket id co-locates each bucket;
     (4) block-local: order by doc_idx, within-(source,bucket) cumsum +
     broadcast offset = the row's global running total — keep iff
-    ≤ budget; (5) per-source partial counts → tiny groupby."""
+    ≤ budget; (5) per-source partial counts → bounded tree fold (agg.tree_fold_sum)."""
     import pyarrow.compute as pc
-
-    from ray.data.aggregate import Sum as _Sum
 
     from ..stages.ids import doc_index
     from ..util import enable_hash_shuffle, keyed_partition_count
@@ -981,11 +977,11 @@ def q_seq_token_budget(sf_dir: str,
                             zero_copy_batch=True)
     n_parts = keyed_partition_count()
     enable_hash_shuffle(tagged, n_parts)
-    return (tagged.repartition(n_parts, keys=["bucket"])
-            .map_batches(admit_block, batch_format="pandas", batch_size=None)
-            .groupby("source")
-            .aggregate(_Sum("rows_kept", alias_name="rows_kept"),
-                       _Sum("tok_kept", alias_name="tok_kept")))
+    from .agg import tree_fold_sum
+    return tree_fold_sum(
+        tagged.repartition(n_parts, keys=["bucket"])
+        .map_batches(admit_block, batch_format="pandas", batch_size=None),
+        ["source"], ["rows_kept", "tok_kept"])
 
 
 # ---------------------------------------------- stratified exact-quota sample

@@ -37,7 +37,7 @@ def q_source_counts(sf_dir: str) -> ray.data.Dataset:
     the skew treatment for the 55%-hot source key."""
     from .ops.agg import grouped_count
     ds = read_parquet_clean(_seq_files(sf_dir), columns=["source"])
-    return grouped_count(ds, ["source"])
+    return grouped_count(ds, ["source"], bounded_groups=True)
 
 
 def q_parse(sf_dir: str) -> ray.data.Dataset:
@@ -69,7 +69,8 @@ def q_route_counts(sf_dir: str) -> ray.data.Dataset:
     (shuffle moves #blocks × #sinks rows only)."""
     from .ops.agg import grouped_count
     return grouped_count(build_routed(_seq_files(sf_dir)),
-                         ["sink_dataset", "sink_table"])
+                         ["sink_dataset", "sink_table"],
+                         bounded_groups=True)
 
 
 def q_routed_rows(sf_dir: str) -> ray.data.Dataset:
@@ -119,7 +120,8 @@ def q_enrich_counts(sf_dir: str) -> ray.data.Dataset:
 
     ds = ds.map_batches(stabilize, batch_format="pyarrow", zero_copy_batch=True)
     from .ops.agg import grouped_count
-    return grouped_count(ds, ["source", "severity", "tag"])
+    return grouped_count(ds, ["source", "severity", "tag"],
+                         bounded_groups=True)
 
 
 def q_drop_stats(sf_dir: str) -> ray.data.Dataset:
@@ -134,7 +136,7 @@ def q_drop_stats(sf_dir: str) -> ray.data.Dataset:
     return grouped_count(
         read_parquet_clean(_seq_files(sf_dir), columns=["doc_id", "source"])
         .map_batches(classify, batch_format="pyarrow", zero_copy_batch=True),
-        ["reason"])
+        ["reason"], bounded_groups=True)
 
 
 def q_ntok_quantiles(sf_dir: str) -> ray.data.Dataset:

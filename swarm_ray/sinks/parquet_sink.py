@@ -103,7 +103,8 @@ def sink_counts(routed: ray.data.Dataset) -> pd.DataFrame:
     """Exact per-sink row counts — the A2 aggregate. Small result
     (#sinks rows), safe to materialize on the driver."""
     from ..ops.agg import grouped_count
-    out = grouped_count(routed, ["sink_dataset", "sink_table"]).to_pandas()
+    out = grouped_count(routed, ["sink_dataset", "sink_table"],
+                        bounded_groups=True).to_pandas()
     return out.sort_values(["sink_dataset", "sink_table"]).reset_index(drop=True)
 
 

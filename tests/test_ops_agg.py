@@ -101,3 +101,36 @@ def test_salted_quantiles_match_duckdb_disc(ray_session):
     """).df()
     for c in ("n", "q500", "q900", "q990"):
         assert got[c].tolist() == want[c].tolist(), c
+
+
+def test_bounded_groups_tree_fold_matches_shuffle_path(ray_session):
+    """The bounded-group combine tree (tree_fold_sum) must be exactly
+    the shuffle groupby, including across many partials and key types."""
+    ds = ray.data.from_arrow(_tbl()).repartition(4)
+    plain = {r["k"]: r["row_count"] for r in grouped_count(ds, ["k"]).take_all()}
+    tree = {r["k"]: r["row_count"]
+            for r in grouped_count(ds, ["k"], bounded_groups=True).take_all()}
+    assert tree == plain
+    plain_s = {r["k"]: r["sum_v"] for r in grouped_sum(ds, ["k"], "v").take_all()}
+    tree_s = {r["k"]: r["sum_v"]
+              for r in grouped_sum(ds, ["k"], "v",
+                                   bounded_groups=True).take_all()}
+    assert tree_s == plain_s
+
+
+def test_tree_fold_sum_schema_stability_and_rename(ray_session):
+    """Empty partial blocks and int32 partials must fold to the same
+    (widened) schema as populated ones; out_names renames the sums."""
+    from swarm_ray.ops.agg import tree_fold_sum
+
+    t = pa.table({"k": ["x", "y", "x"],
+                  "n": pa.array([1, 2, 3], pa.int32())})
+    empty = t.schema.empty_table()
+    ds = ray.data.from_arrow([t, empty, t])   # one block is zero-row
+    out = tree_fold_sum(ds, ["k"], ["n"], out_names=["total"]).take_all()
+    got = {r["k"]: r["total"] for r in out}
+    assert got == {"x": 8, "y": 4}
+    tbl = tree_fold_sum(ray.data.from_arrow([t, empty]), ["k"], ["n"])
+    sch = tbl.schema()
+    assert sch.names == ["k", "n"]
+    assert str(sch.types[1]) == "int64"   # int32 partials widen once
