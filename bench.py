@@ -186,8 +186,14 @@ def run_bench() -> dict:
             pass
 
     ray.shutdown()
+    # window forensics for the full snapshot (skipped on the scaling
+    # legs, which probe once before both legs instead): how many
+    # effective cores did the shared VM grant during this window?
+    cap = (None if os.environ.get("BENCH_HEADLINE_ONLY")
+           else _capacity_probe(max(2, NUM_CPUS // 4), NUM_CPUS))
     return {
         "load_before": load_before, "load_after": _load1(),
+        "capacity_probe": cap,
         "metric": "flagship parse→enrich→route→write job wall time",
         "value": round(headline, 3),
         "unit": "sec",
