@@ -25,7 +25,7 @@ _DRIVER_FRONT = [
     "seq_stratified", "seq_shuffle", "seq_pack",
     "doc_embed", "doc_embed_knn",
     # round-5 additions (need their first driver rows)
-    "emb_semdedup_keep", "events_retention_salted",
+    "emb_semdedup_keep", "events_retention_salted", "seq_distinct_hll",
     # last driver row r3 or earlier
     "emb_knn", "emb_lsh_ann", "emb_ivf_ann", "emb_near_dup",
     "emb_dedup_semantic", "emb_centroids",
@@ -229,6 +229,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
     for name, fn in (("emb_knn", "ann.q_knn_bruteforce"),
                      ("emb_pq_ann", "ann.q_knn_pq"),
                      ("seq_mixture_temp", "tokens.q_seq_mixture_temp"),
+                     ("seq_distinct_hll", "tokens.q_seq_distinct_hll"),
                      ("media_stats", "media.q_media_stats"),
                      ("events_hourly", "relational.q_events_hourly")):
         try:

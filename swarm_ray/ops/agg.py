@@ -37,16 +37,21 @@ def _partial_count(keys: list[str], alias: str):
     return fn
 
 
-def _sum_combine(keys: list[str], vals: list[str]):
-    """Block-local SUM fold over (keys, vals) partial rows. Runs the
-    aggregate even on a zero-row block: pyarrow returns the AGGREGATE
-    output schema (e.g. int32 partials widen to int64 sums) either way,
-    so every emitted block carries one stable schema."""
+def _block_combine(keys: list[str], vals: list[str], how: str):
+    """Block-local ``how`` fold (sum/max/min) over (keys, vals) partial
+    rows. Runs the aggregate even on a zero-row block: pyarrow returns
+    the AGGREGATE output schema (e.g. int32 partials widen to int64
+    sums) either way, so every emitted block carries one stable
+    schema."""
     def fn(t: pa.Table) -> pa.Table:
         g = pa.TableGroupBy(t.select(keys + vals), keys)
-        return g.aggregate([(v, "sum") for v in vals]) \
+        return g.aggregate([(v, how) for v in vals]) \
             .rename_columns(keys + vals)
     return fn
+
+
+def _sum_combine(keys: list[str], vals: list[str]):
+    return _block_combine(keys, vals, "sum")
 
 
 def tree_fold_sum(partials: ray.data.Dataset, keys: list[str],
@@ -74,10 +79,27 @@ def tree_fold_sum(partials: ray.data.Dataset, keys: list[str],
     block is ≤ width × #groups rows, the output ≤ #groups); unbounded
     keys (doc_id, vocab words) stay on the shuffle path.
     ``out_names`` renames the summed columns in the final block."""
+    return _tree_fold(partials, keys, vals, "sum", out_names)
+
+
+def tree_fold_max(partials: ray.data.Dataset, keys: list[str],
+                  vals: list[str],
+                  out_names: list[str] | None = None) -> ray.data.Dataset:
+    """``tree_fold_sum``'s MAX sibling — same bounded two-level combine
+    tree, same caller obligations (documented #groups bound), for
+    associative MAX folds: sketch registers (HLL max-rho per
+    (source, register) — ≤ #sources × m rows end to end), per-key
+    high-water marks."""
+    return _tree_fold(partials, keys, vals, "max", out_names)
+
+
+def _tree_fold(partials: ray.data.Dataset, keys: list[str],
+               vals: list[str], how: str,
+               out_names: list[str] | None = None) -> ray.data.Dataset:
     from ..util import cluster_cpus
 
     width = max(2, cluster_cpus() // 4)
-    combine = _sum_combine(keys, vals)
+    combine = _block_combine(keys, vals, how)
 
     def finish(t: pa.Table) -> pa.Table:
         return combine(t).rename_columns(keys + (out_names or vals))

@@ -214,8 +214,138 @@ def q_seq_pack_stats(sf_dir: str, capacity: int = PACK_CAPACITY) -> ray.data.Dat
                        _Sum("used_tok", alias_name="used_tok")))
 
 
+# --------------------------------------------- approximate distinct (HLL)
+
+HLL_M = 1024            # registers (b = 10 index bits)
+HLL_RHO_CAP = 40        # cap on the leading-zero run: keeps every
+#                         integer below (num ≤ m·2^40 < 2^63, estimator
+#                         product < 2^90 < int128) on BOTH engines; the
+#                         cap only matters past ~2^40·m distinct —
+#                         beyond the estimator's usable range anyway
+HLL_ALPHA_MICRO = 720541   # ⌊10^6 · α_1024⌋, α_m = 0.7213/(1+1.079/m)
+HLL_LC_BOUND = 5 * HLL_M // 2   # linear-counting switchover (2.5·m)
+_HLL_W_BITS = 64 - 10           # rho window: hash bits below the index
+_HLL_W_MASK = (1 << _HLL_W_BITS) - 1
+_BITLEN8 = np.array([v.bit_length() for v in range(256)], dtype=np.int64)
+
+_HLL_PARTIAL_SCHEMA = pa.schema([("source", pa.string()),
+                                 ("reg", pa.int32()), ("rho", pa.int32())])
+
+
+def _hll_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch HLL register partial: for every (source, register)
+    the max leading-zero-run rank rho seen in this batch — ≤
+    #sources × m rows out regardless of batch size, so the fold moves
+    sketch registers, never doc ids. The hash is the TOP 64 bits of
+    md5(doc_id) (exactly ``int(hexdigest[:16], 16)``), split 10 index
+    bits / 54-bit rho window, so the DuckDB oracle reproduces every
+    register bit-for-bit from the same md5. Per-doc md5 is a Python
+    loop by necessity (md5-reproducibility, the ``Fingerprint``
+    precedent); everything after it is vectorized. bit_length is
+    computed exactly via byte-lane argmax + an 8-bit LUT — float log2
+    would misround near 2^k boundaries above 2^53."""
+    import hashlib
+    if batch.num_rows == 0:
+        return _HLL_PARTIAL_SCHEMA.empty_table()
+    ids = batch["doc_id"].to_pylist()
+    hv = np.fromiter(
+        (int.from_bytes(hashlib.md5(d.encode()).digest()[:8], "big")
+         for d in ids),
+        dtype=np.uint64, count=len(ids))
+    reg = (hv >> np.uint64(_HLL_W_BITS)).astype(np.int64)
+    w = hv & np.uint64(_HLL_W_MASK)
+    lanes = w.astype(">u8").view(np.uint8).reshape(-1, 8)  # big-endian
+    nz = lanes != 0
+    first = np.argmax(nz, axis=1)          # highest nonzero byte (0 if none)
+    has = nz.any(axis=1)
+    bl = np.where(
+        has,
+        (7 - first) * 8 + _BITLEN8[lanes[np.arange(len(w)), first]],
+        0)
+    rho = np.minimum(_HLL_W_BITS + 1 - bl, HLL_RHO_CAP).astype(np.int64)
+
+    src = batch["source"].combine_chunks().dictionary_encode()
+    codes = np.asarray(src.indices, dtype=np.int64)
+    key = codes * HLL_M + reg
+    order = np.lexsort((rho, key))
+    k_s, r_s = key[order], rho[order]
+    last = np.r_[k_s[1:] != k_s[:-1], True]  # max per key = last in order
+    k_u, r_u = k_s[last], r_s[last]
+    names = src.dictionary.to_pylist()
+    return pa.table({
+        "source": pa.array([names[c] for c in (k_u // HLL_M)],
+                           type=pa.string()),
+        "reg": pa.array((k_u % HLL_M).astype(np.int32)),
+        "rho": pa.array(r_u.astype(np.int32)),
+    })
+
+
+def hll_estimate(mj: np.ndarray) -> tuple[int, str, int]:
+    """(estimate, kind, raw) from one source's NON-EMPTY register
+    values. Pure-integer raw estimator — num = Σ_j 2^(m_max − M_j)
+    over ALL m registers (empty ⇒ M_j = 0), single floor division —
+    so any engine lands on the same integer; the linear-counting
+    branch's ⌊m·ln(m/V)+0.5⌋ float is pinned against DuckDB ``LN``
+    over its ENTIRE 1024-value domain by
+    test_ops_tokens.test_hll_lc_float_parity."""
+    import math
+    mj = np.asarray(mj, dtype=np.int64)
+    zero = HLL_M - len(mj)
+    m_max = int(mj.max())
+    num = int(np.sum(np.int64(1) << (m_max - mj))) + zero * (1 << m_max)
+    raw = (HLL_ALPHA_MICRO * HLL_M * HLL_M * (1 << m_max)) \
+        // (num * 1_000_000)
+    if zero > 0 and raw <= HLL_LC_BOUND:
+        return (int(math.floor(HLL_M * math.log(HLL_M / zero) + 0.5)),
+                "lc", raw)
+    return raw, "raw", raw
+
+
+def q_seq_distinct_hll(sf_dir: str) -> ray.data.Dataset:
+    """Approximate per-source distinct-document count via HyperLogLog
+    (Flajolet 2007) — the cardinality primitive for streams too big to
+    exact-count: registers are the ONLY state, additive under max, so
+    the corpus crosses no exchange at all. Plan: one streaming
+    ``map_batches`` pass (≤ #sources × 1024 partial rows per block) →
+    ``tree_fold_max`` (bounded combine tree, no sort shuffle) → a
+    one-block finish computing the estimator. At 100 TB this reads the
+    two needed columns once and moves kilobytes. The estimator is
+    exact-integer (see ``hll_estimate``), which buys a loss-free SQL
+    oracle for a probabilistic sketch: DuckDB re-derives every
+    register from the same md5 split and must land on the same
+    integers. σ ≈ 1.04/√1024 ≈ 3.3% (accuracy pinned by pytest vs
+    ground truth). Reference analogue: the per-source ingest counters
+    (pkg/usecase/load.go:207-208) — this is their
+    cardinality-not-count sibling."""
+    from .agg import tree_fold_max
+
+    partials = (read_parquet_clean(_seq_files(sf_dir),
+                                   columns=["doc_id", "source"])
+                .map_batches(_hll_partial, batch_format="pyarrow",
+                             zero_copy_batch=True))
+    regs = tree_fold_max(partials, keys=["source", "reg"], vals=["rho"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        rows = []
+        for src in sorted(df["source"].unique()):
+            est, kind, raw = hll_estimate(
+                df.loc[df["source"] == src, "rho"].to_numpy())
+            rows.append((src, est, kind, raw))
+        return pa.table({
+            "source": pa.array([r[0] for r in rows], type=pa.string()),
+            "distinct_est": pa.array([r[1] for r in rows], type=pa.int64()),
+            "est_kind": pa.array([r[2] for r in rows], type=pa.string()),
+            "raw_est": pa.array([r[3] for r in rows], type=pa.int64()),
+        })
+
+    return regs.map_batches(finish, batch_format="pyarrow",
+                            batch_size=None, zero_copy_batch=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "seq_distinct_hll": q_seq_distinct_hll,
         "seq_token_topk": q_token_topk,
         "seq_pack": q_seq_pack_checked,
         "seq_pack_stats": q_seq_pack_stats,
@@ -242,6 +372,50 @@ def oracle_sql() -> dict[str, str]:
     pack_glob = str(FIXTURE_ROOT / label_for_sf_dir(oracle_sf_dir())
                     / "seq_pack_expected" / "*.parquet")
     return {
+        "seq_distinct_hll": f"""
+            WITH h AS (
+              SELECT source,
+                     CAST(CONCAT('0x', substr(md5(doc_id), 1, 16))
+                          AS UBIGINT) AS hv
+              FROM read_parquet('{glob}')
+            ), r AS (
+              SELECT source, CAST(hv >> {_HLL_W_BITS} AS INTEGER) AS reg,
+                     LEAST({_HLL_W_BITS} + 1 -
+                           CASE WHEN (hv & {_HLL_W_MASK}) = 0 THEN 0
+                                ELSE LENGTH(bin(hv & {_HLL_W_MASK})) END,
+                           {HLL_RHO_CAP}) AS rho
+              FROM h
+            ), regs AS (
+              SELECT source, reg, MAX(rho) AS mj FROM r GROUP BY source, reg
+            ), mm AS (
+              SELECT source, MAX(mj) AS m_max,
+                     {HLL_M} - COUNT(*) AS zero_regs
+              FROM regs GROUP BY source
+            ), nums AS (
+              SELECT regs.source,
+                     SUM(1::BIGINT << (mm.m_max - regs.mj))::BIGINT
+                       + ANY_VALUE(mm.zero_regs)
+                         * (1::BIGINT << ANY_VALUE(mm.m_max)) AS num,
+                     ANY_VALUE(mm.m_max) AS m_max,
+                     ANY_VALUE(mm.zero_regs) AS zero_regs
+              FROM regs JOIN mm USING (source) GROUP BY regs.source
+            ), est AS (
+              SELECT source, zero_regs,
+                     CAST(({HLL_ALPHA_MICRO}::HUGEINT * {HLL_M * HLL_M}
+                           * CAST(1::BIGINT << m_max AS HUGEINT))
+                          // (num::HUGEINT * 1000000) AS BIGINT) AS raw_est
+              FROM nums
+            )
+            SELECT source,
+                   CASE WHEN zero_regs > 0 AND raw_est <= {HLL_LC_BOUND}
+                        THEN CAST(FLOOR({HLL_M}.0 *
+                               LN({HLL_M}.0 / zero_regs) + 0.5) AS BIGINT)
+                        ELSE raw_est END AS distinct_est,
+                   CASE WHEN zero_regs > 0 AND raw_est <= {HLL_LC_BOUND}
+                        THEN 'lc' ELSE 'raw' END AS est_kind,
+                   raw_est
+            FROM est ORDER BY source
+        """,
         "seq_pack": f"""
             SELECT bin_id, n_seqs, used_tok, capacity, pack_group
             FROM read_parquet('{pack_glob}')

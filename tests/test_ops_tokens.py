@@ -363,3 +363,108 @@ def test_seq_mixture_temp_matches_recompute(ray_session):
     # post-sampling shares are flatter than raw shares
     post = got.set_index("source")["rows_kept"]
     assert (post.max() / post.min()) < (cnt.max() / cnt.min())
+
+
+# ---------------------------------------------------------------- HLL
+
+def test_hll_bitlen_lut_exact():
+    """The byte-lane bit_length must be EXACT on the float-hostile
+    band (2^k − 1 vs 2^k for k near/above 53, where np.log2 misrounds)
+    and on random 54-bit values."""
+    vals = []
+    for k in range(1, 54):
+        vals += [(1 << k) - 1, 1 << k]
+    rng = np.random.default_rng(7)
+    vals += rng.integers(1, 1 << 54, size=2000).tolist() + [0]
+    w = np.array(vals, dtype=np.uint64)
+    lanes = w.astype(">u8").view(np.uint8).reshape(-1, 8)
+    nz = lanes != 0
+    first = np.argmax(nz, axis=1)
+    has = nz.any(axis=1)
+    bl = np.where(has, (7 - first) * 8 +
+                  tokens._BITLEN8[lanes[np.arange(len(w)), first]], 0)
+    assert bl.tolist() == [int(v).bit_length() for v in vals]
+
+
+def test_hll_partial_matches_serial():
+    """Engine register partials == a serial hashlib recompute."""
+    import hashlib
+    ids = [f"src/part-0/doc-{i:08d}.log" for i in range(5000)]
+    srcs = ["a" if i % 3 else "b" for i in range(5000)]
+    batch = pa.table({"doc_id": pa.array(ids), "source": pa.array(srcs)})
+    got = tokens._hll_partial(batch).to_pandas()
+    want: dict[tuple[str, int], int] = {}
+    for d, s in zip(ids, srcs):
+        hv = int.from_bytes(hashlib.md5(d.encode()).digest()[:8], "big")
+        reg = hv >> tokens._HLL_W_BITS
+        w = hv & tokens._HLL_W_MASK
+        rho = min(tokens._HLL_W_BITS + 1 - w.bit_length(),
+                  tokens.HLL_RHO_CAP)
+        want[(s, reg)] = max(want.get((s, reg), 0), rho)
+    got_map = {(r.source, r.reg): r.rho for r in got.itertuples()}
+    assert got_map == want
+
+
+def test_hll_lc_float_parity():
+    """⌊m·ln(m/V)+0.5⌋ must agree between Python libm and DuckDB LN
+    over the linear-counting branch's ENTIRE domain (V ∈ 1..m) — the
+    one float expression in the estimator (ADVICE r4 precedent:
+    doc_lm_score's full-domain pin)."""
+    import math
+    import duckdb
+    m = tokens.HLL_M
+    con = duckdb.connect()
+    sql = con.sql(
+        f"SELECT v, CAST(FLOOR({m}.0 * LN({m}.0 / v) + 0.5) AS BIGINT) "
+        f"FROM (SELECT unnest(range(1, {m + 1})) AS v)").fetchall()
+    for v, got in sql:
+        assert got == int(math.floor(m * math.log(m / v) + 0.5)), v
+
+
+def test_hll_estimate_accuracy_and_merge():
+    """The estimator lands within 5σ of ground truth at two scales
+    spanning the lc/raw switchover, and register merge (max) is
+    order/partition independent."""
+    import hashlib
+
+    def serial_regs(n):
+        regs: dict[int, int] = {}
+        for i in range(n):
+            hv = int.from_bytes(
+                hashlib.md5(f"doc-{i}".encode()).digest()[:8], "big")
+            reg, w = hv >> tokens._HLL_W_BITS, hv & tokens._HLL_W_MASK
+            rho = min(tokens._HLL_W_BITS + 1 - w.bit_length(),
+                      tokens.HLL_RHO_CAP)
+            regs[reg] = max(regs.get(reg, 0), rho)
+        return np.array(sorted(regs.values()))
+
+    sigma = 1.04 / np.sqrt(tokens.HLL_M)
+    for n, kind_want in ((800, "lc"), (60_000, "raw")):
+        est, kind, _raw = tokens.hll_estimate(serial_regs(n))
+        assert kind == kind_want
+        assert abs(est - n) <= 5 * sigma * n + 3, (n, est)
+
+
+def test_hll_query_parallelism_independent(ray_session):
+    """Same estimates at a pathological block split — registers are
+    associative under max, so the plan must not care."""
+    a = tokens.q_seq_distinct_hll("/tmp/x/sf0.001").to_pandas()
+    files = fixtures.sequences_files("sf0.001")
+    from swarm_ray.util import read_parquet_clean
+    from swarm_ray.ops.agg import tree_fold_max
+    parts = (read_parquet_clean(files, columns=["doc_id", "source"],
+                                override_num_blocks=13)
+             .map_batches(tokens._hll_partial, batch_format="pyarrow",
+                          batch_size=37, zero_copy_batch=True))
+    regs = tree_fold_max(parts, keys=["source", "reg"], vals=["rho"])
+    b = regs.to_pandas()
+    merged = (b.groupby(["source", "reg"])["rho"].max().reset_index())
+    rows = []
+    for src in sorted(merged["source"].unique()):
+        est, kind, raw = tokens.hll_estimate(
+            merged.loc[merged["source"] == src, "rho"].to_numpy())
+        rows.append((src, est, kind, raw))
+    got = pd.DataFrame(rows, columns=["source", "distinct_est",
+                                      "est_kind", "raw_est"])
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), got.reset_index(drop=True))
