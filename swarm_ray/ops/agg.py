@@ -93,13 +93,41 @@ def tree_fold_max(partials: ray.data.Dataset, keys: list[str],
     return _tree_fold(partials, keys, vals, "max", out_names)
 
 
+def tree_fold_or(partials: ray.data.Dataset, key: str,
+                 val: str) -> ray.data.Dataset:
+    """Bitwise-OR fold over packed bitmask words — the Bloom-filter /
+    bitmap-index merge (pyarrow's groupby has no bit_or kernel, so the
+    block combine is a numpy sort + ``np.bitwise_or.reduceat``). Rows
+    are (``key``: word index int32, ``val``: 64 raw bits as int64);
+    output ≤ #distinct-words rows — bounded by the bitmask size by
+    construction, never by the corpus."""
+    import numpy as np
+
+    def combine(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.select([key, val])
+        w = t[key].to_numpy(zero_copy_only=False)
+        b = t[val].to_numpy(zero_copy_only=False)
+        order = np.argsort(w, kind="stable")
+        w, b = w[order], b[order]
+        starts = np.flatnonzero(np.r_[True, w[1:] != w[:-1]])
+        return pa.table({key: pa.array(w[starts], type=pa.int32()),
+                         val: pa.array(np.bitwise_or.reduceat(b, starts),
+                                       type=pa.int64())})
+
+    return _tree_fold(partials, [key], [val], combine)
+
+
 def _tree_fold(partials: ray.data.Dataset, keys: list[str],
-               vals: list[str], how: str,
+               vals: list[str], how,
                out_names: list[str] | None = None) -> ray.data.Dataset:
+    """``how``: a pyarrow aggregate name ("sum"/"max"/...) or a
+    callable block-combine (pa.Table → pa.Table) for folds pyarrow's
+    groupby can't express (bit_or)."""
     from ..util import cluster_cpus
 
     width = max(2, cluster_cpus() // 4)
-    combine = _block_combine(keys, vals, how)
+    combine = how if callable(how) else _block_combine(keys, vals, how)
 
     def finish(t: pa.Table) -> pa.Table:
         return combine(t).rename_columns(keys + (out_names or vals))

