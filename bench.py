@@ -186,13 +186,16 @@ def run_bench() -> dict:
             pass
 
     ray.shutdown()
+    load_after = _load1()   # read BEFORE the probe — the probe's own
+    #                         spin workers would inflate the very field
+    #                         meant to attribute drift to co-tenants
     # window forensics for the full snapshot (skipped on the scaling
     # legs, which probe once before both legs instead): how many
     # effective cores did the shared VM grant during this window?
     cap = (None if os.environ.get("BENCH_HEADLINE_ONLY")
            else _capacity_probe(max(2, NUM_CPUS // 4), NUM_CPUS))
     return {
-        "load_before": load_before, "load_after": _load1(),
+        "load_before": load_before, "load_after": load_after,
         "capacity_probe": cap,
         "metric": "flagship parse→enrich→route→write job wall time",
         "value": round(headline, 3),
@@ -260,8 +263,11 @@ def run_scaling() -> dict:
         leg["load_settled"] = _settle()
         return leg
 
-    _settle()
+    # probe FIRST, settle after: the probe's own spin pool elevates the
+    # 1-min load for ~a minute, which would otherwise bleed into the lo
+    # leg right after the settle gate cleared it
     cap = _capacity_probe(lo_cpus, hi_cpus)
+    _settle()
     lo = run(lo_cpus)
     hi = run(hi_cpus)
     thr_lo, thr_hi = lo["seq_per_sec"], hi["seq_per_sec"]

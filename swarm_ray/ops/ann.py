@@ -1180,14 +1180,21 @@ def _semdedup_hits(assigned: ray.data.Dataset, sizes: dict[int, int],
 
 
 def _dim_of(assigned: ray.data.Dataset) -> int:
-    """Embedding dim from the schema (fixed-size or first-row probe)."""
+    """Embedding dim from the schema (fixed-size list), else an actual
+    first-row probe — variable-size list schemas carry no dim, and a
+    hard-coded fallback under-estimated the pair-exchange bytes ~12×
+    for real 768-dim vectors (review finding: partitions past the
+    block-split threshold break the pair-group-per-block invariant)."""
     try:
         f = assigned.schema().base_schema.field("embedding").type
         if hasattr(f, "list_size") and f.list_size:
             return int(f.list_size)
     except Exception:
         pass
-    return 64
+    try:
+        return len(assigned.take(1)[0]["embedding"])
+    except Exception:
+        return 64
 
 
 def q_emb_semdedup(sf_dir: str, tau: float = SEMDEDUP_TAU,
@@ -1234,7 +1241,13 @@ def q_emb_semdedup(sf_dir: str, tau: float = SEMDEDUP_TAU,
         return pd.DataFrame({"cluster": u.astype(np.int64),
                              "removed": c.astype(np.int64)})
 
-    n_parts = small_exchange_partition_count(sum(sizes.values()) * 16)
+    # worst-case hit bytes carry the SUBGROUP-PAIR duplication factor:
+    # a removed id in a split cluster can be emitted once per pair task
+    # (S_c = ceil(n_c/bound) tasks see it), and an under-budgeted
+    # partition that split into two blocks would double-count in the
+    # block-local drop_duplicates (review finding)
+    dup_rows = sum(n * max(1, -(-n // bound)) for n in sizes.values())
+    n_parts = small_exchange_partition_count(dup_rows * 16)
     enable_hash_shuffle(hits, n_parts)
     parts = (hits.repartition(n_parts, keys=["vec_id"])
              .map_batches(count_block, batch_format="pandas",
@@ -1305,8 +1318,13 @@ def q_emb_semdedup_keep(sf_dir: str, tau: float = SEMDEDUP_TAU,
         return pd.DataFrame(
             {"vec_id": ids[~np.isin(ids, gone)].astype(np.int64)})
 
+    # corpus rows + worst-case duplicated removal rows (one emission
+    # per subgroup-pair task, see the sizing note in q_emb_semdedup) —
+    # an under-budgeted partition split across blocks would let a
+    # removed id in one block dodge its removal rows in another
     total = sum(sizes.values())
-    n_parts = small_exchange_partition_count(total * 9)
+    dup_rows = sum(n * max(1, -(-n // bound)) for n in sizes.values())
+    n_parts = small_exchange_partition_count((total + dup_rows) * 9)
     enable_hash_shuffle(both, n_parts)
     return (both.repartition(n_parts, keys=["vec_id"])
             .map_batches(keep_block, batch_format="pandas",

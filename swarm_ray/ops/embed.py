@@ -124,7 +124,9 @@ class EmbedStage:
             except ImportError:
                 pass   # no sentencepiece in this environment → hash
         from .text import HashTokenizer
-        return HashTokenizer()
+        return HashTokenizer(vocab)   # fold ids into the MODEL's rows —
+        # a 32k-row custom model with the hash fallback would otherwise
+        # see ids in [0, TOKENIZE_VOCAB) and gather out of bounds
 
     def _forward(self, flat_ids: np.ndarray, lens: np.ndarray) -> np.ndarray:
         # batched "forward pass": segment-sum of token embedding rows

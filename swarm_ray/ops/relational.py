@@ -880,11 +880,15 @@ def q_tpch_bloom_semijoin(sf_dir: str) -> ray.data.Dataset:
     from ..util import autoscaling_pool, cluster_cpus
     from .agg import tree_fold_or
 
+    # materialize the filtered build side ONCE: the bloom fold executes
+    # it eagerly and the verify join reads it again — without this the
+    # orders scan+filter would run twice (review finding; same reason
+    # q_emb_semdedup materializes its assignment)
     urgent = read_parquet_clean(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_orderstatus", "o_orderpriority"],
         filter=(pc.field("o_orderpriority") == "1-URGENT"),
-    ).drop_columns(["o_orderpriority"])
+    ).drop_columns(["o_orderpriority"]).materialize()
 
     def build_words(t: pa.Table) -> pa.Table:
         return _bloom_partial_words(t["o_orderkey"].to_numpy())

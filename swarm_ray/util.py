@@ -119,14 +119,26 @@ def enable_hash_shuffle(ds, n_partitions: int | None = None):
     143 partitions reserves 143 × default-share ≈ ¾ of the cluster for
     idle-capable aggregators — observed as the bigram exchange
     starving its own upstream map at sf0.1 (>580 s, vs ~150 s sized
-    correctly)."""
+    correctly).
+
+    One more wrinkle: derived datasets SHARE one DataContext and plans
+    are lazy, so when a plan has several keyed exchanges the LAST call
+    here would otherwise size the reservation for its own (possibly
+    smaller) count while the larger exchange still runs under it —
+    reserving count_large × share_small ≫ cluster/6 (review finding on
+    the semdedup hits-after-pairs plan). The context therefore tracks
+    the LARGEST explicit count seen and per-partition reservation is
+    always derived from it: the ncpu/6 bound holds for the biggest
+    exchange, smaller ones under-reserve (liveness-free by the
+    argument above)."""
     from ray.data.context import ShuffleStrategy
 
     ncpu = cluster_cpus()
     nparts = max(8, ncpu)
-    per_part = min(1.0, max(0.005,
-                            (ncpu / 6) / max(nparts, n_partitions or 0)))
     ctx = ds.context
+    seen = max(getattr(ctx, "_swarm_max_hash_parts", 0), n_partitions or 0)
+    ctx._swarm_max_hash_parts = seen
+    per_part = min(1.0, max(0.005, (ncpu / 6) / max(nparts, seen)))
     ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = per_part
     ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = per_part
