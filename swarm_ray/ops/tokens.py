@@ -343,9 +343,174 @@ def q_seq_distinct_hll(sf_dir: str) -> ray.data.Dataset:
                             batch_size=None, zero_copy_batch=True)
 
 
+# ------------------------------------ approximate n-gram frequency (CMS)
+
+CMS_N = 5                  # gram width — past the dense bigram reducer
+CMS_D = 4                  # sketch rows (independent hash functions)
+CMS_W = 16_384             # counters per row; memory = D·W·8 B, dense
+#                            partial row = 512 KB (the _dense_hist scale)
+CMS_P = 1_000_000_007      # modulus — keeps every product < 2^60, safe
+#                            on int64 in BOTH numpy and DuckDB BIGINT
+CMS_BASE = 50_263          # rolling-poly base: first prime > VOCAB
+CMS_A = (982_451_653, 715_225_739, 611_953_199, 104_395_301)
+CMS_B = (15_485_863, 32_452_843, 49_979_687, 67_867_967)
+CMS_PROBE_PREFIX = "00"    # md5(doc_id) hex prefix — a stable 1/256
+#                            document sample, parallelism-independent
+
+_CMS_OUT_SCHEMA = pa.schema([
+    ("doc_id", pa.string()), ("n_grams", pa.int64()),
+    ("est_total", pa.int64()), ("est_max", pa.int64())])
+
+
+def _gram_values(toks) -> tuple[np.ndarray, np.ndarray]:
+    """(poly, row) for every in-row CMS_N-token window of a list
+    column: poly = the window's rolling polynomial mod CMS_P (base
+    CMS_BASE > any token id), row = the owning row's index. Windows
+    never cross sequence boundaries (same offsets-mask recipe as
+    ``_bigram_partial``); everything is vectorized int64 with every
+    intermediate < 2^60."""
+    toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    offs = toks.offsets.to_numpy(zero_copy_only=False)
+    flat = toks.values.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = flat[offs[0]:offs[-1]]
+    offs = offs - offs[0]
+    if flat.size < CMS_N:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    nwin = flat.size - (CMS_N - 1)
+    x = flat[:nwin] % CMS_P
+    for k in range(1, CMS_N):
+        x = (x * CMS_BASE + flat[k:k + nwin]) % CMS_P
+    row = np.repeat(np.arange(len(offs) - 1, dtype=np.int64),
+                    np.diff(offs))
+    valid = row[:nwin] == row[CMS_N - 1:]
+    return x[valid], row[:nwin][valid]
+
+
+def _cms_partial(batch: pa.Table) -> pa.Table:
+    """One dense (CMS_D × CMS_W) counter block per batch — counters are
+    ADDITIVE, so partials combine by element-wise sum in any order and
+    the final sketch is bit-identical at every parallelism."""
+    x, _ = _gram_values(batch["tokens"])
+    sk = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    for d in range(CMS_D):
+        if x.size:
+            idx = ((CMS_A[d] * x + CMS_B[d]) % CMS_P) % CMS_W
+            sk[d] = np.bincount(idx, minlength=CMS_W)
+    col = pa.FixedSizeListArray.from_arrays(pa.array(sk.ravel()),
+                                            CMS_D * CMS_W)
+    return pa.table({"sketch": col})
+
+
+def _sum_sketches(batch: pa.Table) -> pa.Table:
+    arr = batch["sketch"].combine_chunks()
+    m = arr.values.to_numpy(zero_copy_only=False) \
+        .reshape(len(arr), CMS_D * CMS_W)
+    col = pa.FixedSizeListArray.from_arrays(pa.array(m.sum(axis=0)),
+                                            CMS_D * CMS_W)
+    return pa.table({"sketch": col})
+
+
+def cms_estimates(sketch: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """Point-query the (CMS_D, CMS_W) sketch for each window poly:
+    min over rows of the hashed counter — the classic one-sided
+    estimator (est ≥ true count, always)."""
+    est = np.full(x.size, np.iinfo(np.int64).max, dtype=np.int64)
+    for d in range(CMS_D):
+        idx = ((CMS_A[d] * x + CMS_B[d]) % CMS_P) % CMS_W
+        est = np.minimum(est, sketch[d][idx])
+    return est
+
+
+class _CmsProbe:
+    """Actor-pool probe stage: the folded sketch rides the object
+    store once (``ray.put`` → ``ray.get`` per actor in ``__init__``,
+    zero-copy numpy view), never per batch."""
+
+    def __init__(self, sketch_ref):
+        self.sk = ray.get(sketch_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from ..stages.ids import md5_hex
+        hexs = md5_hex(batch["doc_id"].combine_chunks())
+        keep = pc.equal(pc.utf8_slice_codeunits(hexs, 0, 2),
+                        pa.scalar(CMS_PROBE_PREFIX))
+        sub = batch.filter(keep)
+        if sub.num_rows == 0:
+            return _CMS_OUT_SCHEMA.empty_table()
+        x, row = _gram_values(sub["tokens"])
+        if x.size == 0:
+            return _CMS_OUT_SCHEMA.empty_table()
+        est = cms_estimates(self.sk, x)
+        n = sub.num_rows
+        n_grams = np.bincount(row, minlength=n)
+        est_total = np.zeros(n, dtype=np.int64)
+        np.add.at(est_total, row, est)
+        est_max = np.zeros(n, dtype=np.int64)
+        np.maximum.at(est_max, row, est)
+        m = n_grams > 0                       # drop <CMS_N-token docs
+        return pa.table({
+            "doc_id": sub["doc_id"].combine_chunks().take(
+                pa.array(np.flatnonzero(m))),
+            "n_grams": pa.array(n_grams[m]),
+            "est_total": pa.array(est_total[m]),
+            "est_max": pa.array(est_max[m]),
+        })
+
+
+def q_seq_ngram_cms(sf_dir: str) -> ray.data.Dataset:
+    """Document commonness scoring via a Count-Min sketch over token
+    5-grams (Cormode & Muthukrishnan 2005) — the frequency sibling of
+    the HLL (distinct) and Bloom (membership) sketches, and the SCALE
+    path past ``q_bigram_topk``: at n=5 the gram keyspace is
+    VOCAB^5 ≈ 3·10^23, so neither a dense reducer nor a sparse
+    (gram, count) exchange can hold exact counts — the CMS bounds
+    memory at D·W counters regardless of corpus size, with the classic
+    one-sided guarantee est ∈ [true, true + ε·N] for ε ≈ e/W.
+
+    Plan (two passes, NO shuffle in either):
+      1. sketch build — per-batch dense (D×W) counter blocks (512 KB,
+         the ``q_token_topk`` dense-fold recipe) → map-only 64:1 sum
+         fold → tiny driver fold. Counters are additive, so the sketch
+         is bit-identical at every parallelism.
+      2. probe — a STABLE 1/256 document sample (md5(doc_id) prefix,
+         the coin every mixture op here uses) is scored against the
+         broadcast sketch: per doc, the window count plus the sum/max
+         of its grams' estimated corpus-wide frequencies. High
+         est_total/n_grams flags boilerplate-heavy documents — the
+         sketch-backed analogue of ``doc_common_frac``.
+
+    At 100 TB: raise W (memory stays D·W·8 B per task) and add log₆₄
+    fold levels; the probe side broadcasts the sketch once per actor.
+    Every quantity is integer arithmetic mod CMS_P, so the DuckDB
+    oracle re-derives EVERY counter and every per-window minimum from
+    the raw table — an exact-integer check of a probabilistic sketch
+    (the ``seq_distinct_hll`` discipline). Reference analogue: the
+    per-source ingest counters (pkg/usecase/load.go:207-208) — this is
+    their bounded-memory frequency-profile sibling."""
+    parts = (read_parquet_clean(_seq_files(sf_dir), columns=["tokens"])
+             .map_batches(_cms_partial, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=32768)
+             .map_batches(_sum_sketches, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=64)
+             .to_pandas()["sketch"])
+    sketch = np.sum(np.stack([np.asarray(s) for s in parts]), axis=0) \
+        .reshape(CMS_D, CMS_W)
+    from ..util import autoscaling_pool
+    ref = ray.put(sketch)
+    return (read_parquet_clean(_seq_files(sf_dir),
+                               columns=["doc_id", "tokens"])
+            .map_batches(_CmsProbe, batch_format="pyarrow",
+                         zero_copy_batch=True,
+                         concurrency=autoscaling_pool(),
+                         fn_constructor_kwargs={"sketch_ref": ref}))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "seq_distinct_hll": q_seq_distinct_hll,
+        "seq_ngram_cms": q_seq_ngram_cms,
         "seq_token_topk": q_token_topk,
         "seq_pack": q_seq_pack_checked,
         "seq_pack_stats": q_seq_pack_stats,
@@ -371,7 +536,42 @@ def oracle_sql() -> dict[str, str]:
     # from the raw INPUT via seq_pack_stats below.
     pack_glob = str(FIXTURE_ROOT / label_for_sf_dir(oracle_sf_dir())
                     / "seq_pack_expected" / "*.parquet")
+    # seq_ngram_cms: the engine's rolling polynomial and hash-row
+    # constants, unrolled into plain BIGINT arithmetic (every
+    # intermediate < 2^60 — same bound the numpy side relies on)
+    poly = f"(tokens[i]::BIGINT % {CMS_P})"
+    for _k in range(1, CMS_N):
+        poly = f"(({poly} * {CMS_BASE} + tokens[i+{_k}]) % {CMS_P})"
+    cms_rows = ", ".join(f"({d}, {CMS_A[d]}, {CMS_B[d]})"
+                         for d in range(CMS_D))
     return {
+        "seq_ngram_cms": f"""
+            WITH wins AS (
+              SELECT doc_id, i, {poly} AS x
+              FROM read_parquet('{glob}'),
+                   unnest(generate_series(1, n_tok - {CMS_N - 1}))
+                     AS g(i)
+              WHERE n_tok >= {CMS_N}
+            ), h(d, a, b) AS (VALUES {cms_rows}),
+            cnt AS (
+              SELECT h.d, ((h.a * w.x + h.b) % {CMS_P}) % {CMS_W} AS wi,
+                     COUNT(*)::BIGINT AS c
+              FROM wins w CROSS JOIN h GROUP BY 1, 2
+            ), est AS (
+              SELECT p.doc_id, p.i, MIN(c.c) AS e
+              FROM (SELECT * FROM wins
+                    WHERE substr(md5(doc_id), 1, 2)
+                          = '{CMS_PROBE_PREFIX}') p
+              CROSS JOIN h
+              JOIN cnt c ON c.d = h.d
+                        AND c.wi = ((h.a * p.x + h.b) % {CMS_P})
+                                   % {CMS_W}
+              GROUP BY p.doc_id, p.i
+            )
+            SELECT doc_id, COUNT(*)::BIGINT AS n_grams,
+                   SUM(e)::BIGINT AS est_total, MAX(e)::BIGINT AS est_max
+            FROM est GROUP BY doc_id
+        """,
         "seq_distinct_hll": f"""
             WITH h AS (
               SELECT source,

@@ -468,3 +468,99 @@ def test_hll_query_parallelism_independent(ray_session):
                                       "est_kind", "raw_est"])
     pd.testing.assert_frame_equal(
         a.reset_index(drop=True), got.reset_index(drop=True))
+
+
+def _serial_gram_counts(rows: list[list[int]]) -> dict[int, int]:
+    """Brute-force 5-gram poly counts for tiny inputs."""
+    want: dict[int, int] = {}
+    for toks in rows:
+        for i in range(len(toks) - tokens.CMS_N + 1):
+            x = toks[i] % tokens.CMS_P
+            for k in range(1, tokens.CMS_N):
+                x = (x * tokens.CMS_BASE + toks[i + k]) % tokens.CMS_P
+            want[x] = want.get(x, 0) + 1
+    return want
+
+
+def test_cms_grams_respect_row_boundaries():
+    """Windows never cross sequences, and the vectorized rolling poly
+    equals the per-window serial recompute."""
+    rows = [[1, 2, 3, 4, 5, 6], [7, 8], [9, 10, 11, 12, 13], []]
+    batch = pa.table({"tokens": pa.array(rows, type=pa.list_(pa.int32()))})
+    x, row = tokens._gram_values(batch["tokens"])
+    # rows of len 6, 2, 5, 0 → 2 + 0 + 1 + 0 windows
+    assert row.tolist() == [0, 0, 2]
+    got: dict[int, int] = {}
+    for v in x.tolist():
+        got[v] = got.get(v, 0) + 1
+    assert got == _serial_gram_counts(rows)
+
+
+def test_cms_sketch_one_sided_and_tight_on_planted_heavy():
+    """est ≥ true for EVERY gram (the CMS guarantee), and a planted
+    heavy 5-gram's estimate stays within the ε·N collision bound of
+    its true count on a fixed-seed background."""
+    rng = np.random.default_rng(11)
+    heavy = [17, 23, 29, 31, 37]
+    rows = [heavy[:] for _ in range(500)]
+    rows += [rng.integers(0, tokens.VOCAB, size=9).tolist()
+             for _ in range(2000)]          # 2000 × 5 background windows
+    batch = pa.table({"tokens": pa.array(rows, type=pa.list_(pa.int32()))})
+    sk = tokens._cms_partial(batch)["sketch"][0].as_py()
+    sk = np.asarray(sk, dtype=np.int64).reshape(tokens.CMS_D, tokens.CMS_W)
+    want = _serial_gram_counts(rows)
+    xs = np.array(list(want), dtype=np.int64)
+    true = np.array([want[int(v)] for v in xs], dtype=np.int64)
+    est = tokens.cms_estimates(sk, xs)
+    assert (est >= true).all()
+    n_total = int(true.sum())
+    eps_bound = 3 * n_total / tokens.CMS_W   # e/W guarantee, slack 3/e
+    hx = tokens._gram_values(
+        pa.table({"tokens": pa.array([heavy],
+                                     type=pa.list_(pa.int32()))})["tokens"])[0]
+    heavy_est = int(tokens.cms_estimates(sk, hx)[0])
+    assert 500 <= heavy_est <= 500 + eps_bound
+
+
+def test_cms_partials_additive_across_batch_splits():
+    """Summing per-batch sketches over ANY split of the rows yields
+    the same sketch — the property the map-only fold relies on."""
+    rng = np.random.default_rng(5)
+    rows = [rng.integers(0, 100, size=rng.integers(0, 12)).tolist()
+            for _ in range(300)]
+    arr = pa.array(rows, type=pa.list_(pa.int32()))
+    whole = np.asarray(
+        tokens._cms_partial(pa.table({"tokens": arr}))["sketch"][0].as_py())
+    summed = np.zeros_like(whole)
+    for lo, hi in ((0, 7), (7, 64), (64, 300)):
+        part = pa.table({"tokens": arr.slice(lo, hi - lo)})
+        summed += np.asarray(tokens._cms_partial(part)["sketch"][0].as_py())
+    assert (whole == summed).all()
+
+
+def test_cms_query_parallelism_independent(ray_session):
+    """Same probe-doc scores under a pathological block/batch split."""
+    import ray as _ray
+    from swarm_ray.ops.tokens import (_CmsProbe, _cms_partial,
+                                      _sum_sketches)
+    from swarm_ray.util import read_parquet_clean
+    a = (tokens.q_seq_ngram_cms("/tmp/x/sf0.001").to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    files = fixtures.sequences_files("sf0.001")
+    parts = (read_parquet_clean(files, columns=["tokens"],
+                                override_num_blocks=13)
+             .map_batches(_cms_partial, batch_format="pyarrow",
+                          batch_size=41, zero_copy_batch=True)
+             .map_batches(_sum_sketches, batch_format="pyarrow",
+                          batch_size=7, zero_copy_batch=True)
+             .to_pandas()["sketch"])
+    sk = (np.sum(np.stack([np.asarray(s) for s in parts]), axis=0)
+          .reshape(tokens.CMS_D, tokens.CMS_W))
+    b = (read_parquet_clean(files, columns=["doc_id", "tokens"],
+                            override_num_blocks=9)
+         .map_batches(_CmsProbe, batch_format="pyarrow",
+                      zero_copy_batch=True, batch_size=53,
+                      concurrency=2,
+                      fn_constructor_kwargs={"sketch_ref": _ray.put(sk)})
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
