@@ -507,10 +507,64 @@ def q_seq_ngram_cms(sf_dir: str) -> ray.data.Dataset:
                          fn_constructor_kwargs={"sketch_ref": ref}))
 
 
+_DUPFRAC_SCHEMA = pa.schema([
+    ("doc_id", pa.string()), ("n_grams", pa.int64()),
+    ("n_distinct", pa.int64()), ("dup_milli", pa.int64())])
+
+
+def _dupfrac_batch(batch: pa.Table) -> pa.Table:
+    """Per-sequence repeated-5-gram stats, fully vectorized: lexsort
+    the (row, poly) pairs, count first occurrences per row."""
+    x, row = _gram_values(batch["tokens"])
+    if x.size == 0:
+        return _DUPFRAC_SCHEMA.empty_table()
+    order = np.lexsort((x, row))
+    xs, rs = x[order], row[order]
+    first = np.r_[True, (xs[1:] != xs[:-1]) | (rs[1:] != rs[:-1])]
+    n = batch.num_rows
+    n_grams = np.bincount(row, minlength=n)
+    n_distinct = np.bincount(rs[first], minlength=n)
+    m = n_grams > 0                            # sequences with ≥1 window
+    ng, nd = n_grams[m], n_distinct[m]
+    return pa.table({
+        "doc_id": batch["doc_id"].combine_chunks().take(
+            pa.array(np.flatnonzero(m))),
+        "n_grams": pa.array(ng),
+        "n_distinct": pa.array(nd),
+        "dup_milli": pa.array(1000 * (ng - nd) // ng),
+    })
+
+
+def q_seq_gram_dupfrac(sf_dir: str) -> ray.data.Dataset:
+    """Within-sequence repeated n-gram fraction — the Gopher/Dolma
+    repetition filter at the token-sequence level (Rae 2021 §A1.1:
+    drop documents whose duplicate-n-gram fraction exceeds a bound):
+    per sequence, the number of 5-token windows, the number of
+    DISTINCT windows (by the same rolling polynomial ``seq_ngram_cms``
+    uses, so both ops share one vocabulary of gram identity), and the
+    duplicate fraction in integer milli-units. Degenerate looping
+    sequences score high and get dropped before training.
+
+    Scale: embarrassingly parallel — one streaming pass, no shuffle,
+    no state; each sequence's stats depend only on its own tokens. The
+    per-batch distinct count is one lexsort + boundary scan (no Python
+    loops). Output is exact integers, so the DuckDB oracle is a plain
+    COUNT vs COUNT(DISTINCT) per doc over the identical window
+    polynomial. Reference analogue: the per-record rule predicates
+    (pkg/usecase/load.go:210-247) — this is a data-quality predicate
+    the reference's vocabulary cannot express but the same map slot
+    hosts."""
+    return (read_parquet_clean(_seq_files(sf_dir),
+                               columns=["doc_id", "tokens"])
+            .map_batches(_dupfrac_batch, batch_format="pyarrow",
+                         zero_copy_batch=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "seq_distinct_hll": q_seq_distinct_hll,
         "seq_ngram_cms": q_seq_ngram_cms,
+        "seq_gram_dupfrac": q_seq_gram_dupfrac,
         "seq_token_topk": q_token_topk,
         "seq_pack": q_seq_pack_checked,
         "seq_pack_stats": q_seq_pack_stats,
@@ -545,6 +599,20 @@ def oracle_sql() -> dict[str, str]:
     cms_rows = ", ".join(f"({d}, {CMS_A[d]}, {CMS_B[d]})"
                          for d in range(CMS_D))
     return {
+        "seq_gram_dupfrac": f"""
+            WITH wins AS (
+              SELECT doc_id, {poly} AS x
+              FROM read_parquet('{glob}'),
+                   unnest(generate_series(1, n_tok - {CMS_N - 1}))
+                     AS g(i)
+              WHERE n_tok >= {CMS_N}
+            )
+            SELECT doc_id, COUNT(*)::BIGINT AS n_grams,
+                   COUNT(DISTINCT x)::BIGINT AS n_distinct,
+                   (1000 * (COUNT(*) - COUNT(DISTINCT x))
+                    // COUNT(*))::BIGINT AS dup_milli
+            FROM wins GROUP BY doc_id
+        """,
         "seq_ngram_cms": f"""
             WITH wins AS (
               SELECT doc_id, i, {poly} AS x

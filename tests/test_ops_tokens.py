@@ -564,3 +564,29 @@ def test_cms_query_parallelism_independent(ray_session):
                       fn_constructor_kwargs={"sketch_ref": _ray.put(sk)})
          .to_pandas().sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_dupfrac_matches_serial():
+    """Vectorized per-row distinct-window counts equal a brute-force
+    recompute, including a planted fully-degenerate looping row."""
+    rows = [
+        [1, 2, 3, 4, 5, 1, 2, 3, 4, 5, 1, 2, 3, 4, 5],  # loop → dups
+        list(range(20)),                                  # all distinct
+        [9, 9, 9, 9, 9, 9, 9, 9],                         # one gram ×4
+        [1, 2, 3],                                        # too short
+    ]
+    batch = pa.table({
+        "doc_id": pa.array([f"d{i}" for i in range(len(rows))]),
+        "tokens": pa.array(rows, type=pa.list_(pa.int32())),
+    })
+    got = tokens._dupfrac_batch(batch).to_pandas().set_index("doc_id")
+    for i, toks in enumerate(rows):
+        polys = list(_serial_gram_counts([toks]).items())
+        n = sum(c for _, c in polys)
+        if n == 0:
+            assert f"d{i}" not in got.index
+            continue
+        d = len(polys)
+        r = got.loc[f"d{i}"]
+        assert (r.n_grams, r.n_distinct, r.dup_milli) == \
+            (n, d, 1000 * (n - d) // n)
