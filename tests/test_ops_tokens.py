@@ -590,3 +590,24 @@ def test_dupfrac_matches_serial():
         r = got.loc[f"d{i}"]
         assert (r.n_grams, r.n_distinct, r.dup_milli) == \
             (n, d, 1000 * (n - d) // n)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(rows=st.lists(
+    st.lists(st.integers(0, tokens.VOCAB - 1), max_size=24),
+    max_size=30))
+def test_gram_values_property(rows):
+    """The vectorized window extractor agrees with the serial
+    recompute on arbitrary ragged inputs (empty rows, short rows,
+    slice offsets): same poly multiset, rows attributed correctly."""
+    batch = pa.table({"tokens": pa.array(rows, type=pa.list_(pa.int32()))})
+    x, row = tokens._gram_values(batch["tokens"])
+    want_rows = {i: _serial_gram_counts([r]) for i, r in enumerate(rows)}
+    got_rows: dict[int, dict[int, int]] = {}
+    for v, r in zip(x.tolist(), row.tolist()):
+        got_rows.setdefault(r, {})[v] = got_rows.setdefault(r, {}).get(v, 0) + 1
+    assert got_rows == {i: w for i, w in want_rows.items() if w}
