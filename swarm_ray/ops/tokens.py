@@ -280,6 +280,13 @@ def _hll_partial(batch: pa.Table) -> pa.Table:
     })
 
 
+def hll_estimate_or_zero(mj: np.ndarray) -> int:
+    """``hll_estimate`` that tolerates an EMPTY register set (a source
+    with no rows in scope): 1024 zero registers is the lc branch at
+    V = m, which is exactly 0."""
+    return hll_estimate(mj)[0] if len(mj) else 0
+
+
 def hll_estimate(mj: np.ndarray) -> tuple[int, str, int]:
     """(estimate, kind, raw) from one source's NON-EMPTY register
     values. Pure-integer raw estimator — num = Σ_j 2^(m_max − M_j)
@@ -337,6 +344,115 @@ def q_seq_distinct_hll(sf_dir: str) -> ray.data.Dataset:
             "distinct_est": pa.array([r[1] for r in rows], type=pa.int64()),
             "est_kind": pa.array([r[2] for r in rows], type=pa.string()),
             "raw_est": pa.array([r[3] for r in rows], type=pa.int64()),
+        })
+
+    return regs.map_batches(finish, batch_format="pyarrow",
+                            batch_size=None, zero_copy_batch=True)
+
+
+HLL_INCR_SALT = ":incr"      # split-coin salt (independent of the
+#                              register hash so the sample can't bias
+#                              rho statistics)
+HLL_INCR_BOUND = "55"        # md5 2-hex-char coin < "55" ⇒ incoming
+#                              (85/256 ≈ 1/3 of docs)
+
+_HLL_TAGGED_SCHEMA = pa.schema([
+    ("source", pa.string()), ("scope", pa.int32()),
+    ("reg", pa.int32()), ("rho", pa.int32())])
+
+
+def _hll_partial_tagged(batch: pa.Table) -> pa.Table:
+    """``_hll_partial`` with a scope tag: 0 = existing corpus,
+    1 = incoming batch (deterministic md5 coin on a SEPARATE salt).
+    Both md5s come out of the one per-doc loop."""
+    import hashlib
+    if batch.num_rows == 0:
+        return _HLL_TAGGED_SCHEMA.empty_table()
+    ids = batch["doc_id"].to_pylist()
+    n = len(ids)
+    hv = np.empty(n, dtype=np.uint64)
+    inc = np.empty(n, dtype=np.int64)
+    for i, d in enumerate(ids):
+        b = d.encode()
+        hv[i] = int.from_bytes(hashlib.md5(b).digest()[:8], "big")
+        inc[i] = (hashlib.md5(b + HLL_INCR_SALT.encode()).hexdigest()[:2]
+                  < HLL_INCR_BOUND)
+    reg = (hv >> np.uint64(_HLL_W_BITS)).astype(np.int64)
+    w = hv & np.uint64(_HLL_W_MASK)
+    lanes = w.astype(">u8").view(np.uint8).reshape(-1, 8)
+    nz = lanes != 0
+    first = np.argmax(nz, axis=1)
+    has = nz.any(axis=1)
+    bl = np.where(
+        has,
+        (7 - first) * 8 + _BITLEN8[lanes[np.arange(n), first]],
+        0)
+    rho = np.minimum(_HLL_W_BITS + 1 - bl, HLL_RHO_CAP).astype(np.int64)
+    src = batch["source"].combine_chunks().dictionary_encode()
+    codes = np.asarray(src.indices, dtype=np.int64)
+    key = (codes * 2 + inc) * HLL_M + reg
+    order = np.lexsort((rho, key))
+    k_s, r_s = key[order], rho[order]
+    last = np.r_[k_s[1:] != k_s[:-1], True]
+    k_u, r_u = k_s[last], r_s[last]
+    names = src.dictionary.to_pylist()
+    return pa.table({
+        "source": pa.array([names[c] for c in (k_u // (2 * HLL_M))],
+                           type=pa.string()),
+        "scope": pa.array(((k_u // HLL_M) % 2).astype(np.int32)),
+        "reg": pa.array((k_u % HLL_M).astype(np.int32)),
+        "rho": pa.array(r_u.astype(np.int32)),
+    })
+
+
+def q_seq_distinct_hll_incr(sf_dir: str) -> ray.data.Dataset:
+    """Cross-run sketch state: per-source distinct-count DELTA when an
+    incoming batch merges into the stored corpus registers — the
+    monitoring pass an incremental ingest (``--incremental``, ≙ the
+    reference's state-store redelivery plane) runs to answer "how much
+    NEW content did this batch add per source?" without re-reading
+    history. In production the corpus-side registers persist in the
+    run manifest (≤ #sources × 1024 tiny rows — the whole cross-run
+    state rides kilobytes, the reason sketches beat exact sets here);
+    this query plays both runs from one table with the
+    ``q_dedup_incremental`` deterministic-split convention: an
+    independent md5 coin (separate salt, so the split cannot bias the
+    register statistics) tags ~1/3 of docs as the incoming batch.
+
+    Plan: the one streaming register pass now keyed (source, scope,
+    reg) → bounded combine tree (≤ 2 × #sources × 1024 rows) → a
+    one-block finish estimating before (corpus registers) and after
+    (max-merge of both scopes — associativity is the whole point of
+    sketch state). est_new = after − before (can dip ±1 at the
+    lc/raw switch band; the oracle reproduces even that, since both
+    engines compute the identical integers). Conservation pin:
+    est_after per source MUST equal ``q_seq_distinct_hll``'s estimate
+    — merged registers are the same registers
+    (tests/test_ops_tokens.py)."""
+    from .agg import tree_fold_max
+
+    partials = (read_parquet_clean(_seq_files(sf_dir),
+                                   columns=["doc_id", "source"])
+                .map_batches(_hll_partial_tagged, batch_format="pyarrow",
+                             zero_copy_batch=True))
+    regs = tree_fold_max(partials, keys=["source", "scope", "reg"],
+                         vals=["rho"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        rows = []
+        for src in sorted(df["source"].unique()):
+            s = df[df["source"] == src]
+            before = hll_estimate_or_zero(
+                s.loc[s["scope"] == 0, "rho"].to_numpy())
+            merged = s.groupby("reg")["rho"].max().to_numpy()
+            after = hll_estimate_or_zero(merged)
+            rows.append((src, before, after, after - before))
+        return pa.table({
+            "source": pa.array([r[0] for r in rows], type=pa.string()),
+            "est_before": pa.array([r[1] for r in rows], type=pa.int64()),
+            "est_after": pa.array([r[2] for r in rows], type=pa.int64()),
+            "est_new": pa.array([r[3] for r in rows], type=pa.int64()),
         })
 
     return regs.map_batches(finish, batch_format="pyarrow",
@@ -563,6 +679,7 @@ def q_seq_gram_dupfrac(sf_dir: str) -> ray.data.Dataset:
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "seq_distinct_hll": q_seq_distinct_hll,
+        "seq_distinct_hll_incr": q_seq_distinct_hll_incr,
         "seq_ngram_cms": q_seq_ngram_cms,
         "seq_gram_dupfrac": q_seq_gram_dupfrac,
         "seq_token_topk": q_token_topk,
@@ -598,7 +715,71 @@ def oracle_sql() -> dict[str, str]:
         poly = f"(({poly} * {CMS_BASE} + tokens[i+{_k}]) % {CMS_P})"
     cms_rows = ", ".join(f"({d}, {CMS_A[d]}, {CMS_B[d]})"
                          for d in range(CMS_D))
+
+    # seq_distinct_hll_incr: the estimator CTE chain, instantiated once
+    # per register scope — byte-identical arithmetic to the single-scope
+    # seq_distinct_hll oracle below
+    def est_ctes(p: str, regs: str) -> str:
+        return f"""
+            {p}_mm AS (
+              SELECT source, MAX(mj) AS m_max,
+                     {HLL_M} - COUNT(*) AS zero_regs
+              FROM {regs} GROUP BY source
+            ), {p}_nums AS (
+              SELECT r.source,
+                     SUM(1::BIGINT << (m.m_max - r.mj))::BIGINT
+                       + ANY_VALUE(m.zero_regs)
+                         * (1::BIGINT << ANY_VALUE(m.m_max)) AS num,
+                     ANY_VALUE(m.m_max) AS m_max,
+                     ANY_VALUE(m.zero_regs) AS zero_regs
+              FROM {regs} r JOIN {p}_mm m USING (source)
+              GROUP BY r.source
+            ), {p}_raw AS (
+              SELECT source, zero_regs,
+                     CAST(({HLL_ALPHA_MICRO}::HUGEINT * {HLL_M * HLL_M}
+                           * CAST(1::BIGINT << m_max AS HUGEINT))
+                          // (num::HUGEINT * 1000000) AS BIGINT) AS raw_est
+              FROM {p}_nums
+            ), {p}_est AS (
+              SELECT source,
+                     CASE WHEN zero_regs > 0 AND raw_est <= {HLL_LC_BOUND}
+                          THEN CAST(FLOOR({HLL_M}.0 *
+                                 LN({HLL_M}.0 / zero_regs) + 0.5) AS BIGINT)
+                          ELSE raw_est END AS est
+              FROM {p}_raw
+            )"""
+
     return {
+        "seq_distinct_hll_incr": f"""
+            WITH h AS (
+              SELECT source,
+                     CAST(CONCAT('0x', substr(md5(doc_id), 1, 16))
+                          AS UBIGINT) AS hv,
+                     CASE WHEN substr(md5(doc_id || '{HLL_INCR_SALT}'),
+                                      1, 2) < '{HLL_INCR_BOUND}'
+                          THEN 1 ELSE 0 END AS inc
+              FROM read_parquet('{glob}')
+            ), r AS (
+              SELECT source, inc,
+                     CAST(hv >> {_HLL_W_BITS} AS INTEGER) AS reg,
+                     LEAST({_HLL_W_BITS} + 1 -
+                           CASE WHEN (hv & {_HLL_W_MASK}) = 0 THEN 0
+                                ELSE LENGTH(bin(hv & {_HLL_W_MASK})) END,
+                           {HLL_RHO_CAP}) AS rho
+              FROM h
+            ), regs_b AS (
+              SELECT source, reg, MAX(rho) AS mj FROM r
+              WHERE inc = 0 GROUP BY source, reg
+            ), regs_a AS (
+              SELECT source, reg, MAX(rho) AS mj FROM r
+              GROUP BY source, reg
+            ), {est_ctes('b', 'regs_b')}, {est_ctes('a', 'regs_a')}
+            SELECT a.source, COALESCE(b.est, 0) AS est_before,
+                   a.est AS est_after,
+                   a.est - COALESCE(b.est, 0) AS est_new
+            FROM a_est a LEFT JOIN b_est b USING (source)
+            ORDER BY a.source
+        """,
         "seq_gram_dupfrac": f"""
             WITH wins AS (
               SELECT doc_id, {poly} AS x

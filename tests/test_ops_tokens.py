@@ -611,3 +611,19 @@ def test_gram_values_property(rows):
     for v, r in zip(x.tolist(), row.tolist()):
         got_rows.setdefault(r, {})[v] = got_rows.setdefault(r, {}).get(v, 0) + 1
     assert got_rows == {i: w for i, w in want_rows.items() if w}
+
+
+def test_hll_incr_after_matches_plain_hll(ray_session):
+    """Merged (before ∪ incoming) registers ARE the full-corpus
+    registers, so est_after must equal q_seq_distinct_hll's estimate
+    per source — the associativity that makes sketch state mergeable
+    across runs. The incoming split must also be a real split."""
+    plain = (tokens.q_seq_distinct_hll("/tmp/x/sf0.001").to_pandas()
+             .set_index("source")["distinct_est"])
+    incr = (tokens.q_seq_distinct_hll_incr("/tmp/x/sf0.001").to_pandas()
+            .set_index("source"))
+    assert sorted(incr.index) == sorted(plain.index)
+    for src, row in incr.iterrows():
+        assert row["est_after"] == plain[src], src
+        assert 0 < row["est_before"] < row["est_after"], src
+        assert row["est_new"] == row["est_after"] - row["est_before"]
