@@ -464,3 +464,61 @@ SELECT doc_id,
        THEN 'train' ELSE 'eval' END AS split
 FROM rep
 """
+
+
+SQL_DOC_QUALITY_RANK = f"""
+WITH s AS (
+  SELECT doc_id,
+    (1000 * CAST(len(list_filter(string_split(text, ' '),
+         x -> x IN ({_inlist(STOPWORDS)}))) AS BIGINT))
+      // CAST(len(string_split(text, ' ')) AS BIGINT) AS score
+  FROM documents
+)
+SELECT doc_id, score,
+  CAST(RANK() OVER (ORDER BY score) AS BIGINT) AS rnk,
+  CAST((1000 * (RANK() OVER (ORDER BY score) - 1))
+       // GREATEST(COUNT(*) OVER () - 1, 1) AS BIGINT) AS pct_milli
+FROM s
+"""
+
+
+SQL_DOC_SOURCE_DRIFT = f"""
+WITH s AS (
+  SELECT source,
+    (1000 * CAST(len(list_filter(string_split(text, ' '),
+         x -> x IN ({_inlist(STOPWORDS)}))) AS BIGINT))
+      // CAST(len(string_split(text, ' ')) AS BIGINT) AS score
+  FROM documents
+), h AS (
+  SELECT source, score, COUNT(*)::BIGINT AS c FROM s GROUP BY 1, 2
+), dom AS (
+  SELECT DISTINCT score FROM s
+), srcs AS (
+  SELECT source, COUNT(*)::BIGINT AS n FROM s GROUP BY 1
+), gn AS (
+  SELECT COUNT(*)::BIGINT AS n FROM s
+), gcdf AS (
+  SELECT score, CAST(SUM(c) OVER (ORDER BY score) AS BIGINT) AS gcum
+  FROM (SELECT score, SUM(c) AS c FROM h GROUP BY 1)
+), grid AS (
+  SELECT srcs.source, srcs.n, dom.score, COALESCE(h.c, 0) AS c
+  FROM srcs CROSS JOIN dom
+  LEFT JOIN h ON h.source = srcs.source AND h.score = dom.score
+), cdf AS (
+  SELECT source, n, score,
+    CAST(SUM(c) OVER (PARTITION BY source ORDER BY score) AS BIGINT) AS sc
+  FROM grid
+), d AS (
+  SELECT cdf.source, cdf.n, cdf.score,
+    ABS((1000 * cdf.sc) // cdf.n
+        - (1000 * gcdf.gcum) // (SELECT n FROM gn)) AS dd
+  FROM cdf JOIN gcdf USING (score)
+), m AS (
+  SELECT source, MAX(n) AS n_docs, MAX(dd) AS d_milli FROM d GROUP BY 1
+)
+SELECT m.source, CAST(m.n_docs AS BIGINT) AS n_docs,
+       CAST(m.d_milli AS BIGINT) AS d_milli,
+       CAST(MIN(d.score) AS BIGINT) AS drift_at
+FROM m JOIN d ON d.source = m.source AND d.dd = m.d_milli
+GROUP BY 1, 2, 3
+"""

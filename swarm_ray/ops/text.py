@@ -910,6 +910,24 @@ def q_doc_lm_score(sf_dir: str) -> ray.data.Dataset:
 
 # ------------------------------------- per-source quantile quality gate
 
+def _stop_scores(df_: pd.DataFrame) -> "object":
+    """Floor-milli stopword-ratio quality score per doc —
+    ``q_doc_quality``'s oracle-checked ``stop_ratio_milli`` definition,
+    shared by the quantile gate / global rank / drift ops so engine and
+    SQL can never desynchronize on the score. Vectorized (explode +
+    isin + bincount, the measured C path); returns an int64 ndarray
+    aligned to the batch rows. Domain is [0, 1000] by construction."""
+    import numpy as np
+    df_ = df_.reset_index(drop=True)
+    words = df_["text"].str.split(" ")
+    n_words = words.str.len().to_numpy(dtype=np.int64)
+    exploded = words.explode()
+    mask = exploded.isin(STOPWORDS).to_numpy()
+    stop = np.bincount(exploded.index.to_numpy()[mask],
+                       minlength=len(df_)).astype(np.int64)
+    return (1000 * stop) // n_words
+
+
 def q_doc_quality_topp(sf_dir: str) -> ray.data.Dataset:
     """Per-source top-half quality gate by EXACT quantile — the "keep
     each source's best 50% by quality score" curation pass. Score =
@@ -932,17 +950,8 @@ def q_doc_quality_topp(sf_dir: str) -> ray.data.Dataset:
 
     def score_hist(df_: pd.DataFrame) -> pd.DataFrame:
         df_ = df_.reset_index(drop=True)
-        words = df_["text"].str.split(" ")
-        n_words = words.str.len().to_numpy(dtype=np.int64)
-        # quality_batch's vectorized stopword count (explode + isin +
-        # bincount — the measured C path)
-        exploded = words.explode()
-        mask = exploded.isin(STOPWORDS).to_numpy()
-        stop = np.bincount(exploded.index.to_numpy()[mask],
-                           minlength=len(df_)).astype(np.int64)
-        score = (1000 * stop) // n_words
         out = pd.DataFrame({"source": df_["source"].to_numpy(),
-                            "score": score})
+                            "score": _stop_scores(df_)})
         h = out.groupby(["source", "score"], sort=False).size() \
             .rename("cnt").reset_index()
         return h.astype({"score": "int64", "cnt": "int64"})
@@ -974,3 +983,136 @@ def q_doc_quality_topp(sf_dir: str) -> ray.data.Dataset:
     return (hist.repartition(1)
             .groupby("source").map_groups(thresholds,
                                           batch_format="pandas"))
+
+
+# ---------------------------------------------------- global quality rank
+
+def q_doc_quality_rank(sf_dir: str) -> ray.data.Dataset:
+    """Exact global ``RANK() OVER (ORDER BY score)`` (plus floor-milli
+    PERCENT_RANK) for EVERY document — global ordering without a global
+    sort. Because the quality score's domain is bounded (floor-milli
+    stopword ratio ∈ [0, 1000]), one bounded histogram fold (≤ 1001
+    rows total, regardless of corpus size) yields the complete CDF; its
+    exclusive prefix sum ("docs strictly below s") broadcasts (~8 KB)
+    into a second streaming pass that assigns ``rank = below[score] +
+    1``. Ties share a rank — SQL window semantics exactly.
+
+    Scale shape: two corpus streams + one ≤1001-row tree fold + an 8 KB
+    broadcast. ``ds.sort`` would be a full all-to-all range exchange of
+    every row; this moves NO corpus row at all, and at 10^12 docs the
+    broadcast is still 8 KB. The same plan generalizes to any
+    bounded-domain global ranking (percentile bucketing for curriculum
+    order, score-calibrated mixing)."""
+    import numpy as np
+    import ray as _ray
+
+    from .agg import grouped_sum
+    from ..util import autoscaling_pool
+
+    docs = read_parquet_clean(_doc_files(sf_dir), columns=["doc_id", "text"])
+
+    def score_hist(df_: pd.DataFrame) -> pd.DataFrame:
+        h = np.bincount(_stop_scores(df_), minlength=1001)
+        nz = np.flatnonzero(h)
+        return pd.DataFrame({"score": nz.astype(np.int64),
+                             "cnt": h[nz].astype(np.int64)})
+
+    # bounded fold: ≤ 1001 (score, cnt) rows ever reach the driver
+    hist = grouped_sum(
+        docs.map_batches(score_hist, batch_format="pandas",
+                         batch_size=8192),
+        ["score"], "cnt", alias="cnt", bounded_groups=True).to_pandas()
+    counts = np.zeros(1001, dtype=np.int64)
+    counts[hist["score"].to_numpy()] = hist["cnt"].to_numpy()
+    below = np.concatenate(([np.int64(0)], np.cumsum(counts)[:-1]))
+    denom = max(int(counts.sum()) - 1, 1)   # PERCENT_RANK denominator
+    below_ref = _ray.put(below)
+
+    class Rank:
+        def __init__(self, ref):
+            self.below = _ray.get(ref)
+
+        def __call__(self, df_: pd.DataFrame) -> pd.DataFrame:
+            df_ = df_.reset_index(drop=True)
+            score = _stop_scores(df_)
+            b = self.below[score]
+            return pd.DataFrame({
+                "doc_id": df_["doc_id"].to_numpy(),
+                "score": score,
+                "rnk": b + 1,
+                "pct_milli": (1000 * b) // denom,
+            })
+
+    return docs.map_batches(Rank, fn_constructor_args=(below_ref,),
+                            batch_format="pandas", batch_size=8192,
+                            concurrency=autoscaling_pool())
+
+
+# ------------------------------------------------- per-source drift audit
+
+def q_doc_source_drift(sf_dir: str) -> ray.data.Dataset:
+    """Two-sample Kolmogorov–Smirnov-style distribution-drift audit:
+    for each source, the maximum floor-milli CDF gap between that
+    source's quality-score distribution and the GLOBAL mixture —
+    ``d_milli = max_s |1000·cdf_src(s)//n_src − 1000·cdf_all(s)//n_all|``
+    evaluated at every observed score, plus the smallest score where the
+    max is attained (``drift_at``). The production use: catching a
+    source whose quality profile shifted between crawls before it
+    poisons a training mix (the monitoring twin of the
+    ``q_doc_quality_topp`` gate). Integer-exact end to end, so the
+    DuckDB oracle reproduces it bit-for-bit.
+
+    Scale shape: per-block (source, score) histogram partials fold
+    through one bounded tree (≤ 1001 × #sources rows BY CONSTRUCTION);
+    the KS walk runs once over that bounded table in a single final
+    task. No corpus row is ever exchanged; at 10^12 docs only the
+    histogram fold grows — by #blocks, not by rows."""
+    import numpy as np
+
+    from .agg import grouped_sum
+
+    docs = read_parquet_clean(_doc_files(sf_dir), columns=["source", "text"])
+
+    def score_hist(df_: pd.DataFrame) -> pd.DataFrame:
+        df_ = df_.reset_index(drop=True)
+        out = pd.DataFrame({"source": df_["source"].to_numpy(),
+                            "score": _stop_scores(df_)})
+        h = out.groupby(["source", "score"], sort=False).size() \
+            .rename("cnt").reset_index()
+        return h.astype({"score": "int64", "cnt": "int64"})
+
+    hist = grouped_sum(
+        docs.map_batches(score_hist, batch_format="pandas",
+                         batch_size=8192),
+        ["source", "score"], "cnt", alias="cnt", bounded_groups=True)
+
+    def ks_walk(t: pa.Table) -> pa.Table:
+        # one bounded block: ≤ 1001 × #sources (source, score, cnt) rows
+        import numpy as np
+        df_ = t.to_pandas()
+        dom = np.sort(df_["score"].unique())
+        sources = sorted(df_["source"].unique())
+        mat = np.zeros((len(sources), len(dom)), dtype=np.int64)
+        si = {s: i for i, s in enumerate(sources)}
+        mat[df_["source"].map(si).to_numpy(),
+            np.searchsorted(dom, df_["score"].to_numpy())] = \
+            df_["cnt"].to_numpy()
+        g = mat.sum(axis=0)
+        g_milli = (1000 * np.cumsum(g)) // g.sum()
+        ns = mat.sum(axis=1)
+        s_milli = (1000 * np.cumsum(mat, axis=1)) // ns[:, None]
+        dd = np.abs(s_milli - g_milli[None, :])
+        # argmax returns the FIRST max — dom is sorted, so this is the
+        # smallest score attaining it (deterministic, matches the SQL
+        # MIN(score) tie-break)
+        return pa.table({
+            "source": pa.array(sources, type=pa.string()),
+            "n_docs": pa.array(ns, type=pa.int64()),
+            "d_milli": pa.array(dd.max(axis=1), type=pa.int64()),
+            "drift_at": pa.array(dom[np.argmax(dd, axis=1)],
+                                 type=pa.int64()),
+        })
+
+    return hist.repartition(1).map_batches(
+        ks_walk, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True)

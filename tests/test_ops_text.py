@@ -388,3 +388,91 @@ def test_quality_topp_exact_quantile(ray_session, tmp_path):
     got2 = (q_doc_quality_topp(str(multi)).to_pandas()
             .sort_values("source").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, got2)
+
+
+# ------------------------------------------- global rank / drift audit
+
+def test_quality_rank_matches_sql_window(ray_session, tmp_path):
+    """Histogram-CDF global rank: ties share a rank (SQL RANK), pct is
+    floor-milli of (rank-1)/(n-1), independent of file layout."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from swarm_ray.ops.text import q_doc_quality_rank
+
+    # scores: 0, 0, 250, 500, 500, 1000  (n=6, denom=5)
+    docs = [
+        "x y z w",          # 0
+        "q r",              # 0
+        "the x y z",        # 250
+        "the of x y",       # 500
+        "the a x y",        # 500
+        "the of and to",    # 1000
+    ]
+    t = pa.table({
+        "doc_id": pa.array(range(len(docs)), type=pa.int64()),
+        "text": pa.array(docs),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+    got = (q_doc_quality_rank(str(tmp_path)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert list(got["score"]) == [0, 0, 250, 500, 500, 1000]
+    assert list(got["rnk"]) == [1, 1, 3, 4, 4, 6]
+    # pct_milli = 1000*(rnk-1)//5
+    assert list(got["pct_milli"]) == [0, 0, 400, 600, 600, 1000]
+
+    # layout independence
+    multi = tmp_path / "multi"
+    multi.mkdir()
+    pq.write_table(t.slice(0, 2), multi / "documents-000.parquet")
+    pq.write_table(t.slice(2, 4), multi / "documents-001.parquet")
+    got2 = (q_doc_quality_rank(str(multi)).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    import pandas as pd
+    pd.testing.assert_frame_equal(got, got2)
+
+
+def test_source_drift_ks_statistic(ray_session, tmp_path):
+    """KS drift vs the global mixture, hand-computed: A=[0,0,500,1000],
+    B=[500,1000,1000,1000]; global CDF-milli over dom [0,500,1000] is
+    [250,500,1000]; A is [500,750,1000], B is [0,250,1000] — both
+    sources drift 250, first attained at score 0."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from swarm_ray.ops.text import q_doc_source_drift
+
+    docs = [
+        ("A", "x y"),       # 0
+        ("A", "p q"),       # 0
+        ("A", "the x"),     # 500
+        ("A", "the of"),    # 1000
+        ("B", "the x"),     # 500
+        ("B", "the of"),    # 1000
+        ("B", "a to"),      # 1000
+        ("B", "and of"),    # 1000
+    ]
+    t = pa.table({
+        "doc_id": pa.array(range(len(docs)), type=pa.int64()),
+        "source": pa.array([s for s, _ in docs]),
+        "text": pa.array([x for _, x in docs]),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+    got = (q_doc_source_drift(str(tmp_path)).to_pandas()
+           .sort_values("source").reset_index(drop=True))
+    assert list(got["source"]) == ["A", "B"]
+    assert list(got["n_docs"]) == [4, 4]
+    assert list(got["d_milli"]) == [250, 250]
+    assert list(got["drift_at"]) == [0, 0]
+
+    # layout independence (partials fold across blocks)
+    multi = tmp_path / "multi"
+    multi.mkdir()
+    pq.write_table(t.slice(0, 3), multi / "documents-000.parquet")
+    pq.write_table(t.slice(3, 5), multi / "documents-001.parquet")
+    got2 = (q_doc_source_drift(str(multi)).to_pandas()
+            .sort_values("source").reset_index(drop=True))
+    import pandas as pd
+    pd.testing.assert_frame_equal(got, got2)
