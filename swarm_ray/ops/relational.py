@@ -109,6 +109,70 @@ def q_events_sliding(sf_dir: str) -> ray.data.Dataset:
                        Sum("value_cents", alias_name="value_cents")))
 
 
+# ---------------------------------------------- trailing-baseline spikes
+
+SPIKE_FACTOR = 3        # spike when n > FACTOR × trailing hourly mean
+SPIKE_WINDOW_H = 24     # trailing baseline window (hours)
+
+
+def q_events_spikes(sf_dir: str) -> ray.data.Dataset:
+    """Trailing-baseline anomaly detection over the event stream — the
+    detection-rule shape a monitoring pipeline runs on its own ingest
+    (the reference's domain; rule evaluation analogue
+    ``pkg/usecase/load.go:271-281`` applies per-event predicates, this
+    is the temporal-aggregate complement). Per (event_type, hour), an
+    hour is a spike when its count exceeds ``SPIKE_FACTOR`` × the
+    trailing-``SPIKE_WINDOW_H``-hour MEAN, integer-cross-multiplied
+    (``n·24 > 3·base24`` where ``base24 = Σ n over hours [h−24, h−1]``,
+    missing hours contributing 0); an empty baseline is never flagged
+    (cold start). Integer-exact, SQL window-frame reproducible.
+
+    Scale shape: events collapse to per-(type, hour) partial counts at
+    the map stage (the ``events_hourly`` shuffle — tiny key space);
+    the trailing walk runs per event_type over its hour series (years
+    of hours ≈ 10^4 rows) as one vectorized prefix-sum range query.
+    No per-event exchange, no window fan-out of the raw stream."""
+    def hour_counts(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        tbl = pa.table({
+            "event_type": t["event_type"],
+            "epoch_h": pa.array(us // 3_600_000_000, type=pa.int64()),
+        })
+        return pa.TableGroupBy(tbl, ["event_type", "epoch_h"]).aggregate(
+            [([], "count_all")]).rename_columns(
+                ["event_type", "epoch_h", "n"])
+
+    counts = (_read_events(sf_dir, ["ts", "event_type"])
+              .map_batches(hour_counts, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .groupby(["event_type", "epoch_h"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    def walk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("epoch_h").reset_index(drop=True)
+        h = g["epoch_h"].to_numpy()
+        n = g["n"].to_numpy()
+        cum = np.cumsum(n)
+        # base24[i] = Σ n over hours in [h_i − 24, h_i − 1]: two binary
+        # searches + prefix-sum difference, fully vectorized
+        lo = np.searchsorted(h, h - SPIKE_WINDOW_H, side="left")
+        hi = np.searchsorted(h, h - 1, side="right")
+        base = (np.where(hi > 0, cum[hi - 1], 0)
+                - np.where(lo > 0, cum[lo - 1], 0))
+        spike = ((base > 0)
+                 & (n * SPIKE_WINDOW_H > SPIKE_FACTOR * base))
+        return pd.DataFrame({
+            "event_type": g["event_type"],
+            "hour": pd.to_datetime(h * 3600, unit="s"),
+            "n": n.astype(np.int64),
+            "base24": base.astype(np.int64),
+            "is_spike": spike.astype(np.int64),
+        })
+
+    return counts.groupby("event_type").map_groups(
+        walk, batch_format="pandas")
+
+
 # ------------------------------------------------------------ top-k
 
 def q_events_top_users(sf_dir: str) -> ray.data.Dataset:
@@ -650,6 +714,7 @@ def queries():
     return {
         "events_parse_props": q_events_parse_props,
         "events_hourly": q_events_hourly,
+        "events_spikes": q_events_spikes,
         "events_retention": q_events_retention,
         "events_retention_salted": q_events_retention_salted,
         "events_sliding": q_events_sliding,
@@ -695,6 +760,22 @@ FROM events
 SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n,
   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events GROUP BY 1, 2
+""",
+        "events_spikes": f"""
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+), w AS (
+  SELECT event_type, hour, n,
+    COALESCE(SUM(n) OVER (PARTITION BY event_type ORDER BY hour
+      RANGE BETWEEN INTERVAL {SPIKE_WINDOW_H} HOURS PRECEDING
+            AND INTERVAL 1 HOUR PRECEDING), 0)::BIGINT AS base24
+  FROM h
+)
+SELECT event_type, hour, n, base24,
+  CAST(CASE WHEN base24 > 0 AND n * {SPIKE_WINDOW_H} > {SPIKE_FACTOR} * base24
+       THEN 1 ELSE 0 END AS BIGINT) AS is_spike
+FROM w
 """,
         "events_sliding": """
 SELECT event_type,

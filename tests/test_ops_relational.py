@@ -405,3 +405,59 @@ def test_tree_fold_or_matches_serial(ray_session):
             want[w] = want.get(w, 0) | b
     got_map = dict(zip(got["word"], got["bits"]))
     assert got_map == want
+
+
+# ------------------------------------------------ trailing-baseline spikes
+
+def test_events_spikes_planted_anomaly(ray_session, tmp_path):
+    """A 10× burst after a 24 h flat baseline must flag; cold-start
+    hours (empty baseline) and post-gap hours (>24 h silence) must
+    not, however large."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from swarm_ray.ops.relational import q_events_spikes
+
+    rows = []
+    # type "login": 1 event/hour for hours 0..23, then 10 at hour 24,
+    # then 2 at hour 25
+    for h in range(24):
+        rows.append(("login", h, 1))
+    rows.append(("login", 24, 10))
+    rows.append(("login", 25, 2))
+    # type "err": bursts at hour 0 (cold start) and hour 30 (>24 h gap)
+    rows.append(("err", 0, 50))
+    rows.append(("err", 30, 50))
+
+    ts, et = [], []
+    for typ, h, n in rows:
+        for i in range(n):
+            ts.append(pd.Timestamp("2026-01-01") + pd.Timedelta(hours=h, seconds=i))
+            et.append(typ)
+    t = pa.table({
+        "ts": pa.array(ts, type=pa.timestamp("us")),
+        "event_type": pa.array(et),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+
+    got = (q_events_spikes(str(tmp_path)).to_pandas()
+           .sort_values(["event_type", "hour"]).reset_index(drop=True))
+
+    lg = got[got["event_type"] == "login"]
+    login = lg.set_index(
+        ((lg["hour"] - pd.Timestamp("2026-01-01"))
+         .dt.total_seconds() // 3600).astype(int))
+    # hour 24: n=10, base24 = 24 ones -> 10*24 > 3*24 -> spike
+    assert login.loc[24, "n"] == 10
+    assert login.loc[24, "base24"] == 24
+    assert login.loc[24, "is_spike"] == 1
+    # hour 25: base24 = hours 1..24 = 23 + 10 = 33; 2*24=48 < 99
+    assert login.loc[25, "base24"] == 33
+    assert login.loc[25, "is_spike"] == 0
+    # hour 0 (cold start): never flagged
+    assert login.loc[0, "is_spike"] == 0
+
+    err = got[got["event_type"] == "err"]
+    assert list(err["is_spike"]) == [0, 0]      # cold start + 30 h gap
+    assert list(err["base24"]) == [0, 0]
