@@ -522,3 +522,34 @@ SELECT m.source, CAST(m.n_docs AS BIGINT) AS n_docs,
 FROM m JOIN d ON d.source = m.source AND d.dd = m.d_milli
 GROUP BY 1, 2, 3
 """
+
+
+from .text import SOURCE_TERMS_K  # noqa: E402
+
+SQL_DOC_SOURCE_TERMS = f"""
+WITH w AS (
+  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+), sw AS (
+  SELECT source, term, COUNT(*)::BIGINT AS c FROM w GROUP BY 1, 2
+), ns AS (
+  SELECT source, SUM(c)::BIGINT AS n FROM sw GROUP BY 1
+), cw AS (
+  SELECT term, SUM(c)::BIGINT AS cg FROM sw GROUP BY 1
+), tot AS (
+  SELECT SUM(c)::BIGINT AS n FROM sw
+), sc AS (
+  SELECT sw.source, sw.term, sw.c,
+    (1000 * sw.c) // ns.n
+      - (1000 * (cw.cg - sw.c))
+        // GREATEST((SELECT n FROM tot) - ns.n, 1) AS lift_milli
+  FROM sw JOIN ns USING (source) JOIN cw USING (term)
+), r AS (
+  SELECT source, term, c, lift_milli,
+    ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY lift_milli DESC, term ASC) AS rn
+  FROM sc
+)
+SELECT source, CAST(rn AS BIGINT) AS rank, term,
+       CAST(c AS BIGINT) AS n_occ, CAST(lift_milli AS BIGINT) AS lift_milli
+FROM r WHERE rn <= {SOURCE_TERMS_K}
+"""

@@ -1116,3 +1116,137 @@ def q_doc_source_drift(sf_dir: str) -> ray.data.Dataset:
     return hist.repartition(1).map_batches(
         ks_walk, batch_format="pyarrow", batch_size=None,
         zero_copy_batch=True)
+
+
+# ------------------------------------------------ per-source signature terms
+
+SOURCE_TERMS_K = 10
+
+
+def q_doc_source_terms(sf_dir: str) -> ray.data.Dataset:
+    """Per-source signature vocabulary: the top-``SOURCE_TERMS_K`` terms
+    whose occurrence rate in a source most exceeds their rate in the
+    REST of the corpus — ``lift_milli = 1000·c_sw//n_s −
+    1000·(c_w−c_sw)//(N−n_s)`` (floor-milli rates, so integer-exact and
+    oracle-reproducible; ties broken by term ASC). The curation use:
+    a one-look answer to "what is source X actually full of?" before
+    deciding its mixing weight.
+
+    Scale shape — zero vocab broadcast (at 100 TB the vocab can't ride
+    to tasks), one keyed exchange, bounded folds:
+
+      1. explode (source, term, c) block-locally (dictionary-encode +
+         packed-key np.unique — the q_doc_tfidf_top recipe);
+      2. repartition by TERM → each term's per-source partials
+         co-locate → fold to one (source, term, c) row and attach the
+         term's global count block-locally;
+      3. per-source totals n_s fold through a bounded tree
+         (≤ #sources rows) and broadcast (~KB);
+      4. score + per-block top-K per source (any global top-K row is
+         within its block's top-K — rows are globally unique
+         (source, term) pairs after step 2), then one ≤ #blocks ×
+         #sources × K final fold picks the exact head."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray as _ray
+
+    from .agg import tree_fold_sum
+    from .dedup import _docs_count
+    from ..util import (autoscaling_pool, enable_hash_shuffle,
+                        keyed_partition_count)
+
+    docs = read_parquet_clean(_doc_files(sf_dir), columns=["source", "text"])
+
+    # ---- per-source word totals (cheap pass: no explode, str.count)
+    def source_words(df_: pd.DataFrame) -> pd.DataFrame:
+        df_ = df_.reset_index(drop=True)
+        nw = df_["text"].str.count(" ").to_numpy(dtype=np.int64) + 1
+        out = pd.DataFrame({"source": df_["source"].to_numpy(), "nw": nw})
+        return out.groupby("source", sort=False)["nw"].sum().reset_index()
+
+    totals = tree_fold_sum(
+        docs.map_batches(source_words, batch_format="pandas",
+                         batch_size=8192),
+        ["source"], ["nw"]).to_pandas()
+    n_s = dict(zip(totals["source"], totals["nw"].astype(int)))
+    n_all = int(totals["nw"].sum())
+    ns_ref = _ray.put(n_s)
+
+    # ---- (source, term, c) block-local partials
+    def explode_counts(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(t["text"].combine_chunks(), pattern=" ")
+        flat = words.values
+        counts = np.diff(words.offsets.to_numpy(zero_copy_only=False))
+        row_of_pos = np.repeat(np.arange(len(t), dtype=np.int64), counts)
+        src = pc.dictionary_encode(t["source"].combine_chunks())
+        src_of_pos = src.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[row_of_pos]
+        enc = pc.dictionary_encode(flat)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_codes = max(1, len(enc.dictionary))
+        key = src_of_pos * n_codes + codes
+        uniq, c = np.unique(key, return_counts=True)
+        return pa.table({
+            "source": src.dictionary.take(pa.array(uniq // n_codes)),
+            "term": enc.dictionary.take(pa.array(uniq % n_codes)),
+            "c": pa.array(c.astype(np.int64), type=pa.int64()),
+        })
+
+    class ScoreTopK:
+        """Runs on whole term-partitioned blocks: fold partials to one
+        row per (source, term), attach the term's global count, score,
+        keep each source's block-local top-K."""
+
+        def __init__(self, ref, n_all):
+            self.n_s = _ray.get(ref)
+            self.n_all = n_all
+
+        def __call__(self, df_: pd.DataFrame) -> pd.DataFrame:
+            cols = ["source", "term", "n_occ", "lift_milli"]
+            if df_.empty:
+                return pd.DataFrame({c: pd.Series(
+                    [], dtype="object" if c in ("source", "term")
+                    else "int64") for c in cols})
+            df_ = (df_.groupby(["source", "term"], sort=False)["c"]
+                   .sum().reset_index())
+            cg = df_.groupby("term", sort=False)["c"].transform("sum") \
+                .to_numpy(dtype=np.int64)
+            c = df_["c"].to_numpy(dtype=np.int64)
+            ns = df_["source"].map(self.n_s).to_numpy(dtype=np.int64)
+            rest = np.maximum(self.n_all - ns, 1)
+            lift = (1000 * c) // ns - (1000 * (cg - c)) // rest
+            df_ = pd.DataFrame({"source": df_["source"],
+                                "term": df_["term"],
+                                "n_occ": c, "lift_milli": lift})
+            df_ = df_.sort_values(["source", "lift_milli", "term"],
+                                  ascending=[True, False, True],
+                                  kind="mergesort")
+            keep = df_.groupby("source", sort=False).cumcount() < SOURCE_TERMS_K
+            return df_[keep][cols]
+
+    def final_topk(df_: pd.DataFrame) -> pd.DataFrame:
+        cols = ["source", "rank", "term", "n_occ", "lift_milli"]
+        if df_.empty:
+            return pd.DataFrame({c: pd.Series(
+                [], dtype="object" if c in ("source", "term")
+                else "int64") for c in cols})
+        df_ = df_.sort_values(["source", "lift_milli", "term"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+        rank = (df_.groupby("source", sort=False).cumcount() + 1) \
+            .astype("int64")
+        df_ = df_.assign(rank=rank)
+        return df_[df_["rank"] <= SOURCE_TERMS_K][cols]
+
+    partials = docs.map_batches(explode_counts, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    # ~54 distinct terms/doc × ~30 B per (source, term, c) row
+    nparts = keyed_partition_count(_docs_count(sf_dir) * 54 * 30)
+    enable_hash_shuffle(partials, nparts)
+    scored = (partials.repartition(nparts, keys=["term"])
+              .map_batches(ScoreTopK, fn_constructor_args=(ns_ref, n_all),
+                           batch_format="pandas", batch_size=None,
+                           concurrency=autoscaling_pool()))
+    # candidates: ≤ nparts × #sources × K rows — one partition is safe
+    return scored.repartition(1).map_batches(
+        final_topk, batch_format="pandas", batch_size=None)

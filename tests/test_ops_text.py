@@ -476,3 +476,51 @@ def test_source_drift_ks_statistic(ray_session, tmp_path):
             .sort_values("source").reset_index(drop=True))
     import pandas as pd
     pd.testing.assert_frame_equal(got, got2)
+
+
+def test_source_terms_lift_and_ties(ray_session, tmp_path):
+    """Integer lift vs rest-of-corpus, ties by term ASC, exact top-K
+    fold independent of file layout."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from swarm_ray.ops.text import q_doc_source_terms
+
+    docs = [
+        ("A", "apple apple banana"),
+        ("A", "apple cherry"),
+        ("B", "banana banana banana"),
+        ("B", "dog dog"),
+    ]
+    t = pa.table({
+        "doc_id": pa.array(range(len(docs)), type=pa.int64()),
+        "source": pa.array([s for s, _ in docs]),
+        "text": pa.array([x for _, x in docs]),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+    got = (q_doc_source_terms(str(tmp_path)).to_pandas()
+           .sort_values(["source", "rank"]).reset_index(drop=True))
+    # n_A = n_B = 5, N = 10
+    # A: apple 3000//5-0=600; cherry 200-0=200; banana 200-600=-400
+    # B: banana 600-200=400; dog 400-0=400 -> tie, banana < dog
+    a = got[got["source"] == "A"]
+    assert list(a["term"]) == ["apple", "cherry", "banana"]
+    assert list(a["lift_milli"]) == [600, 200, -400]
+    assert list(a["n_occ"]) == [3, 1, 1]
+    b = got[got["source"] == "B"]
+    assert list(b["term"]) == ["banana", "dog"]
+    assert list(b["lift_milli"]) == [400, 400]
+    assert list(b["rank"]) == [1, 2]
+
+    # layout independence (partials for one (source, term) fold across
+    # input blocks)
+    multi = tmp_path / "multi"
+    multi.mkdir()
+    pq.write_table(t.slice(0, 1), multi / "documents-000.parquet")
+    pq.write_table(t.slice(1, 2), multi / "documents-001.parquet")
+    pq.write_table(t.slice(3, 1), multi / "documents-002.parquet")
+    got2 = (q_doc_source_terms(str(multi)).to_pandas()
+            .sort_values(["source", "rank"]).reset_index(drop=True))
+    import pandas as pd
+    pd.testing.assert_frame_equal(got, got2)
