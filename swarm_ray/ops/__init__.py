@@ -28,7 +28,7 @@ _DRIVER_FRONT = [
     "emb_semdedup_keep", "events_retention_salted", "seq_distinct_hll",
     "tpch_bloom_semijoin", "seq_ngram_cms", "seq_gram_dupfrac",
     "seq_distinct_hll_incr", "doc_quality_rank", "doc_source_drift",
-    "events_spikes", "doc_source_terms",
+    "events_spikes", "doc_source_terms", "doc_weighted_sample",
     # last driver row r3 or earlier
     "emb_knn", "emb_lsh_ann", "emb_ivf_ann", "emb_near_dup",
     "emb_dedup_semantic", "emb_centroids",
@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_rank": text.q_doc_quality_rank,
         "doc_source_drift": text.q_doc_source_drift,
         "doc_source_terms": text.q_doc_source_terms,
+        "doc_weighted_sample": text.q_doc_weighted_sample,
         "doc_pii_redact": text.q_doc_pii,
         # dedup family
         "doc_dedup_exact": dedup.q_dedup_exact,
@@ -136,6 +137,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality_rank": sql.SQL_DOC_QUALITY_RANK,
         "doc_source_drift": sql.SQL_DOC_SOURCE_DRIFT,
         "doc_source_terms": sql.SQL_DOC_SOURCE_TERMS,
+        "doc_weighted_sample": sql.SQL_DOC_WEIGHTED_SAMPLE,
         "doc_pii_redact": text.pii_oracle_sql(),
         "doc_dedup_exact": sql.SQL_DEDUP_EXACT,
         "doc_dedup_incremental": sql.SQL_DEDUP_INCREMENTAL,

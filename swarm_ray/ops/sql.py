@@ -553,3 +553,25 @@ SELECT source, CAST(rn AS BIGINT) AS rank, term,
        CAST(c AS BIGINT) AS n_occ, CAST(lift_milli AS BIGINT) AS lift_milli
 FROM r WHERE rn <= {SOURCE_TERMS_K}
 """
+
+
+from .text import EXP_SCALE, WEIGHTED_K  # noqa: E402
+
+SQL_DOC_WEIGHTED_SAMPLE = f"""
+WITH d AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+    (CAST(CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 16)) AS UBIGINT)
+          AS DOUBLE) + 1.0) / 18446744073709551616.0 AS u
+  FROM documents
+), k AS (
+  SELECT doc_id, w,
+    CAST(FLOOR(-ln(u) * {EXP_SCALE}.0) AS BIGINT) // w AS key_scaled
+  FROM d
+), r AS (
+  SELECT doc_id, w, key_scaled,
+    ROW_NUMBER() OVER (ORDER BY key_scaled ASC, doc_id ASC) AS rank
+  FROM k
+)
+SELECT CAST(rank AS BIGINT) AS rank, doc_id, w, key_scaled
+FROM r WHERE rank <= {WEIGHTED_K}
+"""

@@ -1250,3 +1250,60 @@ def q_doc_source_terms(sf_dir: str) -> ray.data.Dataset:
     # candidates: ≤ nparts × #sources × K rows — one partition is safe
     return scored.repartition(1).map_batches(
         final_topk, batch_format="pandas", batch_size=None)
+
+
+# -------------------------------------------- weighted sample (A-ES top-k)
+
+WEIGHTED_K = 50
+EXP_SCALE = 1_000_000_000_000   # exponential-key fixed-point scale (1e12)
+
+
+def q_doc_weighted_sample(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic weighted sampling WITHOUT replacement, probability
+    ∝ document word count — "sample tokens, not docs", the mixing-
+    aware corpus subsample. Efraimidis–Spirakis (2006) exponential-
+    clocks form: each doc draws E ~ Exp(1) from its md5 coin
+    (``u = (float64(md5_u64(doc_id)) + 1) / 2^64``, ``E = −ln(u)``) and
+    the ``WEIGHTED_K`` smallest ``E/w`` win. Discretized integer-
+    exactly as ``key_scaled = FLOOR(E·10^12) // w`` (ties by doc_id
+    ASC) so the DuckDB oracle reproduces the selection bit-for-bit;
+    the numpy↔DuckDB ln parity is pinned in
+    test_oracle_property.test_weighted_key_parity_numpy_vs_duckdb.
+
+    Scale shape: a pure per-batch map + per-block top-K (any global
+    top-K row is within its block's top-K), then one ≤ #blocks × K
+    final fold — no shuffle, no driver RNG, reproducible at any
+    parallelism. At 10^12 docs only the final fold grows, by #blocks."""
+    import numpy as np
+
+    docs = read_parquet_clean(_doc_files(sf_dir), columns=["doc_id", "text"])
+
+    def keys(df_: pd.DataFrame) -> pd.DataFrame:
+        import math
+        df_ = df_.reset_index(drop=True)
+        w = (df_["text"].str.count(" ") + 1).to_numpy(dtype=np.int64)
+        ids = df_["doc_id"].to_numpy()
+        # per-doc md5 loop by necessity (md5-reproducibility, the
+        # Fingerprint/HLL convention). math.log, NOT np.log: numpy's
+        # SIMD log drifts 1 ulp from DuckDB's libm in ~4e-5 of inputs
+        # (measured), flipping the FLOOR; math.log is libm and pinned
+        # bit-identical over 10^6 samples in the parity test.
+        md5, log, floor = hashlib.md5, math.log, math.floor
+        key = np.empty(len(df_), dtype=np.int64)
+        for i, d in enumerate(ids.tolist()):
+            h = int.from_bytes(md5(str(d).encode()).digest()[:8], "big")
+            u = (float(h) + 1.0) / 2.0 ** 64
+            key[i] = floor(-log(u) * float(EXP_SCALE))
+        key //= w
+        out = pd.DataFrame({"doc_id": ids, "w": w, "key_scaled": key})
+        return out.sort_values(["key_scaled", "doc_id"]).head(WEIGHTED_K)
+
+    def final(df_: pd.DataFrame) -> pd.DataFrame:
+        df_ = df_.sort_values(["key_scaled", "doc_id"]) \
+            .head(WEIGHTED_K).reset_index(drop=True)
+        df_["rank"] = np.arange(1, len(df_) + 1, dtype=np.int64)
+        return df_[["rank", "doc_id", "w", "key_scaled"]]
+
+    return (docs.map_batches(keys, batch_format="pandas", batch_size=8192)
+            .repartition(1)
+            .map_batches(final, batch_format="pandas", batch_size=None))

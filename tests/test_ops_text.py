@@ -524,3 +524,48 @@ def test_source_terms_lift_and_ties(ray_session, tmp_path):
             .sort_values(["source", "rank"]).reset_index(drop=True))
     import pandas as pd
     pd.testing.assert_frame_equal(got, got2)
+
+
+def test_weighted_sample_exact_selection(ray_session, tmp_path):
+    """A-ES weighted sample: selection must equal a direct single-
+    process recompute of key = FLOOR(−ln(u)·1e12)//w (u from md5) —
+    and be independent of file layout (per-block top-K + final fold)."""
+    import hashlib
+    import math
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from swarm_ray.ops.text import EXP_SCALE, WEIGHTED_K, q_doc_weighted_sample
+
+    # 120 docs with word counts 1..120 (weight grows with doc_id)
+    texts = [" ".join(f"w{j}" for j in range(i + 1)) for i in range(120)]
+    t = pa.table({
+        "doc_id": pa.array(range(120), type=pa.int64()),
+        "text": pa.array(texts),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+    rows = []
+    for i, txt in enumerate(texts):
+        h = int.from_bytes(hashlib.md5(str(i).encode()).digest()[:8], "big")
+        u = (float(h) + 1.0) / 2.0 ** 64
+        key = math.floor(-math.log(u) * float(EXP_SCALE)) // (txt.count(" ") + 1)
+        rows.append((i, txt.count(" ") + 1, key))
+    exp = (pd.DataFrame(rows, columns=["doc_id", "w", "key_scaled"])
+           .sort_values(["key_scaled", "doc_id"]).head(WEIGHTED_K)
+           .reset_index(drop=True))
+    exp.insert(0, "rank", pd.Series(range(1, len(exp) + 1), dtype="int64"))
+
+    got = q_doc_weighted_sample(str(tmp_path)).to_pandas() \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+    assert got["doc_id"].is_unique          # without replacement
+
+    multi = tmp_path / "multi"
+    multi.mkdir()
+    for j in range(4):
+        pq.write_table(t.slice(j * 30, 30), multi / f"documents-{j:03d}.parquet")
+    got2 = q_doc_weighted_sample(str(multi)).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, got2)

@@ -109,3 +109,36 @@ def test_mixture_temp_threshold_parity_numpy_vs_duckdb():
           SELECT source, t4 FROM thr ORDER BY source"""
         sql_thr = [r[1] for r in con.execute(q).fetchall()]
         assert sql_thr == np_thr, (c, np_thr, sql_thr)
+
+
+def test_weighted_key_parity_numpy_vs_duckdb():
+    """doc_weighted_sample's only float ops are u = (float64(h)+1)/2^64
+    and key = FLOOR(−ln(u)·1e12) (then integer // w). The engine uses
+    math.log (libm) — numpy's SIMD log was measured 1 ulp off DuckDB's
+    ln in ~4e-5 of inputs, flipping the FLOOR. Pin math.log vs DuckDB
+    over a large random u64 sample plus the edge values (0, 1, 2^63,
+    2^64−1, and near-1 u where −ln(u) → 0), so a libm divergence would
+    surface here, not as a flaky oracle run."""
+    import math
+
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    rng = np.random.default_rng(7)
+    h = rng.integers(0, 2 ** 64, size=1_000_000, dtype=np.uint64)
+    edges = np.array([0, 1, 2, 2 ** 63, 2 ** 64 - 1, 2 ** 64 - 2,
+                      2 ** 64 - 1024], dtype=np.uint64)
+    h = np.concatenate([h, edges])
+
+    npk = np.array(
+        [math.floor(-math.log((float(x) + 1.0) / 2.0 ** 64) * 1e12)
+         for x in h.tolist()], dtype=np.int64)
+
+    con = duckdb.connect()
+    con.register("t", pa.table({"h": pa.array(h, type=pa.uint64())}))
+    sqlk = con.execute(
+        "SELECT CAST(FLOOR(-ln((CAST(h AS DOUBLE) + 1.0)"
+        " / 18446744073709551616.0) * 1000000000000.0) AS BIGINT) AS k"
+        " FROM t").fetch_arrow_table()["k"].to_numpy()
+    assert int((npk != sqlk).sum()) == 0
