@@ -767,6 +767,100 @@ def q_emb_cluster_sample_checked(sf_dir: str) -> ray.data.Dataset:
     return q_emb_cluster_sample(sf_dir)
 
 
+# ------------------------------------------------------ cluster purity
+
+def q_emb_cluster_purity(sf_dir: str) -> pd.DataFrame:
+    """Cluster↔label agreement audit over the fitted k-means: per
+    cluster, member count, majority ground-truth label (ties to the
+    LOWEST label) and floor-milli purity — the standard external
+    clustering-quality diagnostic run before trusting cluster-balanced
+    sampling or SemDeDup's cluster structure downstream.
+
+    Scale shape: centroids broadcast (k×d ints, ~4 KB ``ray.put``
+    once); assignment is the fused fixed-point Lloyd matmul per batch;
+    (cluster, label) partial counts fold through a bounded tree
+    (≤ k × #labels rows BY CONSTRUCTION); the majority walk runs over
+    that bounded table. The corpus streams once past the fit — no
+    per-vector exchange.
+
+    Oracle: differential — the fixture supplies the serially-recomputed
+    assignments (bit-identical by fixed-point construction); DuckDB
+    independently joins labels and re-derives majority + purity."""
+    from .agg import tree_fold_sum
+
+    cents, _ = kmeans_fit(sf_dir)
+    cref = ray.put(cents)
+    k = cents.shape[0]
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        e = kmeans_scaled(_emb_matrix(t["embedding"]))
+        a = kmeans_assign(e, c)
+        tbl = pa.table({
+            "cluster": pa.array(a.astype(np.int64)),
+            "label": pa.array(t["label"].to_numpy(zero_copy_only=False)
+                              .astype(np.int64)),
+        })
+        return pa.TableGroupBy(tbl, ["cluster", "label"]).aggregate(
+            [([], "count_all")]).rename_columns(["cluster", "label", "c"])
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                               columns=["label", "embedding"])
+    hist = tree_fold_sum(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=4096),
+        ["cluster", "label"], ["c"]).to_pandas()
+
+    hist = hist.sort_values(["cluster", "c", "label"],
+                            ascending=[True, False, True], kind="mergesort")
+    n = hist.groupby("cluster", sort=True)["c"].sum()
+    top = hist.groupby("cluster", sort=True).head(1).set_index("cluster")
+    return pd.DataFrame({
+        "cluster": n.index.to_numpy(dtype=np.int64),
+        "n": n.to_numpy(dtype=np.int64),
+        "top_label": top["label"].reindex(n.index).to_numpy(dtype=np.int64),
+        "purity_milli": ((1000 * top["c"].reindex(n.index)) // n)
+        .to_numpy(dtype=np.int64),
+    })
+
+
+def q_emb_cluster_purity_checked(sf_dir: str) -> pd.DataFrame:
+    """Driver-facing ``emb_cluster_purity``: materializes the serial
+    assignment fixture so the DuckDB oracle has its topology table."""
+    from .. import fixtures
+    fixtures.kmeans_assign_expected_dir(sf_dir)
+    return q_emb_cluster_purity(sf_dir)
+
+
+def _cluster_purity_sql() -> str:
+    from pathlib import Path
+
+    from .. import fixtures
+    glob = str(Path(fixtures.FIXTURE_ROOT) /
+               fixtures.label_for_sf_dir(fixtures.oracle_sf_dir()) /
+               "kmeans_assign_expected" / "*.parquet")
+    return f"""
+WITH a AS (
+  SELECT vec_id, cluster FROM read_parquet('{glob}')
+), j AS (
+  SELECT a.cluster, CAST(e.label AS BIGINT) AS label
+  FROM a JOIN embeddings e USING (vec_id)
+), h AS (
+  SELECT cluster, label, COUNT(*)::BIGINT AS c FROM j GROUP BY 1, 2
+), n AS (
+  SELECT cluster, SUM(c)::BIGINT AS n FROM h GROUP BY 1
+), m AS (
+  SELECT cluster, label, c,
+    ROW_NUMBER() OVER (PARTITION BY cluster
+                       ORDER BY c DESC, label ASC) AS rn
+  FROM h
+)
+SELECT m.cluster, n.n, m.label AS top_label,
+       (1000 * m.c) // n.n AS purity_milli
+FROM m JOIN n USING (cluster) WHERE rn = 1
+"""
+
+
 # ------------------------------------------------------------ registry
 
 def queries():
@@ -779,6 +873,7 @@ def queries():
         "emb_centroids": q_emb_centroids,
         "emb_kmeans": q_emb_kmeans_checked,
         "emb_cluster_sample": q_emb_cluster_sample_checked,
+        "emb_cluster_purity": q_emb_cluster_purity_checked,
         "emb_pq_ann": q_knn_pq_checked,
         "emb_knn_classify": q_knn_classify,
         "emb_semdedup": q_emb_semdedup_checked,
@@ -846,6 +941,7 @@ def oracle_sql():
         "emb_lsh_ann": _candidate_rank_sql("lsh_candidates_expected"),
         "emb_kmeans": _kmeans_expected_sql(),
         "emb_cluster_sample": _cluster_sample_sql(),
+        "emb_cluster_purity": _cluster_purity_sql(),
         "emb_pq_ann": _pq_rank_sql(),
         "emb_knn_classify": _knn_classify_sql(),
         "emb_semdedup": _semdedup_sql(),

@@ -639,3 +639,37 @@ def test_semdedup_keep_list_conserves_counts(ray_session, tmp_path,
     ids = np.sort(t["vec_id"].to_numpy())
     mn_removed = set(ids) - set(keep["vec_id"])
     assert len(mn_removed) == brute["removed"].sum()
+
+
+def test_cluster_purity_matches_serial_recompute(ray_session, tmp_path,
+                                                 monkeypatch):
+    """Purity audit must agree with a direct pandas recompute over the
+    serial assignment fixture (majority label, ties to lowest label,
+    floor-milli purity)."""
+    import pyarrow.parquet as pq
+    from swarm_ray import fixtures
+    from swarm_ray.ops.ann import q_emb_cluster_purity
+    monkeypatch.setattr(fixtures, "FIXTURE_ROOT", tmp_path / "fx")
+
+    got = q_emb_cluster_purity(SF).sort_values("cluster") \
+        .reset_index(drop=True)
+
+    assign = pq.read_table(
+        fixtures.kmeans_assign_expected_dir(SF) / "expected.parquet"
+    ).to_pandas()
+    emb = pq.read_table(f"{SF}/embeddings.parquet",
+                        columns=["vec_id", "label"]).to_pandas()
+    j = assign.merge(emb, on="vec_id")
+    h = (j.groupby(["cluster", "label"]).size().rename("c").reset_index()
+         .sort_values(["cluster", "c", "label"],
+                      ascending=[True, False, True], kind="mergesort"))
+    n = h.groupby("cluster")["c"].sum()
+    top = h.groupby("cluster").head(1).set_index("cluster")
+
+    assert got["cluster"].tolist() == list(n.index)
+    assert got["n"].tolist() == n.tolist()
+    assert got["top_label"].tolist() == top["label"].tolist()
+    assert got["purity_milli"].tolist() == \
+        ((1000 * top["c"]) // n).tolist()
+    assert int(got["n"].sum()) == len(emb)
+    assert got["purity_milli"].between(1, 1000).all()
