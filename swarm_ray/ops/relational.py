@@ -501,6 +501,91 @@ def q_tpch_nation_orders(sf_dir: str) -> ray.data.Dataset:
                        Sum("total_cents", alias_name="total_cents")))
 
 
+def q_tpch_rollup_revenue(sf_dir: str) -> ray.data.Dataset:
+    """Hierarchical ROLLUP in one pass — region→nation→grand-total
+    order revenue (``GROUP BY ROLLUP(r_name, n_name)``), the reporting
+    aggregate that naive plans compute with three separate shuffles.
+    Here: the dimension chain (customer→nation→region) rides the
+    broadcast-lookup join plan (SURVEY §2.4, same as
+    q_tpch_nation_orders), the fact stream collapses to per-block
+    (region, nation) partials, ONE bounded tree fold (≤ #nations rows
+    BY CONSTRUCTION) lands the detail table, and every rollup level is
+    derived from that bounded table in a single final task — the
+    subtotals are free because the detail key space is tiny. Level
+    markers use the 'ALL' sentinel (COALESCE'd identically in the SQL)
+    so the output is null-free and hash-stable."""
+    from .agg import tree_fold_sum
+    from ..util import autoscaling_pool
+
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = read_parquet_clean(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    region = read_parquet_clean(f"{sf_dir}/region.parquet",
+                                   columns=["r_regionkey", "r_name"]).to_pandas()
+    cust_arr = np.full(int(cust["c_custkey"].max()) + 1, -1, dtype=np.int64)
+    cust_arr[cust["c_custkey"].to_numpy()] = cust["c_nationkey"].to_numpy()
+    nation_names = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    region_of_nation = dict(zip(
+        nation["n_nationkey"],
+        nation["n_regionkey"].map(
+            dict(zip(region["r_regionkey"], region["r_name"])))))
+    cust_ref = ray.put(cust_arr)
+
+    class RollupPartial:
+        def __init__(self, cust_ref, nation_names, region_of_nation):
+            self.cust = ray.get(cust_ref)
+            self.nation_names = nation_names
+            self.region_of_nation = region_of_nation
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            nk = self.cust[t["o_custkey"].to_numpy()]
+            cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                            pa.int64())
+            tbl = pa.table({
+                "r_name": pa.array(pd.Series(nk).map(self.region_of_nation),
+                                   type=pa.string()),
+                "n_name": pa.array(pd.Series(nk).map(self.nation_names),
+                                   type=pa.string()),
+                "order_count": pa.array(np.ones(len(t), dtype=np.int64)),
+                "total_cents": cents,
+            })
+            return pa.TableGroupBy(tbl, ["r_name", "n_name"]).aggregate(
+                [("order_count", "sum"), ("total_cents", "sum")]
+            ).rename_columns(["r_name", "n_name", "order_count",
+                              "total_cents"])
+
+    detail = tree_fold_sum(
+        read_parquet_clean(f"{sf_dir}/orders.parquet",
+                              columns=["o_custkey", "o_totalprice"])
+        .map_batches(RollupPartial, batch_format="pyarrow",
+                     zero_copy_batch=True,
+                     concurrency=autoscaling_pool(),
+                     fn_constructor_kwargs={
+                         "cust_ref": cust_ref,
+                         "nation_names": nation_names,
+                         "region_of_nation": region_of_nation}),
+        ["r_name", "n_name"], ["order_count", "total_cents"])
+
+    def rollup(df_: pd.DataFrame) -> pd.DataFrame:
+        # one bounded block: ≤ #nations detail rows
+        cols = ["r_name", "n_name", "order_count", "total_cents"]
+        reg = (df_.groupby("r_name", as_index=False)
+               [["order_count", "total_cents"]].sum())
+        reg["n_name"] = "ALL"
+        tot = pd.DataFrame({
+            "r_name": ["ALL"], "n_name": ["ALL"],
+            "order_count": [df_["order_count"].sum()],
+            "total_cents": [df_["total_cents"].sum()]})
+        out = pd.concat([df_[cols], reg[cols], tot[cols]],
+                        ignore_index=True)
+        return out.astype({"order_count": "int64", "total_cents": "int64"})
+
+    return detail.repartition(1).map_batches(
+        rollup, batch_format="pandas", batch_size=None)
+
+
 def q_tpch_revenue(sf_dir: str) -> pd.DataFrame:
     """Q6-style filtered revenue — predicate + projection pruned at the
     read (row-group pushdown), integer 1e-4-scale product sum."""
@@ -728,6 +813,7 @@ def queries():
         "tpch_revenue": q_tpch_revenue,
         "tpch_priority_revenue": q_tpch_priority_revenue,
         "tpch_bloom_semijoin": q_tpch_bloom_semijoin,
+        "tpch_rollup_revenue": q_tpch_rollup_revenue,
     }
 
 
@@ -750,6 +836,18 @@ SELECT o_orderstatus,
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE o_orderpriority = '1-URGENT'
 GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+        "tpch_rollup_revenue": """
+SELECT COALESCE(r_name, 'ALL') AS r_name,
+       COALESCE(n_name, 'ALL') AS n_name,
+       COUNT(*)::BIGINT AS order_count,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
 """,
         "events_parse_props": """
 SELECT event_id, event_type,

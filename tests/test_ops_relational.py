@@ -461,3 +461,21 @@ def test_events_spikes_planted_anomaly(ray_session, tmp_path):
     err = got[got["event_type"] == "err"]
     assert list(err["is_spike"]) == [0, 0]      # cold start + 30 h gap
     assert list(err["base24"]) == [0, 0]
+
+
+def test_rollup_revenue_levels_conserve(ray_session):
+    """ROLLUP levels must conserve: each region subtotal equals the sum
+    of its nation rows, and the grand total equals the region sum."""
+    from swarm_ray.ops.relational import q_tpch_rollup_revenue
+
+    df = q_tpch_rollup_revenue("/root/testdata/sf0.001").to_pandas()
+    det = df[(df["r_name"] != "ALL") & (df["n_name"] != "ALL")]
+    reg = df[(df["r_name"] != "ALL") & (df["n_name"] == "ALL")]
+    tot = df[(df["r_name"] == "ALL") & (df["n_name"] == "ALL")]
+    assert len(tot) == 1
+    for col in ("order_count", "total_cents"):
+        per_region = det.groupby("r_name")[col].sum()
+        got_region = reg.set_index("r_name")[col]
+        assert got_region.sort_index().tolist() == \
+            per_region.sort_index().tolist()
+        assert int(tot[col].iloc[0]) == int(det[col].sum())
