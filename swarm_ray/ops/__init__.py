@@ -29,7 +29,7 @@ _DRIVER_FRONT = [
     "tpch_bloom_semijoin", "seq_ngram_cms", "seq_gram_dupfrac",
     "seq_distinct_hll_incr", "doc_quality_rank", "doc_source_drift",
     "events_spikes", "doc_source_terms", "doc_weighted_sample",
-    "emb_cluster_purity", "tpch_rollup_revenue",
+    "emb_cluster_purity", "tpch_rollup_revenue", "events_hourly_users",
     # last driver row r3 or earlier
     "emb_knn", "emb_lsh_ann", "emb_ivf_ann", "emb_near_dup",
     "emb_dedup_semantic", "emb_centroids",

@@ -34,10 +34,18 @@ def _read_events(sf_dir: str, columns=None) -> ray.data.Dataset:
 
 
 def _events_count(sf_dir: str) -> int:
-    """Events row count from the parquet footer (no data read) — sizes
-    the keyed partition counts below (see util.keyed_partition_count)."""
+    """Events row count from the parquet footer(s) (no data read) —
+    sizes the keyed partition counts below (see
+    util.keyed_partition_count). Handles events.parquet as a single
+    file or as a directory of part files."""
+    from pathlib import Path
+
     import pyarrow.parquet as pq
-    return pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+    p = Path(sf_dir) / "events.parquet"
+    if p.is_dir():
+        return sum(pq.read_metadata(f).num_rows
+                   for f in sorted(p.glob("**/*.parquet")))
+    return pq.read_metadata(p).num_rows
 
 
 # ------------------------------------------------------------ parse (M2 analogue)
@@ -171,6 +179,65 @@ def q_events_spikes(sf_dir: str) -> ray.data.Dataset:
 
     return counts.groupby("event_type").map_groups(
         walk, batch_format="pandas")
+
+
+# ------------------------------------------- windowed distinct users
+
+def q_events_hourly_users(sf_dir: str) -> ray.data.Dataset:
+    """Exact DISTINCT-per-window aggregate — distinct active users per
+    hour, the telemetry metric COUNT(*) can't fake. Distinct is
+    non-additive, so the naive plan shuffles every event; here the
+    stream collapses to block-distinct (hour, user) pairs first, ONE
+    user-keyed exchange co-locates each user's pairs (making the
+    block-local dedup globally complete), and per-hour partial counts
+    fold through a bounded tree (≤ #hours rows). The exchange moves
+    distinct pairs, not events — bounded by users × active-hours, and
+    hash-partitioned by user so a hot HOUR (the usual skew: everyone
+    online at peak) spreads across all partitions instead of landing
+    on one reducer."""
+    def pair_partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        tbl = pa.table({
+            "epoch_h": pa.array(us // 3_600_000_000, type=pa.int64()),
+            "user_id": t["user_id"],
+        })
+        return pa.TableGroupBy(tbl, ["epoch_h", "user_id"]).aggregate(
+            [([], "count_all")]).select(["epoch_h", "user_id"])
+
+    def hour_counts(t: pa.Table) -> pa.Table:
+        # whole user-keyed block: every (hour, user) pair of these
+        # users is here, so block-local dedup is globally exact
+        if t.num_rows == 0:
+            return pa.table({"epoch_h": pa.array([], type=pa.int64()),
+                             "users": pa.array([], type=pa.int64())})
+        dedup = pa.TableGroupBy(t, ["epoch_h", "user_id"]).aggregate(
+            [([], "count_all")])
+        return pa.TableGroupBy(dedup.select(["epoch_h"]), ["epoch_h"]) \
+            .aggregate([([], "count_all")]) \
+            .rename_columns(["epoch_h", "users"])
+
+    from .agg import tree_fold_sum
+    from ..util import enable_hash_shuffle, keyed_partition_count
+
+    pairs = (_read_events(sf_dir, ["ts", "user_id"])
+             .map_batches(pair_partial, batch_format="pyarrow",
+                          zero_copy_batch=True))
+    nparts = keyed_partition_count(_events_count(sf_dir) * 16)
+    enable_hash_shuffle(pairs, nparts)
+    partials = (pairs.repartition(nparts, keys=["user_id"])
+                .map_batches(hour_counts, batch_format="pyarrow",
+                             batch_size=None, zero_copy_batch=True))
+    folded = tree_fold_sum(partials, ["epoch_h"], ["users"])
+
+    def to_ts(t: pa.Table) -> pa.Table:
+        h = t["epoch_h"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "hour": pa.array(h * 3_600_000_000).cast(pa.timestamp("us")),
+            "users": t["users"],
+        })
+
+    return folded.map_batches(to_ts, batch_format="pyarrow",
+                              zero_copy_batch=True)
 
 
 # ------------------------------------------------------------ top-k
@@ -800,6 +867,7 @@ def queries():
         "events_parse_props": q_events_parse_props,
         "events_hourly": q_events_hourly,
         "events_spikes": q_events_spikes,
+        "events_hourly_users": q_events_hourly_users,
         "events_retention": q_events_retention,
         "events_retention_salted": q_events_retention_salted,
         "events_sliding": q_events_sliding,
@@ -858,6 +926,11 @@ FROM events
 SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n,
   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events GROUP BY 1, 2
+""",
+        "events_hourly_users": """
+SELECT date_trunc('hour', ts) AS hour,
+       COUNT(DISTINCT user_id)::BIGINT AS users
+FROM events GROUP BY 1
 """,
         "events_spikes": f"""
 WITH h AS (

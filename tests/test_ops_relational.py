@@ -479,3 +479,41 @@ def test_rollup_revenue_levels_conserve(ray_session):
         assert got_region.sort_index().tolist() == \
             per_region.sort_index().tolist()
         assert int(tot[col].iloc[0]) == int(det[col].sum())
+
+
+def test_hourly_users_distinct_semantics(ray_session, tmp_path):
+    """Distinct users per hour: repeats within an hour count once;
+    the same user in two hours counts in both; layout-independent."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from swarm_ray.ops.relational import q_events_hourly_users
+
+    base = pd.Timestamp("2026-02-01")
+    rows = [
+        (1, base), (1, base + pd.Timedelta(minutes=5)),      # u1 h0 ×2
+        (2, base + pd.Timedelta(minutes=59)),                # u2 h0
+        (1, base + pd.Timedelta(hours=1)),                   # u1 h1
+        (3, base + pd.Timedelta(hours=1, minutes=30)),       # u3 h1
+        (3, base + pd.Timedelta(hours=1, minutes=31)),       # u3 h1 dup
+    ]
+    t = pa.table({
+        "user_id": pa.array([u for u, _ in rows], type=pa.int64()),
+        "ts": pa.array([x for _, x in rows], type=pa.timestamp("us")),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+
+    got = (q_events_hourly_users(str(tmp_path)).to_pandas()
+           .sort_values("hour").reset_index(drop=True))
+    assert list(got["users"]) == [2, 2]
+    assert got["hour"].tolist() == [base, base + pd.Timedelta(hours=1)]
+
+    # layout independence: events.parquet as a DIRECTORY of part files
+    multi = tmp_path / "multi" / "events.parquet"
+    multi.mkdir(parents=True)
+    pq.write_table(t.slice(0, 3), multi / "part-000.parquet")
+    pq.write_table(t.slice(3, 3), multi / "part-001.parquet")
+    got2 = (q_events_hourly_users(str(tmp_path / "multi")).to_pandas()
+            .sort_values("hour").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, got2)
