@@ -832,6 +832,120 @@ def q_emb_cluster_purity_checked(sf_dir: str) -> pd.DataFrame:
     return q_emb_cluster_purity(sf_dir)
 
 
+def q_emb_label_dispersion(sf_dir: str) -> pd.DataFrame:
+    """Per-label second-moment audit: n, Σ‖e‖² and the within-group
+    dispersion Σ‖e − c‖² around the integer centroid c = ⌊S₁/n⌋ — the
+    inertia/variance diagnostic that pairs with ``emb_cluster_purity``
+    (external) as the INTERNAL clustering-quality measure, and the
+    first second-moment aggregate in the registry (sums/counts/max
+    exist; variance composes from these partials). Integer-exact via
+    the expansion Σ‖e−c‖² = Σ‖e‖² − 2·c·S₁ + n·‖c‖², so DuckDB
+    re-derives it from the same fixed-point coordinates; floor
+    division on possibly-negative sums is emulated mod-adjusted in the
+    SQL because DuckDB ``//`` truncates while numpy floors (measured).
+
+    Scale shape: one streaming pass; per-block partials are (label, n,
+    Σ‖e‖², S₁ flattened) — ≤ #labels rows × (d+3) ints per block —
+    folding through the bounded combine tree; the centroid/dispersion
+    algebra runs on the ≤ #labels final rows. Overflow bound: int64
+    holds Σ‖e‖² up to ~10^5 unit-norm vectors per label at the 10^6
+    fixed-point scale; beyond that, shard the label space or drop to
+    1e3 scale (documented, not silent)."""
+    from .agg import _tree_fold
+
+    def partial(t: pa.Table) -> pa.Table:
+        e = kmeans_scaled(_emb_matrix(t["embedding"]))
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        labs = np.unique(lab)
+        d = e.shape[1]
+        s1 = np.zeros((len(labs), d), dtype=np.int64)
+        idx = np.searchsorted(labs, lab)
+        np.add.at(s1, idx, e)
+        ssq = np.zeros(len(labs), dtype=np.int64)
+        np.add.at(ssq, idx, (e * e).sum(axis=1))
+        return pa.table({
+            "label": pa.array(labs),
+            "n": pa.array(np.bincount(idx, minlength=len(labs))
+                          .astype(np.int64)),
+            "ssq": pa.array(ssq),
+            "s1": pa.FixedSizeListArray.from_arrays(
+                pa.array(s1.reshape(-1)), d),
+        })
+
+    def combine(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.select(["label", "n", "ssq", "s1"])
+        lab = t["label"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        ssq = t["ssq"].to_numpy(zero_copy_only=False)
+        s1c = t["s1"].combine_chunks()
+        d = s1c.type.list_size
+        s1 = s1c.values.to_numpy(zero_copy_only=False).reshape(len(t), d)
+        labs = np.unique(lab)
+        idx = np.searchsorted(labs, lab)
+        ns = np.zeros(len(labs), dtype=np.int64)
+        np.add.at(ns, idx, n)
+        sq = np.zeros(len(labs), dtype=np.int64)
+        np.add.at(sq, idx, ssq)
+        s1o = np.zeros((len(labs), d), dtype=np.int64)
+        np.add.at(s1o, idx, s1)
+        return pa.table({
+            "label": pa.array(labs), "n": pa.array(ns),
+            "ssq": pa.array(sq),
+            "s1": pa.FixedSizeListArray.from_arrays(
+                pa.array(s1o.reshape(-1)), d),
+        })
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                               columns=["label", "embedding"])
+    folded = _tree_fold(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=4096),
+        ["label"], ["n", "ssq", "s1"], combine).to_pandas()
+
+    lab = folded["label"].to_numpy(dtype=np.int64)
+    n = folded["n"].to_numpy(dtype=np.int64)
+    ssq = folded["ssq"].to_numpy(dtype=np.int64)
+    s1 = np.stack([np.asarray(v) for v in folded["s1"]]).astype(np.int64)
+    c = s1 // n[:, None]                       # numpy FLOOR division
+    disp = ssq - 2 * (c * s1).sum(axis=1) + n * (c * c).sum(axis=1)
+    order = np.argsort(lab)
+    return pd.DataFrame({"label": lab[order], "n": n[order],
+                         "ssq": ssq[order], "disp": disp[order]})
+
+
+def _label_dispersion_sql() -> str:
+    return """
+WITH e AS (
+  SELECT CAST(label AS BIGINT) AS label,
+    list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS v
+  FROM embeddings
+), agg AS (
+  SELECT label, COUNT(*)::BIGINT AS n,
+    SUM(list_sum(list_transform(v, x -> x * x)))::BIGINT AS ssq
+  FROM e GROUP BY 1
+), dims AS (
+  SELECT label, generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM e
+), s1 AS (
+  SELECT label, dim, SUM(x)::BIGINT AS s FROM dims GROUP BY 1, 2
+), cd AS (
+  -- FLOOR division of a possibly-negative sum: DuckDB // truncates,
+  -- numpy floors — emulate floor exactly with a mod adjustment
+  SELECT s1.label, s1.s,
+    (s1.s - ((s1.s % agg.n) + agg.n) % agg.n) // agg.n AS c
+  FROM s1 JOIN agg USING (label)
+), x AS (
+  SELECT label, SUM(2 * c * s)::BIGINT AS twocs,
+         SUM(c * c)::BIGINT AS cc
+  FROM cd GROUP BY 1
+)
+SELECT agg.label, agg.n, agg.ssq,
+       CAST(agg.ssq - x.twocs + agg.n * x.cc AS BIGINT) AS disp
+FROM agg JOIN x USING (label)
+"""
+
+
 def _cluster_purity_sql() -> str:
     from pathlib import Path
 
@@ -874,6 +988,7 @@ def queries():
         "emb_kmeans": q_emb_kmeans_checked,
         "emb_cluster_sample": q_emb_cluster_sample_checked,
         "emb_cluster_purity": q_emb_cluster_purity_checked,
+        "emb_label_dispersion": q_emb_label_dispersion,
         "emb_pq_ann": q_knn_pq_checked,
         "emb_knn_classify": q_knn_classify,
         "emb_semdedup": q_emb_semdedup_checked,
@@ -942,6 +1057,7 @@ def oracle_sql():
         "emb_kmeans": _kmeans_expected_sql(),
         "emb_cluster_sample": _cluster_sample_sql(),
         "emb_cluster_purity": _cluster_purity_sql(),
+        "emb_label_dispersion": _label_dispersion_sql(),
         "emb_pq_ann": _pq_rank_sql(),
         "emb_knn_classify": _knn_classify_sql(),
         "emb_semdedup": _semdedup_sql(),

@@ -673,3 +673,55 @@ def test_cluster_purity_matches_serial_recompute(ray_session, tmp_path,
         ((1000 * top["c"]) // n).tolist()
     assert int(got["n"].sum()) == len(emb)
     assert got["purity_milli"].between(1, 1000).all()
+
+
+def test_label_dispersion_exact_second_moment(ray_session, tmp_path):
+    """Dispersion must equal the brute-force Σ‖e−c‖² around the FLOOR
+    integer centroid — including a label whose coordinate sum is
+    negative and non-divisible (floor ≠ trunc), and be independent of
+    file layout."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from swarm_ray.ops.ann import q_emb_label_dispersion
+
+    vecs = [
+        (0, [1.0, 0.0]), (0, [0.0, 1.0]), (0, [0.5, 0.5]),
+        # label 1: x-sum = −550000 over n=3 → c_x = −183334 (floor),
+        # trunc would give −183333
+        (1, [-0.25, 0.75]), (1, [-0.30, 0.10]), (1, [0.0, 0.20]),
+    ]
+    t = pa.table({
+        "vec_id": pa.array(range(len(vecs)), type=pa.int64()),
+        "embedding": pa.array([v for _, v in vecs],
+                              type=pa.list_(pa.float32())),
+        "label": pa.array([l for l, _ in vecs], type=pa.int32()),
+    })
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+
+    got = q_emb_label_dispersion(str(tmp_path)).reset_index(drop=True)
+
+    # brute-force serial recompute from the same fixed-point coords
+    e = np.floor(np.array([v for _, v in vecs], dtype=np.float32)
+                 .astype(np.float64) * 1_000_000).astype(np.int64)
+    lab = np.array([l for l, _ in vecs])
+    for li, row in zip((0, 1), got.itertuples()):
+        m = e[lab == li]
+        c = m.sum(axis=0) // len(m)             # numpy floor division
+        brute = int(((m - c) ** 2).sum())
+        assert row.label == li
+        assert row.n == len(m)
+        assert row.ssq == int((m * m).sum())
+        assert row.disp == brute
+    # the floor-vs-trunc tripwire: label 1's centroid x is −183334
+    m1 = e[lab == 1]
+    assert (m1.sum(axis=0) // 3)[0] == -183334
+
+    multi = tmp_path / "multi" / "embeddings.parquet"
+    multi.mkdir(parents=True)
+    pq.write_table(t.slice(0, 2), multi / "part-000.parquet")
+    pq.write_table(t.slice(2, 4), multi / "part-001.parquet")
+    got2 = q_emb_label_dispersion(str(tmp_path / "multi")) \
+        .reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(got, got2)
