@@ -30,7 +30,7 @@ _DRIVER_FRONT = [
     "seq_distinct_hll_incr", "doc_quality_rank", "doc_source_drift",
     "events_spikes", "doc_source_terms", "doc_weighted_sample",
     "emb_cluster_purity", "tpch_rollup_revenue", "events_hourly_users",
-    "emb_label_dispersion",
+    "emb_label_dispersion", "doc_pagerank",
     # last driver row r3 or earlier
     "emb_knn", "emb_lsh_ann", "emb_ivf_ann", "emb_near_dup",
     "emb_dedup_semantic", "emb_centroids",
@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_minhash_pairs": dedup.q_minhash_pairs_checked,
         "doc_dup_clusters": dedup.q_dup_clusters,
         "doc_dedup_near": dedup.q_dedup_near,
+        "doc_pagerank": dedup.q_doc_pagerank,
     }
     try:
         from . import spans
@@ -147,6 +148,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_jaccard_pairs": sql.SQL_JACCARD_PAIRS,
         "doc_dup_clusters": sql.SQL_DUP_CLUSTERS,
         "doc_dedup_near": sql.SQL_DEDUP_NEAR,
+        "doc_pagerank": sql.SQL_DOC_PAGERANK,
         "doc_dup_spans": sql.SQL_DOC_DUP_SPANS,
         "doc_dedup_spans": sql.SQL_DOC_DEDUP_SPANS,
         "doc_source_overlap": sql.SQL_DOC_SOURCE_OVERLAP,

@@ -1119,3 +1119,166 @@ def q_dedup_incremental(sf_dir: str) -> ray.data.Dataset:
     return (hashed.repartition(n_parts, keys=["content_md5"])
             .map_batches(match_block, batch_format="pandas",
                          batch_size=None))
+
+
+# --------------------------------------------- PageRank over the dup graph
+
+PR_ITERS = 3
+PR_SCALE = 1_000_000       # rank fixed-point scale
+PR_DAMP_MILLI = 850        # damping 0.85 in milli units
+PR_SHINGLE_PREFIXES = ("0", "1")   # 1/8 shingle sample forms the keys
+
+
+def q_doc_pagerank(sf_dir: str) -> ray.data.Dataset:
+    """Fixed-point PageRank over the duplicate-similarity graph —
+    the iterative WEIGHTED propagation family beyond connected
+    components (CC says "which docs are related", PageRank says "which
+    doc is the hub of its duplication neighborhood" — the canonical
+    pick for cluster representatives / takedown priority). Nodes are
+    docs sharing a min-shingle fingerprint with ≥1 other doc; edges
+    are within-fingerprint pairs (both directions).
+
+    Integer-exact recurrence (all floor divisions, so DuckDB unrolls
+    the same three iterations bit-for-bit):
+
+        share_t(u) = r_t(u) // deg(u)
+        r_{t+1}(v) = (1000−850)·SCALE//1000
+                     + (850 · Σ_{u∼v} share_t(u)) // 1000,  r_0 = SCALE
+
+    Collision keys are a deterministic 1/8 SAMPLE of each doc's word
+    5-gram md5s (first hex digit ∈ {0, 1}) — NOT the single min
+    fingerprint: a single-key graph is a union of disjoint cliques,
+    which are regular, and PageRank on a regular component is the
+    constant vector (measured exactly that on two drafts: min-only and
+    min+max both came out every-node-1.000000 at sf0.01; the sampled
+    keys measure deg 1–2, non-regular). The same pair can collide on
+    several sampled shingles, so edges are DISTINCT'd (s-keyed,
+    block-local = globally exact after the s-repartition). Docs
+    shorter than one shingle carry no keys.
+
+    Scale shape: the graph is bounded by the DUP FRONTIER (docs whose
+    fingerprint collides), never the corpus — fingerprint keys ride
+    one keyed exchange, edges/degrees materialize frontier-sized, and
+    each iteration is one keyed join + one keyed partial-sum over
+    edges (the CC exchange pattern). The per-key pair fan-out is O(g²)
+    for a hot key — same bound as the exact-dup keeper group; group
+    iteration is a Python loop over COLLIDING groups only
+    (frontier-rare). Reference analogue: none (swarm has no graph
+    ops) — north-star addition; recipe follows Page et al. 1999 with
+    integer clocks."""
+    import hashlib
+
+    import pandas as pd
+
+    from .agg import grouped_count, grouped_sum
+    from ..util import (cluster_cpus, enable_hash_shuffle,
+                        keyed_partition_count)
+
+    docs = read_parquet_clean(_doc_files(sf_dir), columns=["doc_id", "text"])
+
+    def shingle_keys(batch: pd.DataFrame) -> pd.DataFrame:
+        md5, K = hashlib.md5, 5
+
+        def keys(text: str) -> list:
+            w = text.split(" ")
+            if len(w) < K:
+                return []
+            return sorted({
+                h for i in range(len(w) - K + 1)
+                if (h := md5(" ".join(w[i:i + K]).encode()).hexdigest())[0]
+                in PR_SHINGLE_PREFIXES})
+
+        ks = batch["text"].map(keys)
+        n = ks.str.len().to_numpy(dtype=np.int64)
+        if n.sum() == 0:
+            return pd.DataFrame({"key": pd.Series([], dtype="object"),
+                                 "doc_id": pd.Series([], dtype="int64")})
+        return pd.DataFrame({
+            "key": np.concatenate([np.asarray(x, dtype=object)
+                                   for x in ks if x]),
+            "doc_id": np.repeat(batch["doc_id"].to_numpy(), n),
+        })
+
+    fps = docs.map_batches(shingle_keys, batch_format="pandas",
+                           batch_size=4096)
+    # ~54/8 sampled shingles per doc × ~44 B per (md5-hex, id) row
+    nparts = keyed_partition_count(_docs_count(sf_dir) * 7 * 44)
+    enable_hash_shuffle(fps, nparts)
+
+    def block_edges(df_: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"s": pd.Series([], dtype="int64"),
+                              "t": pd.Series([], dtype="int64")})
+        if df_.empty:
+            return empty
+        sizes = df_.groupby("key", sort=False)["doc_id"].transform("size")
+        df_ = df_[sizes >= 2]
+        if df_.empty:
+            return empty
+        ss, ts = [], []
+        for _, g in df_.groupby("key", sort=False):
+            ids = g["doc_id"].to_numpy()
+            a = np.repeat(ids, len(ids))
+            b = np.tile(ids, len(ids))
+            m = a != b
+            ss.append(a[m])
+            ts.append(b[m])
+        return pd.DataFrame({"s": np.concatenate(ss),
+                             "t": np.concatenate(ts)})
+
+    raw = (fps.repartition(nparts, keys=["key"])
+           .map_batches(block_edges, batch_format="pandas",
+                        batch_size=None))
+    # frontier-bounded: materializing edges/degrees pins only the dup
+    # frontier, never the corpus. The s-keyed repartition makes the
+    # block-local DISTINCT globally exact (a pair emitted by both the
+    # min- and max-key groups lands in one block).
+    eparts = max(8, cluster_cpus())
+    enable_hash_shuffle(raw, eparts)
+    edges = (raw.repartition(eparts, keys=["s"])
+             .map_batches(lambda d: d.drop_duplicates(),
+                          batch_format="pandas", batch_size=None)
+             .materialize())
+    deg = grouped_count(edges, ["s"], alias="deg").materialize()
+
+    base = (1000 - PR_DAMP_MILLI) * PR_SCALE // 1000
+    njoin = max(8, cluster_cpus())
+
+    def init_rank(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "r", pa.array(np.full(t.num_rows, PR_SCALE, dtype=np.int64)))
+
+    ranks = deg.map_batches(init_rank, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    for _ in range(PR_ITERS):
+        shares = ranks.map_batches(
+            lambda t: pa.table({
+                "node": t["s"],
+                "share": pa.array(
+                    t["r"].to_numpy(zero_copy_only=False)
+                    // t["deg"].to_numpy(zero_copy_only=False))}),
+            batch_format="pyarrow", zero_copy_batch=True)
+        contrib = edges.join(shares, join_type="inner",
+                             num_partitions=njoin,
+                             on=("s",), right_on=("node",))
+        sums = grouped_sum(
+            contrib.map_batches(lambda t: t.select(["t", "share"]),
+                                batch_format="pyarrow",
+                                zero_copy_batch=True),
+            ["t"], "share", alias="csum")
+        joined = deg.join(sums, join_type="inner", num_partitions=njoin,
+                          on=("s",), right_on=("t",))
+
+        def step(tb: pa.Table) -> pa.Table:
+            cs = tb["csum"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "s": tb["s"], "deg": tb["deg"],
+                "r": pa.array(base + (PR_DAMP_MILLI * cs) // 1000),
+            })
+
+        ranks = joined.map_batches(step, batch_format="pyarrow",
+                                   zero_copy_batch=True).materialize()
+
+    return ranks.map_batches(
+        lambda t: pa.table({"doc_id": t["s"], "deg": t["deg"],
+                            "rank_e6": t["r"]}),
+        batch_format="pyarrow", zero_copy_batch=True)

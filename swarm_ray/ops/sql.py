@@ -575,3 +575,50 @@ WITH d AS (
 SELECT CAST(rank AS BIGINT) AS rank, doc_id, w, key_scaled
 FROM r WHERE rank <= {WEIGHTED_K}
 """
+
+
+from .dedup import (PR_DAMP_MILLI, PR_ITERS, PR_SCALE,  # noqa: E402
+                    PR_SHINGLE_PREFIXES)
+
+
+def _pagerank_cte_chain() -> str:
+    """Unroll the integer PageRank recurrence into PR_ITERS CTE pairs —
+    the oracle recomputes the exact engine arithmetic (floor divisions
+    on non-negative values, so DuckDB // matches numpy //)."""
+    base = (1000 - PR_DAMP_MILLI) * PR_SCALE // 1000
+    parts = []
+    for i in range(1, PR_ITERS + 1):
+        parts.append(f"""c{i} AS (
+  SELECT e.t AS node, SUM(r{i - 1}.r // r{i - 1}.deg)::BIGINT AS cs
+  FROM edges e JOIN r{i - 1} ON e.s = r{i - 1}.node GROUP BY 1
+), r{i} AS (
+  SELECT deg.node, deg.deg,
+         {base} + ({PR_DAMP_MILLI} * c{i}.cs) // 1000 AS r
+  FROM deg JOIN c{i} USING (node)
+)""")
+    return ",\n".join(parts)
+
+
+_PR_PREFIX_LIST = ", ".join(f"'{p}'" for p in PR_SHINGLE_PREFIXES)
+
+SQL_DOC_PAGERANK = f"""
+WITH d0 AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+    md5(array_to_string(w[CAST(t.i AS BIGINT):CAST(t.i AS BIGINT)+4], ' ')) AS fp
+  FROM d0, UNNEST(range(1, len(w) - 3)) AS t(i)
+  WHERE len(w) >= 5
+), f AS (
+  SELECT doc_id, fp FROM sh WHERE substr(fp, 1, 1) IN ({_PR_PREFIX_LIST})
+), edges AS (
+  SELECT DISTINCT a.doc_id AS s, b.doc_id AS t
+  FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id <> b.doc_id
+), deg AS (
+  SELECT s AS node, COUNT(*)::BIGINT AS deg FROM edges GROUP BY 1
+), r0 AS (
+  SELECT node, deg, {PR_SCALE}::BIGINT AS r FROM deg
+),
+{_pagerank_cte_chain()}
+SELECT node AS doc_id, deg, CAST(r AS BIGINT) AS rank_e6 FROM r{PR_ITERS}
+"""

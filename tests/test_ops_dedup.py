@@ -313,3 +313,79 @@ def test_dedup_near_counts_reconcile(ray_session):
     assert got["kept"].tolist() == exp["kept"].tolist()
     assert got["removed"].tolist() == exp["removed"].tolist()
     assert (got["kept"] + got["removed"]).sum() == len(docs)
+
+
+# ---------------------------------------------------- PageRank (dup graph)
+
+def test_pagerank_path_and_star(ray_session, tmp_path):
+    """The sf0.01 dup frontier happens to be all K2/K3 cliques (regular
+    → constant ranks), so the discriminating case is planted here: a
+    3-node PATH and a 4-node STAR, where degrees differ and the three
+    integer iterations must match (a) a direct recurrence over the
+    adjacency list and (b) the DuckDB oracle SQL on the same corpus."""
+    import hashlib
+
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from swarm_ray.ops import sql as osql
+    from swarm_ray.ops.dedup import (PR_DAMP_MILLI, PR_ITERS, PR_SCALE,
+                                     PR_SHINGLE_PREFIXES, q_doc_pagerank)
+
+    def mine_shingle(tag):
+        # 5-word shingle whose md5 first hex is in the sampled prefixes
+        for n in range(10_000):
+            s = f"{tag}a {tag}b {tag}c {tag}d k{n}"
+            if hashlib.md5(s.encode()).hexdigest()[0] in PR_SHINGLE_PREFIXES:
+                return s
+        raise AssertionError("no shingle found")
+
+    s1, s2 = mine_shingle("p1"), mine_shingle("p2")
+    s3, s4, s5 = mine_shingle("q3"), mine_shingle("q4"), mine_shingle("q5")
+    # path: 0—1—2 via s1, s2; star: 3 is center of 4, 5, 6 via s3..s5.
+    # fillers (single unique words between shingles) change the
+    # bridging 5-grams per doc so no accidental cross-doc shingles.
+    docs = [
+        (0, f"{s1} u0a u0b u0c u0d"),
+        (1, f"{s1} u1bridge {s2}"),
+        (2, f"{s2} u2a u2b u2c u2d"),
+        (3, f"{s3} u3x {s4} u3y {s5}"),
+        (4, f"{s3} u4a u4b u4c u4d"),
+        (5, f"{s4} u5a u5b u5c u5d"),
+        (6, f"{s5} u6a u6b u6c u6d"),
+    ]
+    t = pa.table({
+        "doc_id": pa.array([i for i, _ in docs], type=pa.int64()),
+        "text": pa.array([x for _, x in docs]),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+    got = (q_doc_pagerank(str(tmp_path)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    # (a) direct integer recurrence over the intended adjacency
+    adj = {0: [1], 1: [0, 2], 2: [1],
+           3: [4, 5, 6], 4: [3], 5: [3], 6: [3]}
+    assert got["doc_id"].tolist() == sorted(adj)
+    assert got["deg"].tolist() == [len(adj[v]) for v in sorted(adj)]
+    r = {v: PR_SCALE for v in adj}
+    base = (1000 - PR_DAMP_MILLI) * PR_SCALE // 1000
+    for _ in range(PR_ITERS):
+        share = {v: r[v] // len(adj[v]) for v in adj}
+        r = {v: base
+             + (PR_DAMP_MILLI * sum(share[u] for u in adj[v])) // 1000
+             for v in adj}
+    assert got["rank_e6"].tolist() == [r[v] for v in sorted(adj)]
+    # non-degenerate: the path/star MUST differentiate ranks
+    assert got["rank_e6"].nunique() > 2
+
+    # (b) the DuckDB oracle on the same corpus
+    con = duckdb.connect()
+    con.register("documents", t)
+    exp = (con.execute(osql.SQL_DOC_PAGERANK).df()
+           .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), exp.astype("int64"))
