@@ -246,7 +246,13 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
                      ("seq_mixture_temp", "tokens.q_seq_mixture_temp"),
                      ("seq_distinct_hll", "tokens.q_seq_distinct_hll"),
                      ("media_stats", "media.q_media_stats"),
-                     ("events_hourly", "relational.q_events_hourly")):
+                     ("events_hourly", "relational.q_events_hourly"),
+                     # round-5 additions: the zero-shuffle global rank
+                     # (two corpus passes + 8 KB broadcast) and the
+                     # pair-dedup distinct-users exchange
+                     ("doc_quality_rank", "text.q_doc_quality_rank"),
+                     ("events_hourly_users",
+                      "relational.q_events_hourly_users")):
         try:
             mod_name, fn_name = fn.split(".")
             import importlib
