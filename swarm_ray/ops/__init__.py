@@ -30,7 +30,7 @@ _DRIVER_FRONT = [
     "seq_distinct_hll_incr", "doc_quality_rank", "doc_source_drift",
     "events_spikes", "doc_source_terms", "doc_weighted_sample",
     "emb_cluster_purity", "tpch_rollup_revenue", "events_hourly_users",
-    "emb_label_dispersion", "doc_pagerank",
+    "emb_label_dispersion", "doc_pagerank", "doc_simhash_pairs",
     # last driver row r3 or earlier
     "emb_knn", "emb_lsh_ann", "emb_ivf_ann", "emb_near_dup",
     "emb_dedup_semantic", "emb_centroids",
@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_clusters": dedup.q_dup_clusters,
         "doc_dedup_near": dedup.q_dedup_near,
         "doc_pagerank": dedup.q_doc_pagerank,
+        "doc_simhash_pairs": dedup.q_simhash_pairs,
     }
     try:
         from . import spans
@@ -149,6 +150,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_dup_clusters": sql.SQL_DUP_CLUSTERS,
         "doc_dedup_near": sql.SQL_DEDUP_NEAR,
         "doc_pagerank": sql.SQL_DOC_PAGERANK,
+        "doc_simhash_pairs": sql.SQL_SIMHASH_PAIRS,
         "doc_dup_spans": sql.SQL_DOC_DUP_SPANS,
         "doc_dedup_spans": sql.SQL_DOC_DEDUP_SPANS,
         "doc_source_overlap": sql.SQL_DOC_SOURCE_OVERLAP,

@@ -145,6 +145,98 @@ def q_simhash(sf_dir: str) -> ray.data.Dataset:
         concurrency=autoscaling_pool())
 
 
+SIMHASH_HAM = 3          # near-dup pair threshold (bits)
+SIMHASH_BANDS = 4        # 4 bands × 8 bits: ham ≤ 3 ⇒ ≥1 identical band
+
+
+def q_simhash_pairs(sf_dir: str) -> ray.data.Dataset:
+    """SimHash NEAR-DUP PAIRING — completes the SimHash family beyond
+    the bare sketch (``q_simhash``): all doc pairs within hamming
+    distance ``SIMHASH_HAM`` of each other's 32-bit sketch, found
+    WITHOUT an all-pairs scan via band bucketing (Charikar 2002 /
+    Manku et al. 2007): split the sketch into ``SIMHASH_BANDS`` 8-bit
+    bands — a pair differing in ≤3 bits leaves ≥1 band untouched
+    (pigeonhole), so candidates are exactly the same-(band, bits)
+    groups; each candidate is then popcount-verified, so false
+    positives never survive and the oracle is plain SQL.
+
+    Scale shape: the corpus collapses to 4 fixed-width band rows per
+    doc; ONE keyed exchange on (band, bits) co-locates candidates;
+    pair fan-out is O(g²) per bucket (hot-bucket bound shared with the
+    exact-dup keeper group); a doc_a-keyed DISTINCT dedups pairs found
+    in several bands. Popcount is a 16-bit LUT (numpy 1.26 has no
+    bitwise_count — measured unavailable here)."""
+    from ..util import (autoscaling_pool, cluster_cpus,
+                        enable_hash_shuffle, keyed_partition_count)
+
+    sketches = _read_docs(sf_dir).map_batches(
+        SimHash, batch_format="pandas", batch_size=2048,
+        concurrency=autoscaling_pool())
+
+    def band_rows(df_: pd.DataFrame) -> pd.DataFrame:
+        h = df_["simhash"].to_numpy(dtype=np.int64)
+        n = len(df_)
+        bands = np.repeat(np.arange(SIMHASH_BANDS, dtype=np.int64), n)
+        hh = np.tile(h, SIMHASH_BANDS)
+        return pd.DataFrame({
+            "band": bands,
+            "bits": (hh >> (8 * bands)) & 0xFF,
+            "doc_id": np.tile(df_["doc_id"].to_numpy(), SIMHASH_BANDS),
+            "simhash": hh,
+        })
+
+    _POP16 = np.array([bin(i).count("1") for i in range(1 << 16)],
+                      dtype=np.uint8)
+
+    def hamming32(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        x = (a ^ b).astype(np.uint64)
+        return (_POP16[x & 0xFFFF] + _POP16[(x >> 16) & 0xFFFF]) \
+            .astype(np.int64)
+
+    def bucket_pairs(df_: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                              "doc_b": pd.Series([], dtype="int64"),
+                              "hamming": pd.Series([], dtype="int64")})
+        if df_.empty:
+            return empty
+        sizes = df_.groupby(["band", "bits"], sort=False)["doc_id"] \
+            .transform("size")
+        df_ = df_[sizes >= 2]
+        if df_.empty:
+            return empty
+        aa, bb, ha, hb = [], [], [], []
+        for _, g in df_.groupby(["band", "bits"], sort=False):
+            ids = g["doc_id"].to_numpy()
+            hs = g["simhash"].to_numpy(dtype=np.int64)
+            iu, ju = np.triu_indices(len(ids), k=1)
+            lo = np.minimum(ids[iu], ids[ju])
+            hi = np.maximum(ids[iu], ids[ju])
+            aa.append(lo)
+            bb.append(hi)
+            ha.append(hs[iu])
+            hb.append(hs[ju])
+        ham = hamming32(np.concatenate(ha), np.concatenate(hb))
+        out = pd.DataFrame({"doc_a": np.concatenate(aa),
+                            "doc_b": np.concatenate(bb),
+                            "hamming": ham})
+        return out[out["hamming"] <= SIMHASH_HAM]
+
+    rows = sketches.map_batches(band_rows, batch_format="pandas",
+                                batch_size=4096)
+    nparts = keyed_partition_count(_docs_count(sf_dir) * SIMHASH_BANDS * 28)
+    enable_hash_shuffle(rows, nparts)
+    cands = (rows.repartition(nparts, keys=["band", "bits"])
+             .map_batches(bucket_pairs, batch_format="pandas",
+                          batch_size=None))
+    # a pair within ham ≤ 3 can match in up to 4 bands → DISTINCT,
+    # exact after the doc_a-keyed repartition
+    eparts = max(8, cluster_cpus())
+    enable_hash_shuffle(cands, eparts)
+    return (cands.repartition(eparts, keys=["doc_a"])
+            .map_batches(lambda d: d.drop_duplicates(),
+                         batch_format="pandas", batch_size=None))
+
+
 # ------------------------------------------------------------ exact jaccard (oracle-scale)
 
 JACCARD_N = 300          # doc_id < N pairs — bounded all-pairs for the oracle

@@ -622,3 +622,24 @@ WITH d0 AS (
 {_pagerank_cte_chain()}
 SELECT node AS doc_id, deg, CAST(r AS BIGINT) AS rank_e6 FROM r{PR_ITERS}
 """
+
+
+from .dedup import SIMHASH_BANDS, SIMHASH_HAM  # noqa: E402
+
+SQL_SIMHASH_PAIRS = f"""
+WITH s AS (
+{SQL_SIMHASH.strip()}
+), bands AS (
+  SELECT doc_id, simhash, b.b AS band,
+         (simhash >> (8 * b.b)) & 255 AS bits
+  FROM s, (SELECT unnest(range({SIMHASH_BANDS})) AS b) AS b
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS ha, b.simhash AS hb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= {SIMHASH_HAM}
+"""

@@ -389,3 +389,48 @@ def test_pagerank_path_and_star(ray_session, tmp_path):
            .sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(
         got.astype("int64"), exp.astype("int64"))
+
+
+def test_simhash_pairs_match_exact_allpairs(ray_session, tmp_path):
+    """Band bucketing must find EXACTLY the pairs within hamming ≤ 3
+    of the full all-pairs scan (pigeonhole guarantees no misses at 4
+    bands; popcount verify kills false positives)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from swarm_ray.ops.dedup import SIMHASH_HAM, SimHash, q_simhash_pairs
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(200)]
+    texts = []
+    for i in range(40):
+        words = list(rng.choice(vocab, size=30))
+        texts.append(" ".join(words))
+        if i % 4 == 0:            # planted near-dups: 1-word edits
+            w2 = list(words)
+            w2[3] = "edited"
+            texts.append(" ".join(w2))
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+    got = (q_simhash_pairs(str(tmp_path)).to_pandas()
+           .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+
+    sh = SimHash()
+    hs = [sh.simhash(x) for x in texts]
+    exp = []
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            ham = bin(hs[a] ^ hs[b]).count("1")
+            if ham <= SIMHASH_HAM:
+                exp.append((a, b, ham))
+    expdf = pd.DataFrame(exp, columns=["doc_a", "doc_b", "hamming"]) \
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    assert len(expdf) > 0                 # planted dups must collide
+    pd.testing.assert_frame_equal(got.astype("int64"),
+                                  expdf.astype("int64"))
