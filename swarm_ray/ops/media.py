@@ -406,6 +406,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_resize": q_media_resize,
         "media_frames": q_media_frames,
         "media_video_frames": q_media_video_frames,
+        "media_dedup": q_media_dedup,
     }
 
 
@@ -421,6 +422,19 @@ def oracle_sql() -> dict[str, str]:
     # queries(); oracle_sql callers run after queries().
     glob = _media_glob(fixtures.oracle_sf_dir())
     return {
+        "media_dedup": f"""
+            WITH k AS (
+              SELECT media_type, payload, COUNT(*)::BIGINT AS c
+              FROM read_parquet('{glob}')
+              GROUP BY media_type, payload
+            )
+            SELECT media_type, SUM(c)::BIGINT AS n_payloads,
+                   COUNT(*)::BIGINT AS n_distinct,
+                   SUM(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT
+                     AS dup_payloads,
+                   MAX(c)::BIGINT AS max_group
+            FROM k GROUP BY media_type
+        """,
         "media_stats": f"""
             SELECT media_type,
                    COUNT(*)::BIGINT AS n,
@@ -455,3 +469,88 @@ def oracle_sql() -> dict[str, str]:
             WHERE media_type = 'video' AND NOT corrupt
         """,
     }
+
+
+# --------------------------------------------------- exact payload dedup
+
+def q_media_dedup(sf_dir: str) -> ray.data.Dataset:
+    """Exact binary-payload dedup over the media table — content-hash
+    dedup for multimodal columns (the image/audio/video twin of
+    ``doc_dedup_exact``): per media_type, total payloads, distinct
+    payloads, payloads belonging to a duplicated group, and the
+    largest duplicate-group size (the hot-content indicator).
+
+    Scale shape: payloads never move — each block collapses to
+    (media_type, md5, c) fixed-width rows (zero-copy memoryview
+    hashing, the ``_payload_views`` path); ONE md5-keyed exchange of
+    those ~50 B rows makes the block-local group fold globally exact;
+    the per-type summary rides the bounded combine tree (sums + one
+    max, so the fold is the custom-callable ``_tree_fold`` shape).
+    Identity is md5(bytes) — the oracle groups by the raw BLOB
+    (DuckDB's md5 is VARCHAR-only, measured), so they agree unless
+    md5 collides. (The media table's doc_id is a STRING path, so a
+    keeper checksum would be a string_agg — unbounded per type at
+    scale; the keeper SET stays distributed, as in doc_curation.)"""
+    import hashlib
+
+    from .agg import _tree_fold
+    from ..util import cluster_cpus, enable_hash_shuffle
+
+    ds = _read_media(sf_dir, columns=["doc_id", "media_type", "payload"])
+
+    SUMMARY_SCHEMA = pa.schema([
+        ("media_type", pa.string()), ("n_payloads", pa.int64()),
+        ("n_distinct", pa.int64()), ("dup_payloads", pa.int64()),
+        ("max_group", pa.int64())])
+
+    def hash_partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"media_type": pa.array([], type=pa.string()),
+                             "h": pa.array([], type=pa.string()),
+                             "c": pa.array([], type=pa.int64())})
+        offs, data = _payload_views(t)
+        md5 = hashlib.md5
+        hx = [md5(data[offs[i]:offs[i + 1]]).hexdigest()
+              for i in range(len(t))]
+        tbl = pa.table({"media_type": t["media_type"],
+                        "h": pa.array(hx, type=pa.string())})
+        return pa.TableGroupBy(tbl, ["media_type", "h"]).aggregate(
+            [([], "count_all")]).rename_columns(["media_type", "h", "c"])
+
+    def fold_groups(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return SUMMARY_SCHEMA.empty_table()
+        # h-keyed block: every partial of a payload hash is here
+        g = (pa.TableGroupBy(t, ["media_type", "h"])
+             .aggregate([("c", "sum")]).to_pandas())
+        c = g["c_sum"].to_numpy()
+        s = g.assign(one=1, dup=np.where(c > 1, c, 0)) \
+            .groupby("media_type", sort=False) \
+            .agg(n_payloads=("c_sum", "sum"), n_distinct=("one", "sum"),
+                 dup_payloads=("dup", "sum"), max_group=("c_sum", "max")) \
+            .reset_index()
+        return pa.Table.from_pandas(s, schema=SUMMARY_SCHEMA,
+                                    preserve_index=False)
+
+    def combine(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.select([f.name for f in SUMMARY_SCHEMA])
+        s = t.to_pandas().groupby("media_type", sort=False) \
+            .agg(n_payloads=("n_payloads", "sum"),
+                 n_distinct=("n_distinct", "sum"),
+                 dup_payloads=("dup_payloads", "sum"),
+                 max_group=("max_group", "max")).reset_index()
+        return pa.Table.from_pandas(s, schema=SUMMARY_SCHEMA,
+                                    preserve_index=False)
+
+    rows = ds.map_batches(hash_partial, batch_format="pyarrow",
+                          zero_copy_batch=True,
+                          batch_size=MEDIA_BATCH_SIZE)
+    nparts = max(8, cluster_cpus())
+    enable_hash_shuffle(rows, nparts)
+    partials = (rows.repartition(nparts, keys=["h"])
+                .map_batches(fold_groups, batch_format="pyarrow",
+                             batch_size=None, zero_copy_batch=True))
+    return _tree_fold(partials, ["media_type"],
+                      ["n_payloads", "n_distinct", "dup_payloads",
+                       "max_group"], combine)

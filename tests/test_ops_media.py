@@ -218,3 +218,37 @@ def test_video_frame_sample():
     # image payloads are skipped
     img, _ = _img(4, 4)
     assert len(VideoFrameSampleStage()(_batch([img]))) == 0
+
+
+def test_media_dedup_planted_duplicates(ray_session, tmp_path, monkeypatch):
+    """Payload dedup must count byte-identical blobs exactly: planted
+    3×A + 2×B + 1×C images and 2×D audio give n=6/4 distinct image
+    rows and max_group 3, independent of layout."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from swarm_ray import fixtures
+    from swarm_ray.ops.media import q_media_dedup
+
+    blobs = [(b"img-A" * 10, "image")] * 3 + [(b"img-B" * 9, "image")] * 2 \
+        + [(b"img-C" * 8, "image")] + [(b"aud-D" * 7, "audio")] * 2
+    t = pa.table({
+        "doc_id": pa.array([f"m/{i}" for i in range(len(blobs))]),
+        "media_type": pa.array([k for _, k in blobs]),
+        "payload": pa.array([b for b, _ in blobs], type=pa.binary()),
+    })
+    media_dir = tmp_path / "sfX" / "media"
+    media_dir.mkdir(parents=True)
+    pq.write_table(t.slice(0, 4), media_dir / "part-00000.parquet")
+    pq.write_table(t.slice(4, 4), media_dir / "part-00001.parquet")
+    monkeypatch.setattr(
+        fixtures, "media_files",
+        lambda sf: sorted(str(p) for p in media_dir.glob("*.parquet")))
+
+    got = (q_media_dedup("ignored").to_pandas()
+           .sort_values("media_type").reset_index(drop=True))
+    assert got["media_type"].tolist() == ["audio", "image"]
+    assert got["n_payloads"].tolist() == [2, 6]
+    assert got["n_distinct"].tolist() == [1, 3]
+    assert got["dup_payloads"].tolist() == [2, 5]   # 3×A + 2×B
+    assert got["max_group"].tolist() == [2, 3]
