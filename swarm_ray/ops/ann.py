@@ -988,6 +988,7 @@ def queries():
         "emb_kmeans": q_emb_kmeans_checked,
         "emb_cluster_sample": q_emb_cluster_sample_checked,
         "emb_cluster_purity": q_emb_cluster_purity_checked,
+        "emb_pq_recall": q_emb_pq_recall_checked,
         "emb_label_dispersion": q_emb_label_dispersion,
         "emb_pq_ann": q_knn_pq_checked,
         "emb_knn_classify": q_knn_classify,
@@ -1063,22 +1064,8 @@ def oracle_sql():
         "emb_semdedup": _semdedup_sql(),
         "emb_semdedup_keep": _semdedup_keep_sql(),
         "emb_ivf_ann": _candidate_rank_sql("ivf_candidates_expected"),
-        "emb_knn": f"""
-WITH q AS (
-  SELECT vec_id AS query_vec_id, embedding AS qe FROM embeddings
-  WHERE vec_id < {N_QUERIES}
-), scored AS (
-  SELECT q.query_vec_id, e.vec_id,
-    list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS sim
-  FROM q JOIN embeddings e ON e.vec_id <> q.query_vec_id
-), ranked AS (
-  SELECT query_vec_id, vec_id,
-    ROW_NUMBER() OVER (PARTITION BY query_vec_id ORDER BY sim DESC, vec_id ASC) AS rank
-  FROM scored
-)
-SELECT query_vec_id, rank, vec_id AS neighbor_vec_id
-FROM ranked WHERE rank <= {TOP_K}
-""",
+        "emb_knn": _knn_exact_sql(),
+        "emb_pq_recall": _pq_recall_sql(),
         "emb_dedup_semantic": _semantic_dedup_sql(),
         "emb_near_dup": f"""
 WITH e AS (
@@ -1868,6 +1855,90 @@ def q_knn_pq_checked(sf_dir: str) -> ray.data.Dataset:
     from .. import fixtures
     fixtures.pq_expected_dir(sf_dir)
     return q_knn_pq(sf_dir)
+
+
+def _knn_exact_sql() -> str:
+    """Exact brute-force top-k oracle — shared by ``emb_knn`` and the
+    recall audit's ground-truth side."""
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_vec_id, embedding AS qe FROM embeddings
+  WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT q.query_vec_id, e.vec_id,
+    list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS sim
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_vec_id
+), ranked AS (
+  SELECT query_vec_id, vec_id,
+    ROW_NUMBER() OVER (PARTITION BY query_vec_id ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_vec_id, rank, vec_id AS neighbor_vec_id
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def q_emb_pq_recall(sf_dir: str) -> pd.DataFrame:
+    """Index-quality audit: recall@k of the IVF-PQ compressed index
+    against the exact brute-force top-k, per query — the measurement a
+    pipeline runs before trusting a lossy ANN index for dedup or
+    retrieval (`n_hits = |PQ top-k ∩ exact top-k|`,
+    ``recall_milli = 1000·n_hits // k``). Pure composition of the two
+    existing distributed rankings; both are deterministic and
+    tie-stable, so the intersection is integer-exact and the oracle
+    recomputes it from the same two derivations (exact SQL ∩ fixture-
+    differential PQ SQL).
+
+    Scale shape: inherits each ranking's plan (brute-force: broadcast
+    query matrix, per-batch matmul + bounded top-k fold; PQ: codebook
+    broadcast, codes-not-vectors residency); the intersection runs on
+    the two k×|queries| result tables — driver-bounded by
+    construction."""
+    def _pd(res):
+        return res.to_pandas() if hasattr(res, "to_pandas") else res
+
+    # both result tables are k × N_QUERIES rows — driver-bounded
+    exact = _pd(q_knn_bruteforce(sf_dir))
+    pq_r = _pd(q_knn_pq(sf_dir))
+    hit = exact.merge(pq_r, on=["query_vec_id", "neighbor_vec_id"],
+                      how="inner")
+    n_hits = hit.groupby("query_vec_id").size()
+    qs = np.sort(exact["query_vec_id"].unique())
+    nh = n_hits.reindex(qs, fill_value=0).to_numpy(dtype=np.int64)
+    return pd.DataFrame({
+        "query_vec_id": qs.astype(np.int64),
+        "n_hits": nh,
+        "recall_milli": (1000 * nh) // TOP_K,
+    })
+
+
+def q_emb_pq_recall_checked(sf_dir: str) -> pd.DataFrame:
+    """Driver-facing ``emb_pq_recall``: materializes the PQ fixture so
+    the DuckDB oracle has its topology/reconstruction tables."""
+    from .. import fixtures
+    fixtures.pq_expected_dir(sf_dir)
+    return q_emb_pq_recall(sf_dir)
+
+
+def _pq_recall_sql() -> str:
+    return f"""
+WITH ex AS (
+{_knn_exact_sql().strip()}
+), pqr AS (
+{_pq_rank_sql().strip()}
+), h AS (
+  SELECT ex.query_vec_id, COUNT(*)::BIGINT AS n_hits
+  FROM ex JOIN pqr ON ex.query_vec_id = pqr.query_vec_id
+                  AND ex.neighbor_vec_id = pqr.neighbor_vec_id
+  GROUP BY 1
+), qs AS (
+  SELECT DISTINCT query_vec_id FROM ex
+)
+SELECT qs.query_vec_id,
+       COALESCE(h.n_hits, 0)::BIGINT AS n_hits,
+       (1000 * COALESCE(h.n_hits, 0)) // {TOP_K} AS recall_milli
+FROM qs LEFT JOIN h USING (query_vec_id)
+"""
 
 
 def _pq_rank_sql() -> str:

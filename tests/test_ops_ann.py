@@ -725,3 +725,28 @@ def test_label_dispersion_exact_second_moment(ray_session, tmp_path):
         .reset_index(drop=True)
     import pandas as pd
     pd.testing.assert_frame_equal(got, got2)
+
+
+def test_pq_recall_audit_consistent(ray_session):
+    """The recall audit must equal a direct intersection of the two
+    rankings it composes, and the PQ index must actually be good on
+    this corpus (mean recall ≥ 600 milli — the pq_ann recall floor)."""
+    import pandas as pd
+    from swarm_ray.ops.ann import (TOP_K, q_emb_pq_recall,
+                                   q_knn_bruteforce, q_knn_pq)
+
+    got = q_emb_pq_recall(SF).sort_values("query_vec_id") \
+        .reset_index(drop=True)
+
+    ex = q_knn_bruteforce(SF).to_pandas()
+    pqr = q_knn_pq(SF)
+    pqr = pqr.to_pandas() if hasattr(pqr, "to_pandas") else pqr
+    exp_hits = {}
+    for q in ex["query_vec_id"].unique():
+        a = set(ex[ex.query_vec_id == q]["neighbor_vec_id"])
+        b = set(pqr[pqr.query_vec_id == q]["neighbor_vec_id"])
+        exp_hits[q] = len(a & b)
+    assert got["n_hits"].tolist() == [exp_hits[q] for q in
+                                      sorted(exp_hits)]
+    assert (got["recall_milli"] == (1000 * got["n_hits"]) // TOP_K).all()
+    assert got["recall_milli"].mean() >= 600
