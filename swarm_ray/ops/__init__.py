@@ -31,7 +31,7 @@ _DRIVER_FRONT = [
     "events_spikes", "doc_source_terms", "doc_weighted_sample",
     "emb_cluster_purity", "tpch_rollup_revenue", "events_hourly_users",
     "emb_label_dispersion", "doc_pagerank", "doc_simhash_pairs",
-    "media_dedup", "emb_pq_recall",
+    "media_dedup", "emb_pq_recall", "events_rate_limit",
     # last driver row r3 or earlier
     "emb_knn", "emb_lsh_ann", "emb_ivf_ann", "emb_near_dup",
     "emb_dedup_semantic", "emb_centroids",

@@ -240,6 +240,56 @@ def q_events_hourly_users(sf_dir: str) -> ray.data.Dataset:
                               zero_copy_batch=True)
 
 
+# ------------------------------------------------------- rate-limit audit
+
+RATE_LIMIT_PER_MIN = 5   # keep the first R events per (user, minute)
+
+
+def q_events_rate_limit(sf_dir: str) -> ray.data.Dataset:
+    """Alert-throttling audit — the monitoring-pipeline question "how
+    much would a per-user rate limit drop?": per user, total events
+    and the count beyond the first ``RATE_LIMIT_PER_MIN`` in each
+    minute window (order within a window by (ts, event_id) — total and
+    SQL-reproducible). The reference's domain runs exactly this class
+    of throttle before alert fan-out.
+
+    Scale shape: ONE user-keyed exchange co-locates each user's
+    events; ordering + window cumcount + the per-user fold are all
+    block-local after it (no second shuffle — the per-user summary is
+    complete inside the block by construction). Shares sessionize's
+    user-fits-one-block assumption; the salted boundary-stitch recipe
+    (``q_events_sessionize_salted``) applies unchanged if a bot user
+    outgrows a block."""
+    def summarize(df_: pd.DataFrame) -> pd.DataFrame:
+        cols = {"user_id": "int64", "n_events": "int64",
+                "n_dropped": "int64"}
+        if df_.empty:
+            return pd.DataFrame({c: pd.Series([], dtype=d)
+                                 for c, d in cols.items()})
+        df_ = df_.sort_values(["user_id", "ts", "event_id"],
+                              kind="mergesort")
+        # dt.floor, not astype(int64)//divisor: the Arrow-backed frame
+        # is datetime64[us] (not ns), so a fixed ns divisor silently
+        # merges minutes (measured: 28 users over-dropped at sf0.01)
+        minute = df_["ts"].dt.floor("min")
+        rn = df_.assign(_m=minute).groupby(["user_id", "_m"],
+                                           sort=False).cumcount()
+        dropped = (rn.to_numpy() >= RATE_LIMIT_PER_MIN).astype(np.int64)
+        out = df_.assign(_d=dropped).groupby("user_id", sort=False) \
+            .agg(n_events=("_d", "size"), n_dropped=("_d", "sum")) \
+            .reset_index()
+        return out.astype(cols)
+
+    from ..util import enable_hash_shuffle, keyed_partition_count
+
+    ds = _read_events(sf_dir, ["event_id", "ts", "user_id"])
+    nparts = keyed_partition_count(_events_count(sf_dir) * 24)
+    enable_hash_shuffle(ds, nparts)
+    return (ds.repartition(nparts, keys=["user_id"])
+            .map_batches(summarize, batch_format="pandas",
+                         batch_size=None))
+
+
 # ------------------------------------------------------------ top-k
 
 def q_events_top_users(sf_dir: str) -> ray.data.Dataset:
@@ -868,6 +918,7 @@ def queries():
         "events_hourly": q_events_hourly,
         "events_spikes": q_events_spikes,
         "events_hourly_users": q_events_hourly_users,
+        "events_rate_limit": q_events_rate_limit,
         "events_retention": q_events_retention,
         "events_retention_salted": q_events_retention_salted,
         "events_sliding": q_events_sliding,
@@ -926,6 +977,18 @@ FROM events
 SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n,
   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events GROUP BY 1, 2
+""",
+        "events_rate_limit": f"""
+WITH w AS (
+  SELECT user_id,
+    ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('minute', ts)
+                       ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT user_id, COUNT(*)::BIGINT AS n_events,
+       SUM(CASE WHEN rn > {RATE_LIMIT_PER_MIN} THEN 1 ELSE 0 END)::BIGINT
+         AS n_dropped
+FROM w GROUP BY 1
 """,
         "events_hourly_users": """
 SELECT date_trunc('hour', ts) AS hour,

@@ -517,3 +517,40 @@ def test_hourly_users_distinct_semantics(ray_session, tmp_path):
     got2 = (q_events_hourly_users(str(tmp_path / "multi")).to_pandas()
             .sort_values("hour").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, got2)
+
+
+def test_rate_limit_window_semantics(ray_session, tmp_path):
+    """First R per (user, minute) pass; order within a window is
+    (ts, event_id); a burst split across two minutes throttles per
+    window, not per burst."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from swarm_ray.ops.relational import (RATE_LIMIT_PER_MIN,
+                                          q_events_rate_limit)
+
+    base = pd.Timestamp("2026-03-01 10:00:00")
+    rows = []
+    eid = 0
+    # user 1: 8 events in minute 0 (3 dropped), 5 in minute 1 (0)
+    for i in range(8):
+        rows.append((1, base + pd.Timedelta(seconds=i), eid)); eid += 1
+    for i in range(RATE_LIMIT_PER_MIN):
+        rows.append((1, base + pd.Timedelta(minutes=1, seconds=i), eid)); eid += 1
+    # user 2: 6 events at the SAME timestamp → event_id breaks ties,
+    # exactly one dropped
+    for i in range(6):
+        rows.append((2, base, eid)); eid += 1
+    t = pa.table({
+        "user_id": pa.array([u for u, _, _ in rows], type=pa.int64()),
+        "ts": pa.array([x for _, x, _ in rows], type=pa.timestamp("us")),
+        "event_id": pa.array([e for _, _, e in rows], type=pa.int64()),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+
+    got = (q_events_rate_limit(str(tmp_path)).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    assert got["user_id"].tolist() == [1, 2]
+    assert got["n_events"].tolist() == [8 + RATE_LIMIT_PER_MIN, 6]
+    assert got["n_dropped"].tolist() == [3, 1]
