@@ -1052,7 +1052,10 @@ def _kmeans_serial(sf_dir: str | os.PathLike):
     with plain numpy, not the engine's fold.
 
     Returns (row_count, sorted vec_ids, final-pass assignments,
-    per-cluster counts, per-cluster coordinate sums)."""
+    per-cluster counts, per-cluster coordinate sums, and the centroid
+    matrix USED for the final assignment — i.e. after exactly
+    KMEANS_ITERS updates, matching the engine's ``kmeans_fit``
+    output; the loop's last update below is stats-only)."""
     from .ops.ann import KMEANS_ITERS, KMEANS_K, KMEANS_SCALE
 
     t = pq.read_table(Path(sf_dir) / "embeddings.parquet",
@@ -1063,6 +1066,7 @@ def _kmeans_serial(sf_dir: str | os.PathLike):
     e = np.floor(emb * KMEANS_SCALE).astype(np.int64)
     cents = e[:KMEANS_K].copy()
     for _ in range(KMEANS_ITERS + 1):          # last pass = final stats
+        final_cents = cents.copy()
         scores = 2 * (e @ cents.T) - (cents * cents).sum(axis=1)[None, :]
         a = np.argmax(scores, axis=1)
         counts = np.bincount(a, minlength=KMEANS_K).astype(np.int64)
@@ -1072,7 +1076,7 @@ def _kmeans_serial(sf_dir: str | os.PathLike):
         new = cents.copy()
         new[nz] = sums[nz] // counts[nz, None]
         cents = new
-    return len(t), ids[order], a, counts, sums
+    return len(t), ids[order], a, counts, sums, final_cents
 
 
 def _write_fixture_dir(out: Path, tbl: pa.Table, rows: int,
@@ -1123,7 +1127,7 @@ def kmeans_expected_dir(sf_dir: str | os.PathLike) -> Path:
     params = [KMEANS_K, KMEANS_ITERS, KMEANS_SCALE]
     if _fixture_fresh(out, rows, params):
         return out
-    n, _, _, counts, sums = _kmeans_serial(sf_dir)
+    n, _, _, counts, sums, _ = _kmeans_serial(sf_dir)
     tbl = pa.table({
         "cluster": pa.array(np.arange(KMEANS_K, dtype=np.int64)),
         "n": pa.array(counts),
@@ -1144,7 +1148,32 @@ def kmeans_assign_expected_dir(sf_dir: str | os.PathLike) -> Path:
     params = [KMEANS_K, KMEANS_ITERS, KMEANS_SCALE]
     if _fixture_fresh(out, rows, params):
         return out
-    n, ids, a, _, _ = _kmeans_serial(sf_dir)
+    n, ids, a, _, _, _ = _kmeans_serial(sf_dir)
     tbl = pa.table({"vec_id": pa.array(ids.astype(np.int64)),
                     "cluster": pa.array(a.astype(np.int64))})
+    return _write_fixture_dir(out, tbl, n, params)
+
+
+def kmeans_centroids_expected_dir(sf_dir: str | os.PathLike) -> Path:
+    """Generator-side LONG-FORMAT centroid table (cluster, i, cv) —
+    one row per (cluster, 1-based dimension) of the serially-recomputed
+    final centroids (k×d rows, a few hundred ints). Long format so the
+    ``emb_outliers`` oracle joins it against DuckDB's
+    ``generate_subscripts(embedding, 1)`` positions without relying on
+    list/array kernel parity; the distances DuckDB re-derives from it
+    are integer-exact by the fixed-point construction."""
+    from .ops.ann import KMEANS_ITERS, KMEANS_K, KMEANS_SCALE
+
+    out = FIXTURE_ROOT / label_for_sf_dir(sf_dir) / "kmeans_centroids_expected"
+    rows = pq.read_metadata(Path(sf_dir) / "embeddings.parquet").num_rows
+    params = [KMEANS_K, KMEANS_ITERS, KMEANS_SCALE]
+    if _fixture_fresh(out, rows, params):
+        return out
+    n, _, _, _, _, cents = _kmeans_serial(sf_dir)
+    k, d = cents.shape
+    tbl = pa.table({
+        "cluster": pa.array(np.repeat(np.arange(k, dtype=np.int64), d)),
+        "i": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), k)),
+        "cv": pa.array(cents.reshape(-1)),
+    })
     return _write_fixture_dir(out, tbl, n, params)

@@ -946,6 +946,180 @@ FROM agg JOIN x USING (label)
 """
 
 
+# ----------------------------------------------------- per-dimension stats
+
+def q_emb_dim_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-dimension normalization statistics — n, Σx, Σx² and the
+    floor mean over the fixed-point coordinates: the pass a training
+    pipeline runs before feature scaling / whitening, and the cheapest
+    full-corpus embedding health check (a dead or exploding dimension
+    shows up here first). Reference analogue: the aggregate plane's
+    per-column stats fold (``pkg/usecase/load.go:207-208``), lifted to
+    vector columns.
+
+    Scale shape: ZERO shuffle — each block collapses to exactly d rows
+    of additive (n, s, ssq) partials, folded through the bounded
+    combine tree (≤ d × width rows at any level); the mean algebra
+    runs on the final d rows. Overflow bound: int64 holds Σx² for
+    ~10^7 unit-scale vectors at the 10^6 fixed-point scale per
+    partition tree; beyond that drop the scale a decade (documented,
+    same bound family as ``q_emb_label_dispersion``).
+
+    Oracle: DuckDB re-derives the same integers via
+    ``generate_subscripts``/``UNNEST`` — floor(x·10⁶) is exact on both
+    sides (IEEE double multiply, no libm), and the floor mean uses the
+    mod-adjusted division (DuckDB ``//`` truncates, numpy floors)."""
+    from .agg import tree_fold_sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"dim": z, "n": z, "s": z, "ssq": z})
+        e = kmeans_scaled(_emb_matrix(t["embedding"]))
+        d = e.shape[1]
+        return pa.table({
+            "dim": pa.array(np.arange(d, dtype=np.int64)),
+            "n": pa.array(np.full(d, len(e), dtype=np.int64)),
+            "s": pa.array(e.sum(axis=0, dtype=np.int64)),
+            "ssq": pa.array((e * e).sum(axis=0, dtype=np.int64)),
+        })
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["embedding"])
+    folded = tree_fold_sum(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["dim"], ["n", "s", "ssq"]).to_pandas()
+    folded = folded.sort_values("dim")
+    n = folded["n"].to_numpy(dtype=np.int64)
+    s = folded["s"].to_numpy(dtype=np.int64)
+    return pd.DataFrame({
+        "dim": folded["dim"].to_numpy(dtype=np.int64),
+        "n": n,
+        "sum_e6": s,
+        "ssq_e12": folded["ssq"].to_numpy(dtype=np.int64),
+        "mean_e6": s // n,                      # numpy FLOOR division
+    })
+
+
+SQL_EMB_DIM_STATS = """
+WITH v AS (
+  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+    CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS x
+  FROM embeddings
+), a AS (
+  SELECT dim, COUNT(*)::BIGINT AS n, SUM(x)::BIGINT AS s,
+         SUM(x * x)::BIGINT AS ssq
+  FROM v GROUP BY 1
+)
+SELECT CAST(dim AS BIGINT) AS dim, n, s AS sum_e6, ssq AS ssq_e12,
+  -- floor division of a possibly-negative sum (see _label_dispersion_sql)
+  (s - ((s % n) + n) % n) // n AS mean_e6
+FROM a
+"""
+
+
+# ------------------------------------------------------------- outliers
+
+OUTLIER_K = 20          # vectors reported, farthest-from-centroid first
+
+
+def q_emb_outliers(sf_dir: str, k: int = OUTLIER_K) -> ray.data.Dataset:
+    """Distance-to-centroid OUTLIER surfacing — the global top-k
+    vectors farthest (integer squared L2) from their assigned k-means
+    centroid: the pruning/inspection list a curation pipeline pulls
+    before training (mislabeled, off-distribution, or corrupted
+    embeddings concentrate here). Complements ``emb_cluster_purity``
+    (external quality) and ``emb_label_dispersion`` (internal
+    variance) with the per-VECTOR diagnostic.
+
+    Scale shape: centroids broadcast (k×d ints, ~4 KB ``ray.put``
+    once); assignment + distance is one fused vectorized matmul per
+    batch; each block keeps only its local top-k head, and the bounded
+    (≤ k × #blocks rows) head stream coalesces to one final fold —
+    top-k(∪ parts) = top-k(∪ top-k(parts)), the q_emb_cluster_sample
+    combiner shape. The corpus streams once past the fit; no
+    per-vector exchange. Ties break (dist DESC, vec_id ASC) — total
+    and SQL-reproducible.
+
+    Oracle: differential topology + exact re-derivation — the fixture
+    supplies the serial assignments AND long-format centroids
+    (bit-identical by fixed-point construction); DuckDB independently
+    recomputes every squared distance from the raw embedding column
+    via ``generate_subscripts`` and re-ranks."""
+    cents, _ = kmeans_fit(sf_dir)
+    cref = ray.put(cents)
+
+    def score_head(t: pa.Table) -> pd.DataFrame:
+        c = ray.get(cref)
+        e = kmeans_scaled(_emb_matrix(t["embedding"]))
+        a = kmeans_assign(e, c)
+        diff = e - c[a]
+        df_ = pd.DataFrame({
+            "vec_id": t["vec_id"].to_numpy(zero_copy_only=False),
+            "cluster": a.astype(np.int64),
+            "dist": (diff * diff).sum(axis=1, dtype=np.int64),
+        })
+        return df_.sort_values(["dist", "vec_id"],
+                               ascending=[False, True]).head(k)
+
+    def final_head(df_: pd.DataFrame) -> pd.DataFrame:
+        df_ = df_.sort_values(["dist", "vec_id"],
+                              ascending=[False, True]).head(k)
+        df_.insert(0, "rank", np.arange(1, len(df_) + 1, dtype=np.int64))
+        return df_.reset_index(drop=True)
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    # final-fold input ≤ k × #blocks rows BY CONSTRUCTION — the
+    # repartition(1) coalesce is safe at any corpus size
+    return (ds.map_batches(score_head, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .repartition(1)
+            .map_batches(final_head, batch_format="pandas",
+                         batch_size=None))
+
+
+def q_emb_outliers_checked(sf_dir: str) -> ray.data.Dataset:
+    """Driver-facing ``emb_outliers``: materializes the serial
+    assignment + centroid fixtures so the DuckDB oracle has its
+    topology tables."""
+    from .. import fixtures
+    fixtures.kmeans_assign_expected_dir(sf_dir)
+    fixtures.kmeans_centroids_expected_dir(sf_dir)
+    return q_emb_outliers(sf_dir)
+
+
+def _outliers_sql() -> str:
+    from pathlib import Path
+
+    from .. import fixtures
+    base = Path(fixtures.FIXTURE_ROOT) / \
+        fixtures.label_for_sf_dir(fixtures.oracle_sf_dir())
+    assign = str(base / "kmeans_assign_expected" / "*.parquet")
+    cents = str(base / "kmeans_centroids_expected" / "*.parquet")
+    return f"""
+WITH e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+    CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS v
+  FROM embeddings
+), a AS (
+  SELECT vec_id, cluster FROM read_parquet('{assign}')
+), c AS (
+  SELECT cluster, i, cv FROM read_parquet('{cents}')
+), d AS (
+  SELECT e.vec_id, a.cluster,
+         SUM((e.v - c.cv) * (e.v - c.cv))::BIGINT AS dist
+  FROM e JOIN a USING (vec_id)
+  JOIN c ON a.cluster = c.cluster AND e.i = c.i
+  GROUP BY 1, 2
+)
+SELECT ROW_NUMBER() OVER (ORDER BY dist DESC, vec_id)::BIGINT AS rank,
+       vec_id, cluster, dist
+FROM d ORDER BY dist DESC, vec_id LIMIT {OUTLIER_K}
+"""
+
+
 def _cluster_purity_sql() -> str:
     from pathlib import Path
 
@@ -994,6 +1168,8 @@ def queries():
         "emb_knn_classify": q_knn_classify,
         "emb_semdedup": q_emb_semdedup_checked,
         "emb_semdedup_keep": q_emb_semdedup_keep_checked,
+        "emb_dim_stats": q_emb_dim_stats,
+        "emb_outliers": q_emb_outliers_checked,
     }
 
 
@@ -1067,6 +1243,8 @@ def oracle_sql():
         "emb_knn": _knn_exact_sql(),
         "emb_pq_recall": _pq_recall_sql(),
         "emb_dedup_semantic": _semantic_dedup_sql(),
+        "emb_dim_stats": SQL_EMB_DIM_STATS,
+        "emb_outliers": _outliers_sql(),
         "emb_near_dup": f"""
 WITH e AS (
   SELECT vec_id, embedding FROM embeddings WHERE vec_id < {NEAR_DUP_N}

@@ -912,6 +912,268 @@ FROM j GROUP BY cohort, offset_d ORDER BY cohort, offset_d
 """
 
 
+# ----------------------------------------------- per-group exact quantiles
+
+QUANTILE_PS = (50, 90, 99)
+
+
+def q_events_value_quantiles(sf_dir: str) -> ray.data.Dataset:
+    """EXACT per-type value percentiles (p50/p90/p99 in cents) — the
+    latency/value-distribution rollup behind alert thresholds and SLO
+    reports. Exactness without a global sort: the value DOMAIN is
+    bounded (cents of a bounded metric), so each block collapses to
+    (event_type, cents) partial counts, the bounded histogram folds
+    through the combine tree (≤ #types × #distinct-cents rows — a
+    DOMAIN bound, independent of corpus size; the q_doc_quality_topp
+    recipe), and one final task walks each type's CDF. Percentile
+    definition: the value at 0-indexed rank ⌊(n−1)·p/100⌋ of the
+    sorted values ("lower" interpolation) — integer-exact and mirrored
+    literally in the SQL's ROW_NUMBER arithmetic."""
+    from .agg import tree_fold_sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        tbl = pa.table({
+            "event_type": t["event_type"],
+            "cents": pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                             pa.int64()),
+        })
+        return pa.TableGroupBy(tbl, ["event_type", "cents"]).aggregate(
+            [([], "count_all")]).rename_columns(
+                ["event_type", "cents", "c"])
+
+    def cdf_walk(df_: pd.DataFrame) -> pd.DataFrame:
+        cols = {"event_type": "object", "n": "int64"}
+        cols.update({f"p{p}_cents": "int64" for p in QUANTILE_PS})
+        if df_.empty:
+            return pd.DataFrame({c: pd.Series([], dtype=d)
+                                 for c, d in cols.items()})
+        rows = []
+        for et, g in df_.sort_values("cents").groupby("event_type"):
+            cum = g["c"].to_numpy().cumsum()
+            n = int(cum[-1])
+            row = {"event_type": et, "n": n}
+            for p in QUANTILE_PS:
+                idx = int(np.searchsorted(cum, (n - 1) * p // 100 + 1))
+                row[f"p{p}_cents"] = int(g["cents"].iloc[idx])
+            rows.append(row)
+        return pd.DataFrame(rows).astype(cols)
+
+    hist = tree_fold_sum(
+        _read_events(sf_dir, ["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "cents"], ["c"])
+    # per-type loop is over ≤ #event-types rows of a DOMAIN-bounded
+    # histogram — runs inside the single folded block, not the driver
+    return hist.map_batches(cdf_walk, batch_format="pandas",
+                            batch_size=None)
+
+
+SQL_EVENTS_VALUE_QUANTILES = f"""
+WITH c AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+), r AS (
+  SELECT event_type, cents,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+    COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM c
+)
+SELECT event_type, MAX(n)::BIGINT AS n,
+  {", ".join(
+      f"MAX(CASE WHEN rn = (n - 1) * {p} // 100 + 1 THEN cents END)"
+      f"::BIGINT AS p{p}_cents" for p in QUANTILE_PS)}
+FROM r GROUP BY event_type
+"""
+
+
+# ------------------------------------------------------ user featurization
+
+def q_events_user_features(sf_dir: str) -> ray.data.Dataset:
+    """Per-user FEATURE VECTOR (event count, distinct types, active
+    days, total value cents, activity span in whole minutes) — the
+    featurization pass a behavioral model trains on, and the natural
+    consumer of the engine's user-keyed exchange. ONE hash repartition
+    on user_id co-locates each user's events; every distinct-count and
+    min/max is block-local-and-exact after it, and the output is one
+    fixed-width row per user (no second shuffle). Same
+    user-fits-one-block assumption + salted escape hatch as
+    sessionize/rate-limit. Span uses explicit µs floor-division (not
+    calendar boundary counting) so the SQL mirrors it exactly."""
+    def feats(df_: pd.DataFrame) -> pd.DataFrame:
+        cols = {"user_id": "int64", "n_events": "int64",
+                "n_types": "int64", "active_days": "int64",
+                "value_cents": "int64", "span_min": "int64"}
+        if df_.empty:
+            return pd.DataFrame({c: pd.Series([], dtype=d)
+                                 for c, d in cols.items()})
+        us = df_["ts"].astype("datetime64[us]").astype("int64")
+        g = pd.DataFrame({
+            "user_id": df_["user_id"],
+            "event_type": df_["event_type"],
+            "day": df_["ts"].dt.floor("D"),
+            "cents": np.round(df_["value"].to_numpy() * 100.0)
+            .astype(np.int64),
+            "us": us,
+        }).groupby("user_id", sort=False).agg(
+            n_events=("us", "size"),
+            n_types=("event_type", "nunique"),
+            active_days=("day", "nunique"),
+            value_cents=("cents", "sum"),
+            first_us=("us", "min"),
+            last_us=("us", "max"),
+        ).reset_index()
+        g["span_min"] = (g["last_us"] - g["first_us"]) // 60_000_000
+        return g[list(cols)].astype(cols)
+
+    from ..util import enable_hash_shuffle, keyed_partition_count
+
+    ds = _read_events(sf_dir,
+                      ["user_id", "ts", "event_type", "value"])
+    nparts = keyed_partition_count(_events_count(sf_dir) * 40)
+    enable_hash_shuffle(ds, nparts)
+    return (ds.repartition(nparts, keys=["user_id"])
+            .map_batches(feats, batch_format="pandas", batch_size=None))
+
+
+SQL_EVENTS_USER_FEATURES = """
+SELECT user_id, COUNT(*)::BIGINT AS n_events,
+  COUNT(DISTINCT event_type)::BIGINT AS n_types,
+  COUNT(DISTINCT date_trunc('day', ts))::BIGINT AS active_days,
+  SUM(CAST(ROUND(value * 100) AS BIGINT))::BIGINT AS value_cents,
+  ((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 60000000)::BIGINT AS span_min
+FROM events GROUP BY 1
+"""
+
+
+# ------------------------------------------------------- Q3-style top-k
+
+SEGMENT_TOPK_SEGMENT = "BUILDING"
+SEGMENT_TOPK_CUT = "1998-07-01"
+SEGMENT_TOPK_K = 10
+
+
+def q_tpch_segment_topk(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q3 analogue — top-K revenue among orders of one market
+    segment placed before the cutoff with lineitems shipped after it:
+    the three-table join + global top-k reporting shape. Plan
+    composition (each piece is the family's established recipe):
+    the filtered customer keys become a broadcast BITMAP (``ray.put``
+    once, probed per batch — the dimension side never shuffles); the
+    orders scan is date-pruned at the read and bitmap-filtered; the
+    lineitem scan is date-pruned and collapsed to per-block
+    (orderkey, revenue) partials BEFORE the exchange; the two
+    fact streams meet in ONE hash-co-partitioned join; and the top-K
+    is the two-level head fold (block heads → ≤ K × #blocks rows →
+    one final head), never a global sort. Revenue is the exact integer
+    Σ cents·(100 − discount-points) in 10⁻⁴ dollar units."""
+    from ..util import autoscaling_pool, cluster_cpus, enable_hash_shuffle
+
+    cut = pd.Timestamp(SEGMENT_TOPK_CUT)
+    k = SEGMENT_TOPK_K
+    cust = read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"],
+        filter=(pc.field("c_mktsegment") == SEGMENT_TOPK_SEGMENT),
+    ).to_pandas()
+    keep = np.zeros(int(cust["c_custkey"].max()) + 1, dtype=bool)
+    keep[cust["c_custkey"].to_numpy()] = True
+    keep_ref = ray.put(keep)
+
+    class SegmentFilter:
+        def __init__(self, keep_ref):
+            self.keep = ray.get(keep_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ck = t["o_custkey"].to_numpy()
+            mask = (ck < len(self.keep)) & self.keep[
+                np.minimum(ck, len(self.keep) - 1)]
+            t = t.filter(pa.array(mask))
+            # ship the date as int64 µs: a timestamp column through the
+            # hash exchange round-trips via numpy datetime64 and logs a
+            # precision-conversion warning per aggregator task
+            return pa.table({
+                "o_orderkey": t["o_orderkey"],
+                "odate_us": pc.cast(t["o_orderdate"], pa.int64()),
+                "o_orderpriority": t["o_orderpriority"],
+            })
+
+    orders = (read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"],
+        filter=(pc.field("o_orderdate") < cut))
+        .map_batches(SegmentFilter, batch_format="pyarrow",
+                     zero_copy_batch=True,
+                     concurrency=autoscaling_pool(),
+                     fn_constructor_kwargs={"keep_ref": keep_ref}))
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        e = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                    pa.int64())
+        d = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)),
+                    pa.int64())
+        tbl = pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "rev": pc.multiply(e, pc.subtract(pa.scalar(100, pa.int64()), d)),
+        })
+        return pa.TableGroupBy(tbl, ["l_orderkey"]).aggregate(
+            [("rev", "sum")]).rename_columns(["l_orderkey", "rev"])
+
+    li = (read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+        filter=(pc.field("l_shipdate") > cut))
+        .map_batches(rev_partial, batch_format="pyarrow",
+                     zero_copy_batch=True))
+    enable_hash_shuffle(li, max(8, cluster_cpus()))
+    j = li.join(orders, join_type="inner",
+                num_partitions=max(8, cluster_cpus()),
+                on=("l_orderkey",), right_on=("o_orderkey",))
+    agg = (j.groupby(["l_orderkey", "odate_us", "o_orderpriority"])
+           .aggregate(Sum("rev", alias_name="revenue_e4")))
+
+    def head_block(df_: pd.DataFrame) -> pd.DataFrame:
+        return df_.sort_values(["revenue_e4", "l_orderkey"],
+                               ascending=[False, True]).head(k)
+
+    def final_head(df_: pd.DataFrame) -> pd.DataFrame:
+        df_ = df_.sort_values(["revenue_e4", "l_orderkey"],
+                              ascending=[False, True]).head(k)
+        out = df_.rename(columns={"l_orderkey": "o_orderkey"})
+        out.insert(0, "rank", np.arange(1, len(out) + 1, dtype=np.int64))
+        out["o_orderdate"] = pd.to_datetime(out["odate_us"], unit="us") \
+            .astype("datetime64[us]")
+        return out[["rank", "o_orderkey", "revenue_e4", "o_orderdate",
+                    "o_orderpriority"]].reset_index(drop=True)
+
+    return (agg.map_batches(head_block, batch_format="pandas",
+                            batch_size=None)
+            .repartition(1)
+            .map_batches(final_head, batch_format="pandas",
+                         batch_size=None))
+
+
+SQL_TPCH_SEGMENT_TOPK = f"""
+WITH r AS (
+  SELECT l_orderkey AS o_orderkey, o_orderdate, o_orderpriority,
+    SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+        * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))::BIGINT
+      AS revenue_e4
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = '{SEGMENT_TOPK_SEGMENT}'
+    AND o_orderdate < TIMESTAMP '{SEGMENT_TOPK_CUT}'
+    AND l_shipdate > TIMESTAMP '{SEGMENT_TOPK_CUT}'
+  GROUP BY 1, 2, 3
+)
+SELECT ROW_NUMBER() OVER (ORDER BY revenue_e4 DESC, o_orderkey)::BIGINT
+         AS rank,
+       o_orderkey, revenue_e4, o_orderdate, o_orderpriority
+FROM r ORDER BY revenue_e4 DESC, o_orderkey LIMIT {SEGMENT_TOPK_K}
+"""
+
+
 def queries():
     return {
         "events_parse_props": q_events_parse_props,
@@ -919,6 +1181,8 @@ def queries():
         "events_spikes": q_events_spikes,
         "events_hourly_users": q_events_hourly_users,
         "events_rate_limit": q_events_rate_limit,
+        "events_value_quantiles": q_events_value_quantiles,
+        "events_user_features": q_events_user_features,
         "events_retention": q_events_retention,
         "events_retention_salted": q_events_retention_salted,
         "events_sliding": q_events_sliding,
@@ -933,12 +1197,16 @@ def queries():
         "tpch_priority_revenue": q_tpch_priority_revenue,
         "tpch_bloom_semijoin": q_tpch_bloom_semijoin,
         "tpch_rollup_revenue": q_tpch_rollup_revenue,
+        "tpch_segment_topk": q_tpch_segment_topk,
     }
 
 
 def oracle_sql():
     return {
         "events_funnel": SQL_EVENTS_FUNNEL,
+        "events_value_quantiles": SQL_EVENTS_VALUE_QUANTILES,
+        "events_user_features": SQL_EVENTS_USER_FEATURES,
+        "tpch_segment_topk": SQL_TPCH_SEGMENT_TOPK,
         "events_retention": SQL_EVENTS_RETENTION,
         "events_retention_salted": SQL_EVENTS_RETENTION,
         "tpch_priority_revenue": """

@@ -499,7 +499,7 @@ def test_semdedup_matches_serial_recompute(ray_session, tmp_path,
     got = (ann.q_emb_semdedup(SF)
            .sort_values("cluster").reset_index(drop=True))
 
-    n, ids, a, _, _ = fixtures._kmeans_serial(SF)
+    n, ids, a, _, _, _ = fixtures._kmeans_serial(SF)
     t = pq.read_table(f"{SF}/embeddings.parquet",
                       columns=["vec_id", "embedding"]).to_pandas() \
         .sort_values("vec_id")
@@ -539,7 +539,7 @@ def _semdedup_brute(sf_dir, tau):
     """Plain-numpy SemDeDup recompute over the serial k-means
     partition (independent of the engine's split plan)."""
     from swarm_ray import fixtures
-    _, ids, a, _, _ = fixtures._kmeans_serial(sf_dir)
+    _, ids, a, _, _, _ = fixtures._kmeans_serial(sf_dir)
     t = pq.read_table(f"{sf_dir}/embeddings.parquet",
                       columns=["vec_id", "embedding"]).to_pandas() \
         .sort_values("vec_id")
@@ -750,3 +750,51 @@ def test_pq_recall_audit_consistent(ray_session):
                                       sorted(exp_hits)]
     assert (got["recall_milli"] == (1000 * got["n_hits"]) // TOP_K).all()
     assert got["recall_milli"].mean() >= 600
+
+
+def test_dim_stats_matches_serial_recompute(ray_session):
+    """Per-dimension stats must equal a plain-numpy recompute of the
+    fixed-point sums, including the FLOOR mean on negative sums."""
+    got = ann.q_emb_dim_stats(SF).sort_values("dim") \
+        .reset_index(drop=True)
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["embedding"])
+    e = np.floor(np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+                 * ann.KMEANS_SCALE).astype(np.int64)
+    n = np.full(e.shape[1], len(e), dtype=np.int64)
+    s = e.sum(axis=0, dtype=np.int64)
+    exp = pd.DataFrame({
+        "dim": np.arange(e.shape[1], dtype=np.int64),
+        "n": n,
+        "sum_e6": s,
+        "ssq_e12": (e * e).sum(axis=0, dtype=np.int64),
+        "mean_e6": s // n,
+    })
+    pd.testing.assert_frame_equal(got, exp)
+    assert (s < 0).any(), "fixture must exercise the negative-sum floor"
+
+
+def test_outliers_match_serial_recompute(ray_session):
+    """Global top-k farthest-from-centroid must equal the serial
+    fixed-point recompute (same final centroids as the engine fit),
+    with (dist DESC, vec_id ASC) tie order."""
+    from swarm_ray import fixtures
+
+    got = ann.q_emb_outliers(SF).to_pandas()
+
+    _, ids, a, _, _, cents = fixtures._kmeans_serial(SF)
+    fit_cents, _ = ann.kmeans_fit(SF)
+    assert (cents == fit_cents).all(), \
+        "serial final centroids must be bit-identical to the engine fit"
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"]).to_pandas() \
+        .sort_values("vec_id")
+    e = np.floor(np.asarray(list(t["embedding"]), dtype=np.float64)
+                 * ann.KMEANS_SCALE).astype(np.int64)
+    diff = e - cents[a]
+    dist = (diff * diff).sum(axis=1, dtype=np.int64)
+    exp = pd.DataFrame({"vec_id": ids.astype(np.int64),
+                        "cluster": a.astype(np.int64), "dist": dist}) \
+        .sort_values(["dist", "vec_id"], ascending=[False, True]) \
+        .head(ann.OUTLIER_K).reset_index(drop=True)
+    exp.insert(0, "rank", np.arange(1, len(exp) + 1, dtype=np.int64))
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)

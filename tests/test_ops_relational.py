@@ -554,3 +554,70 @@ def test_rate_limit_window_semantics(ray_session, tmp_path):
     assert got["user_id"].tolist() == [1, 2]
     assert got["n_events"].tolist() == [8 + RATE_LIMIT_PER_MIN, 6]
     assert got["n_dropped"].tolist() == [3, 1]
+
+
+def _write_events(tmp_path, **cols):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    n = len(next(iter(cols.values())))
+    base = {
+        "event_id": list(range(n)),
+        "user_id": [1] * n,
+        "event_type": ["view"] * n,
+        "value": [1.0] * n,
+    }
+    base.update(cols)
+    tbl = pa.table({
+        "event_id": pa.array(base["event_id"], type=pa.int64()),
+        "ts": pa.array(base["ts"]).cast(pa.timestamp("us")),
+        "user_id": pa.array(base["user_id"], type=pa.int64()),
+        "event_type": pa.array(base["event_type"], type=pa.string()),
+        "value": pa.array(base["value"], type=pa.float64()),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    return str(tmp_path)
+
+
+def test_value_quantiles_lower_interpolation(ray_session, tmp_path):
+    """Percentile = value at 0-indexed rank floor((n-1)*p/100) of the
+    sorted values — pinned on a frame where the answers are by hand."""
+    from swarm_ray.ops.relational import q_events_value_quantiles
+    sf = _write_events(
+        tmp_path,
+        ts=[pd.Timestamp("2024-01-01")] * 5,
+        event_type=["a", "a", "a", "a", "b"],
+        value=[0.10, 0.20, 0.30, 0.40, 0.70],
+    )
+    out = (q_events_value_quantiles(sf).to_pandas()
+           .sort_values("event_type").reset_index(drop=True))
+    a = out[out.event_type == "a"].iloc[0]
+    # n=4: p50 -> idx (3*50)//100 = 1 -> 20; p90 -> idx 2 -> 30; p99 -> idx 2
+    assert (a["n"], a["p50_cents"], a["p90_cents"], a["p99_cents"]) \
+        == (4, 20, 30, 30)
+    b = out[out.event_type == "b"].iloc[0]
+    assert (b["n"], b["p50_cents"], b["p90_cents"], b["p99_cents"]) \
+        == (1, 70, 70, 70)
+
+
+def test_user_features_span_is_microsecond_floor(ray_session, tmp_path):
+    """span_min floors the REAL elapsed time, never counts calendar
+    minute boundaries: 10:00:59 -> 10:01:01 is 2 s = 0 whole minutes."""
+    from swarm_ray.ops.relational import q_events_user_features
+    sf = _write_events(
+        tmp_path,
+        ts=[pd.Timestamp("2024-01-01 10:00:59"),
+            pd.Timestamp("2024-01-01 10:01:01"),
+            pd.Timestamp("2024-02-01 00:00:00"),
+            pd.Timestamp("2024-02-01 01:30:30")],
+        user_id=[1, 1, 2, 2],
+        event_type=["view", "click", "view", "view"],
+        value=[1.00, 2.50, 0.10, 0.10],
+    )
+    out = (q_events_user_features(sf).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    u1 = out[out.user_id == 1].iloc[0]
+    assert (u1["n_events"], u1["n_types"], u1["active_days"],
+            u1["value_cents"], u1["span_min"]) == (2, 2, 1, 350, 0)
+    u2 = out[out.user_id == 2].iloc[0]
+    assert (u2["n_events"], u2["n_types"], u2["active_days"],
+            u2["value_cents"], u2["span_min"]) == (2, 1, 1, 20, 90)
