@@ -475,6 +475,65 @@ def minhash_pairs_expected_dir(sf_dir: str | os.PathLike) -> Path:
     return out
 
 
+def minhash_est_expected_dir(sf_dir: str | os.PathLike) -> Path:
+    """Generator-side expected output for ``doc_minhash_est``: over the
+    expected-pairs fixture's (doc_a, doc_b, exact-jaccard) topology,
+    an INDEPENDENT plain-Python-integer recompute of each doc's minhash
+    signature (explicit ``% 2**64`` wrap, no numpy) and the per-pair
+    agreement estimate — the engine's vectorized uint64 path must land
+    on the same integers exactly."""
+    from .ops.dedup import (MERSENNE, NUM_PERM, SHINGLE_K, _doc_files,
+                            _perm_params)
+
+    pairs_dir = minhash_pairs_expected_dir(sf_dir)
+    pairs = pq.read_table(pairs_dir / "expected.parquet").to_pandas()
+    out = FIXTURE_ROOT / label_for_sf_dir(sf_dir) / "minhash_est_expected"
+    files = _doc_files(sf_dir)
+    rows = sum(pq.read_metadata(f).num_rows for f in files)
+    params = [NUM_PERM, SHINGLE_K, MINHASH_FIXTURE_VERSION]
+    if _fixture_fresh(out, rows, params):
+        return out
+
+    import hashlib as _hashlib
+
+    a_perm, b_perm = _perm_params(NUM_PERM)
+    need = set(pairs["doc_a"]) | set(pairs["doc_b"])
+    sigs: dict[int, list[int]] = {}
+    for f in files:
+        t = pq.read_table(f, columns=["doc_id", "text"])
+        for doc_id, text in zip(t["doc_id"].to_numpy(),
+                                t["text"].to_pylist()):
+            if int(doc_id) not in need:
+                continue
+            words = text.split(" ")
+            if len(words) < SHINGLE_K:
+                grams = [" ".join(words)]
+            else:
+                grams = [" ".join(words[i:i + SHINGLE_K])
+                         for i in range(len(words) - SHINGLE_K + 1)]
+            sh = [int.from_bytes(
+                      _hashlib.blake2b(g.encode(), digest_size=8).digest(),
+                      "little") % MERSENNE for g in grams]
+            sigs[int(doc_id)] = [
+                min(((h * int(a_perm[i]) + int(b_perm[i])) % (1 << 64))
+                    % MERSENNE for h in sh)
+                for i in range(NUM_PERM)]
+
+    est = [(1000 * sum(x == y for x, y in zip(sigs[int(a)], sigs[int(b)])))
+           // NUM_PERM
+           for a, b in zip(pairs["doc_a"], pairs["doc_b"])]
+    est_a = np.asarray(est, dtype=np.int64)
+    exact = pairs["jaccard_milli"].to_numpy()
+    tbl = pa.table({
+        "doc_a": pa.array(pairs["doc_a"].to_numpy(), type=pa.int64()),
+        "doc_b": pa.array(pairs["doc_b"].to_numpy(), type=pa.int64()),
+        "jaccard_milli": pa.array(exact, type=pa.int64()),
+        "est_milli": pa.array(est_a, type=pa.int64()),
+        "err_milli": pa.array(np.abs(est_a - exact), type=pa.int64()),
+    })
+    return _write_fixture_dir(out, tbl, rows, params)
+
+
 # ---------------------------------------------------------------------------
 # Expected ANN candidate-set fixtures (emb_lsh_ann / emb_ivf_ann oracles)
 # ---------------------------------------------------------------------------

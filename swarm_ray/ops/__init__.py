@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dedup_near": dedup.q_dedup_near,
         "doc_pagerank": dedup.q_doc_pagerank,
         "doc_simhash_pairs": dedup.q_simhash_pairs,
+        "doc_minhash_est": dedup.q_doc_minhash_est_checked,
     }
     try:
         from . import spans
@@ -170,6 +171,14 @@ def oracle_sql() -> dict[str, str]:
                 "minhash_pairs_expected" / "*.parquet")
     out["doc_minhash_pairs"] = (
         f"SELECT doc_a, doc_b, jaccard_milli FROM read_parquet('{_glob}')")
+    # doc_minhash_est: same evidence class — the generator-side serial
+    # signature recompute (fixtures.minhash_est_expected_dir)
+    _est_glob = str(_Path(_fx.FIXTURE_ROOT) /
+                    _fx.label_for_sf_dir(_fx.oracle_sf_dir()) /
+                    "minhash_est_expected" / "*.parquet")
+    out["doc_minhash_est"] = (
+        "SELECT doc_a, doc_b, jaccard_milli, est_milli, err_milli "
+        f"FROM read_parquet('{_est_glob}')")
     try:
         from . import relational
         out.update(relational.oracle_sql())

@@ -725,6 +725,86 @@ def q_minhash_pairs_checked(sf_dir: str) -> pd.DataFrame:
     return q_minhash_pairs(sf_dir)
 
 
+# ------------------------------------------------- sketch-error audit
+
+def q_doc_minhash_est(sf_dir: str) -> pd.DataFrame:
+    """MinHash SKETCH-ERROR audit — for every verified near-dup pair
+    the LSH pipeline emits, the floor-milli Jaccard ESTIMATE from
+    signature agreement (matching components / NUM_PERM, the standard
+    MinHash estimator) next to the exact k-shingle Jaccard, plus the
+    absolute error: the measurement run before trusting the sketch's
+    similarity values downstream (threshold tuning, cluster weighting).
+    Completes the audit family next to ``emb_pq_recall`` (lossy-ANN
+    recall) with the lossy-DEDUP error twin.
+
+    Scale shape: the pair frontier is LSH-bounded; signatures of only
+    the involved docs are computed in one actor-pool pass over the
+    id-filtered corpus scan (permutation params built once per actor),
+    and the ≤ 2×#pairs signature rows (64 ints each) fold on the
+    driver — the corpus itself never leaves the scan.
+
+    Oracle: differential — ``fixtures.minhash_est_expected_dir``
+    recomputes signatures with plain Python integer arithmetic over
+    the expected-pairs fixture's topology; deterministic under the
+    published permutation seed, so the compare is exact."""
+    from ..util import autoscaling_pool
+
+    pairs = q_minhash_pairs(sf_dir)
+    cols = {"doc_a": "int64", "doc_b": "int64", "jaccard_milli": "int64",
+            "est_milli": "int64", "err_milli": "int64"}
+    if pairs.empty:
+        return pd.DataFrame({c: pd.Series([], dtype=d)
+                             for c, d in cols.items()})
+    need = np.unique(np.concatenate([pairs["doc_a"].to_numpy(),
+                                     pairs["doc_b"].to_numpy()]))
+    need_arr = pa.array(need, type=pa.int64())
+
+    class SigBatch:
+        def __init__(self):
+            self.mh = MinHashBands()
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_in(t["doc_id"], value_set=need_arr))
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            if len(ids) == 0:
+                return pa.table({
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "sig": pa.array([], type=pa.list_(pa.int64()))})
+            sigs = np.stack([self.mh.signature(x)
+                             for x in t["text"].to_pylist()])
+            return pa.table({
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "sig": pa.array(sigs.astype(np.int64).tolist(),
+                                type=pa.list_(pa.int64()))})
+
+    sig_df = (_read_docs(sf_dir)
+              .map_batches(SigBatch, batch_format="pyarrow",
+                           zero_copy_batch=True,
+                           concurrency=autoscaling_pool())
+              .to_pandas())
+    sig = {int(i): np.asarray(s, dtype=np.int64)
+           for i, s in zip(sig_df["doc_id"], sig_df["sig"])}
+    a_m = np.stack([sig[int(a)] for a in pairs["doc_a"]])
+    b_m = np.stack([sig[int(b)] for b in pairs["doc_b"]])
+    est = (1000 * (a_m == b_m).sum(axis=1)) // NUM_PERM
+    exact = pairs["jaccard_milli"].to_numpy()
+    return pd.DataFrame({
+        "doc_a": pairs["doc_a"].to_numpy(),
+        "doc_b": pairs["doc_b"].to_numpy(),
+        "jaccard_milli": exact,
+        "est_milli": est,
+        "err_milli": np.abs(est - exact),
+    }).sort_values(["doc_a", "doc_b"]).reset_index(drop=True).astype(cols)
+
+
+def q_doc_minhash_est_checked(sf_dir: str) -> pd.DataFrame:
+    """Driver-facing ``doc_minhash_est``: materializes the serial
+    estimate fixture so the DuckDB oracle has its table."""
+    from .. import fixtures
+    fixtures.minhash_est_expected_dir(sf_dir)
+    return q_doc_minhash_est(sf_dir)
+
+
 # ------------------------------------------------------------ dup clusters
 
 def union_find_clusters(pairs: pd.DataFrame) -> pd.DataFrame:

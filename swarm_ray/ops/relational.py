@@ -1045,6 +1045,76 @@ FROM events GROUP BY 1
 """
 
 
+# ------------------------------------------------------ transition matrix
+
+def q_events_transitions(sf_dir: str) -> ray.data.Dataset:
+    """Event-type TRANSITION MATRIX (first-order Markov counts +
+    floor-milli probabilities) — consecutive-event (src → dst) pairs
+    per user under the total (ts, event_id) order: the
+    behavioral-sequence statistic next to the funnel (fixed path) and
+    sessionize (gap structure) ops, and the input a next-event model
+    trains on.
+
+    Scale shape: ONE user-keyed exchange co-locates each user's
+    events; one block-local sort + a vectorized shift pairs
+    consecutive rows (a user never straddles blocks, so no boundary
+    pairs are lost); each block collapses to ≤ #types² partial counts
+    which fold through the bounded combine tree; the probability
+    algebra runs on that bounded table. Same user-fits-one-block
+    assumption + salted escape hatch as sessionize."""
+    from .agg import tree_fold_sum
+    from ..util import enable_hash_shuffle, keyed_partition_count
+
+    def trans_block(df_: pd.DataFrame) -> pd.DataFrame:
+        cols = {"src": "object", "dst": "object", "n": "int64"}
+        if len(df_) < 2:
+            return pd.DataFrame({c: pd.Series([], dtype=d)
+                                 for c, d in cols.items()})
+        df_ = df_.sort_values(["user_id", "ts", "event_id"],
+                              kind="mergesort")
+        uid = df_["user_id"].to_numpy()
+        et = df_["event_type"].to_numpy()
+        same = uid[1:] == uid[:-1]
+        out = pd.DataFrame({"src": et[:-1][same], "dst": et[1:][same]})
+        return (out.groupby(["src", "dst"], sort=False).size()
+                .reset_index(name="n").astype(cols))
+
+    def probs(df_: pd.DataFrame) -> pd.DataFrame:
+        # one bounded block: ≤ #types² rows
+        if df_.empty:
+            return df_.assign(p_milli=pd.Series([], dtype="int64"))
+        tot = df_.groupby("src")["n"].transform("sum")
+        df_ = df_.assign(p_milli=(1000 * df_["n"]) // tot)
+        return df_.sort_values(["src", "dst"]).reset_index(drop=True)
+
+    ds = _read_events(sf_dir, ["user_id", "ts", "event_id", "event_type"])
+    nparts = keyed_partition_count(_events_count(sf_dir) * 32)
+    enable_hash_shuffle(ds, nparts)
+    partial = (ds.repartition(nparts, keys=["user_id"])
+               .map_batches(trans_block, batch_format="pandas",
+                            batch_size=None))
+    return (tree_fold_sum(partial, ["src", "dst"], ["n"])
+            .repartition(1)
+            .map_batches(probs, batch_format="pandas", batch_size=None))
+
+
+SQL_EVENTS_TRANSITIONS = """
+WITH o AS (
+  SELECT user_id, event_type,
+    LEAD(event_type) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS nxt
+  FROM events
+), c AS (
+  SELECT event_type AS src, nxt AS dst, COUNT(*)::BIGINT AS n
+  FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2
+), s AS (
+  SELECT src, SUM(n) AS tot FROM c GROUP BY 1
+)
+SELECT c.src, c.dst, c.n, ((1000 * c.n) // s.tot)::BIGINT AS p_milli
+FROM c JOIN s USING (src)
+"""
+
+
 # ------------------------------------------------------- Q3-style top-k
 
 SEGMENT_TOPK_SEGMENT = "BUILDING"
@@ -1183,6 +1253,7 @@ def queries():
         "events_rate_limit": q_events_rate_limit,
         "events_value_quantiles": q_events_value_quantiles,
         "events_user_features": q_events_user_features,
+        "events_transitions": q_events_transitions,
         "events_retention": q_events_retention,
         "events_retention_salted": q_events_retention_salted,
         "events_sliding": q_events_sliding,
@@ -1206,6 +1277,7 @@ def oracle_sql():
         "events_funnel": SQL_EVENTS_FUNNEL,
         "events_value_quantiles": SQL_EVENTS_VALUE_QUANTILES,
         "events_user_features": SQL_EVENTS_USER_FEATURES,
+        "events_transitions": SQL_EVENTS_TRANSITIONS,
         "tpch_segment_topk": SQL_TPCH_SEGMENT_TOPK,
         "events_retention": SQL_EVENTS_RETENTION,
         "events_retention_salted": SQL_EVENTS_RETENTION,

@@ -434,3 +434,24 @@ def test_simhash_pairs_match_exact_allpairs(ray_session, tmp_path):
     assert len(expdf) > 0                 # planted dups must collide
     pd.testing.assert_frame_equal(got.astype("int64"),
                                   expdf.astype("int64"))
+
+
+def test_minhash_est_matches_serial_recompute(ray_session, tmp_path,
+                                              monkeypatch):
+    """The engine's vectorized uint64 signature agreement must equal
+    the plain-Python-integer fixture recompute, pair for pair, and the
+    estimator must be informative (not constant) on the planted dups."""
+    from swarm_ray import fixtures
+    from swarm_ray.ops.dedup import q_doc_minhash_est
+
+    monkeypatch.setattr(fixtures, "FIXTURE_ROOT", tmp_path / "fx")
+    sf = "/root/testdata/sf0.001"
+    got = q_doc_minhash_est(sf)
+    exp_dir = fixtures.minhash_est_expected_dir(sf)
+    import pyarrow.parquet as _pq
+    exp = _pq.read_table(exp_dir / "expected.parquet").to_pandas() \
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+    assert len(got) > 0 and got["est_milli"].nunique() > 1
+    assert (got["err_milli"] == (got["est_milli"]
+                                 - got["jaccard_milli"]).abs()).all()

@@ -621,3 +621,29 @@ def test_user_features_span_is_microsecond_floor(ray_session, tmp_path):
     u2 = out[out.user_id == 2].iloc[0]
     assert (u2["n_events"], u2["n_types"], u2["active_days"],
             u2["value_cents"], u2["span_min"]) == (2, 1, 1, 20, 90)
+
+
+def test_transitions_user_boundary_and_tie_order(ray_session, tmp_path):
+    """Consecutive pairs are within-user only, ordered by (ts,
+    event_id); probabilities are floor-milli of the per-src total."""
+    from swarm_ray.ops.relational import q_events_transitions
+    t0 = pd.Timestamp("2024-01-01")
+    sf = _write_events(
+        tmp_path,
+        ts=[t0, t0, t0 + pd.Timedelta(minutes=1), t0, t0],
+        event_id=[1, 2, 3, 10, 11],
+        user_id=[1, 1, 1, 2, 2],
+        event_type=["view", "click", "view", "view", "error"],
+    )
+    out = (q_events_transitions(sf).to_pandas()
+           .set_index(["src", "dst"]).sort_index())
+    # user 1: view->click (tie broken by event_id), click->view;
+    # user 2: view->error. NO click->view across the user boundary.
+    assert out.loc[("view", "click"), "n"] == 1
+    assert out.loc[("click", "view"), "n"] == 1
+    assert out.loc[("view", "error"), "n"] == 1
+    assert len(out) == 3
+    # src=view has 2 outgoing: each p = 1000*1//2 = 500
+    assert out.loc[("view", "click"), "p_milli"] == 500
+    assert out.loc[("view", "error"), "p_milli"] == 500
+    assert out.loc[("click", "view"), "p_milli"] == 1000
