@@ -1213,6 +1213,36 @@ def kmeans_assign_expected_dir(sf_dir: str | os.PathLike) -> Path:
     return _write_fixture_dir(out, tbl, n, params)
 
 
+def power_direction_expected_dir(sf_dir: str | os.PathLike) -> Path:
+    """Generator-side expected output for ``emb_top_direction``: a
+    serial single-process recompute of the fixed-point power iteration
+    (identical integer arithmetic — per-row floor-rescaled dots,
+    exact Python-int normalize — so the distributed fold must land on
+    the same integers exactly)."""
+    from .ops.ann import (GRAM_TARGET_BITS, KMEANS_SCALE, POWER_ITERS,
+                          _power_iterate_gram)
+
+    out = FIXTURE_ROOT / label_for_sf_dir(sf_dir) / "power_direction_expected"
+    rows = pq.read_metadata(Path(sf_dir) / "embeddings.parquet").num_rows
+    params = [POWER_ITERS, GRAM_TARGET_BITS, KMEANS_SCALE]
+    if _fixture_fresh(out, rows, params):
+        return out
+    t = pq.read_table(Path(sf_dir) / "embeddings.parquet",
+                      columns=["embedding"])
+    e = np.floor(np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+                 * KMEANS_SCALE).astype(np.int64)
+    e = e - e.sum(axis=0, dtype=np.int64) // len(e)
+    d = e.shape[1]
+    # serial Gram in one shot — the distributed op folds per-batch
+    # partials of the SAME integer products (associative, so exact);
+    # the driver-side iteration helper is shared deliberately (it is
+    # not part of the distributed plan under test)
+    v = _power_iterate_gram(e.T @ e)
+    tbl = pa.table({"dim": pa.array(np.arange(d, dtype=np.int64)),
+                    "v_e6": pa.array(v)})
+    return _write_fixture_dir(out, tbl, rows, params)
+
+
 def kmeans_centroids_expected_dir(sf_dir: str | os.PathLike) -> Path:
     """Generator-side LONG-FORMAT centroid table (cluster, i, cv) —
     one row per (cluster, 1-based dimension) of the serially-recomputed

@@ -264,7 +264,12 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
                      # pair-dedup distinct-users exchange
                      ("doc_quality_rank", "text.q_doc_quality_rank"),
                      ("events_hourly_users",
-                      "relational.q_events_hourly_users")):
+                      "relational.q_events_hourly_users"),
+                     # round-5 final batch: the hash co-partitioned
+                     # join family's bench row (broadcast bitmap +
+                     # pre-aggregated fact join + head fold)
+                     ("tpch_segment_topk",
+                      "relational.q_tpch_segment_topk")):
         try:
             mod_name, fn_name = fn.split(".")
             import importlib

@@ -1019,6 +1019,128 @@ FROM a
 """
 
 
+# ------------------------------------------------- dominant direction
+
+POWER_ITERS = 300        # driver-side iterations on the d×d Gram —
+#                          free once the Gram is built, so sized for
+#                          flat spectra (λ2/λ1 ≈ 0.99 needs ~hundreds)
+GRAM_TARGET_BITS = 36    # pre-iteration Gram shift target: keeps the
+#                          int64 matvec g@v exact at the 10^6 v-scale
+
+
+def _power_iterate_gram(gram: np.ndarray) -> np.ndarray:
+    """Deterministic integer power iteration on a d×d Gram matrix —
+    SHARED by the engine and the serial fixture (the distributed part
+    of the op ends at the Gram; iterating it is driver-side algebra,
+    so sharing the helper shares no plan). The Gram is floor-shifted
+    so the matvec stays inside int64; the per-iteration normalize
+    runs in exact Python ints (v·10⁶ would overflow). Sign
+    convention: largest-|component| entry non-negative."""
+    d = gram.shape[0]
+    peak = int(np.abs(gram).max())
+    shift = max(0, peak.bit_length() - GRAM_TARGET_BITS)
+    g = gram // (1 << shift) if shift else gram   # numpy FLOOR division
+    v = np.full(d, 1_000_000, dtype=np.int64)
+    for _ in range(POWER_ITERS):
+        s = g @ v
+        peak = int(np.abs(s).max())
+        if peak == 0:
+            break
+        v = np.array([int(x) * 1_000_000 // peak for x in s],
+                     dtype=np.int64)
+    if v[int(np.argmax(np.abs(v)))] < 0:
+        v = -v
+    return v
+
+
+def q_emb_top_direction(sf_dir: str) -> pd.DataFrame:
+    """DOMINANT PRINCIPAL DIRECTION of the mean-centered embedding
+    corpus — the 1-component PCA pass behind embedding whitening,
+    drift visualization, and the anisotropy check ("all my vectors
+    point one way") run before cosine-similarity ops are trusted.
+    Completes the iterative-linear-algebra family next to
+    ``doc_pagerank`` (graph propagation) with the spectral member.
+
+    Scale shape — the 100 TB design point is that the corpus is huge
+    but d is small: the corpus is streamed in ONE pass per stage (mean
+    pass, then Gram pass), each batch emitting a single additive
+    partial row (d ints, then d² ints); the d×d integer Gram lands on
+    the driver and ALL the iterating happens there — power iteration
+    on a 64×64 matrix is free, so a flat spectrum costs hundreds of
+    driver-side matvecs instead of hundreds of corpus passes (the
+    first draft iterated the corpus: 6 passes, cos 0.29 against the
+    true eigenvector on this spectrum — measured, and the reason this
+    shape exists). No shuffle anywhere. Right for d up to a few
+    thousand (d² ints per partial row); past that, randomized
+    sketching replaces the exact Gram.
+
+    All arithmetic is integer (floor at every division), so the
+    distributed fold and the serial fixture recompute are bit-identical
+    BY CONSTRUCTION — the same exactness contract as k-means. Overflow
+    bound: Σ eᵢeⱼ partials hold ~10⁶ rows at the 10⁶ fixed-point scale
+    in int64; beyond that drop the scale a decade (documented, same
+    family as ``q_emb_label_dispersion``)."""
+    corpus = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                                columns=["embedding"]).materialize()
+
+    # pass 1: per-dimension n and Σx for the integer floor mean
+    def mean_partial(t: pa.Table) -> pa.Table:
+        e = kmeans_scaled(_emb_matrix(t["embedding"]))
+        return pa.table({
+            "n": pa.array([len(e)], type=pa.int64()),
+            "s": pa.FixedSizeListArray.from_arrays(
+                pa.array(e.sum(axis=0, dtype=np.int64)), e.shape[1])})
+
+    parts = corpus.map_batches(mean_partial, batch_format="pyarrow",
+                               zero_copy_batch=True,
+                               batch_size=4096).to_pandas()
+    n_total = int(parts["n"].sum())
+    s_total = np.sum(np.stack([np.asarray(v) for v in parts["s"]]), axis=0)
+    mean = s_total // n_total                    # numpy FLOOR division
+    d = len(mean)
+    mref = ray.put(mean)
+
+    # pass 2: additive d×d Gram partials of the centered corpus
+    def gram_partial(t: pa.Table) -> pa.Table:
+        e = kmeans_scaled(_emb_matrix(t["embedding"])) - ray.get(mref)
+        return pa.table({"g": pa.FixedSizeListArray.from_arrays(
+            pa.array((e.T @ e).reshape(-1)), d * d)})
+
+    def fold(t: pa.Table) -> pa.Table:
+        c = t["g"].combine_chunks()
+        m_ = c.values.to_numpy(zero_copy_only=False).reshape(len(c), d * d)
+        return pa.table({"g": pa.FixedSizeListArray.from_arrays(
+            pa.array(m_.sum(axis=0)), d * d)})
+
+    parts = (corpus.map_batches(gram_partial, batch_format="pyarrow",
+                                zero_copy_batch=True, batch_size=4096)
+             .map_batches(fold, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=64)
+             .to_pandas())
+    gram = np.sum(np.stack([np.asarray(x) for x in parts["g"]]),
+                  axis=0).reshape(d, d)
+    v = _power_iterate_gram(gram)
+    return pd.DataFrame({"dim": np.arange(d, dtype=np.int64), "v_e6": v})
+
+
+def q_emb_top_direction_checked(sf_dir: str) -> pd.DataFrame:
+    """Driver-facing ``emb_top_direction``: materializes the serial
+    power-iteration fixture so the DuckDB oracle has its table."""
+    from .. import fixtures
+    fixtures.power_direction_expected_dir(sf_dir)
+    return q_emb_top_direction(sf_dir)
+
+
+def _top_direction_sql() -> str:
+    from pathlib import Path
+
+    from .. import fixtures
+    glob = str(Path(fixtures.FIXTURE_ROOT) /
+               fixtures.label_for_sf_dir(fixtures.oracle_sf_dir()) /
+               "power_direction_expected" / "*.parquet")
+    return f"SELECT dim, v_e6 FROM read_parquet('{glob}')"
+
+
 # ------------------------------------------------------------- outliers
 
 OUTLIER_K = 20          # vectors reported, farthest-from-centroid first
@@ -1170,6 +1292,7 @@ def queries():
         "emb_semdedup_keep": q_emb_semdedup_keep_checked,
         "emb_dim_stats": q_emb_dim_stats,
         "emb_outliers": q_emb_outliers_checked,
+        "emb_top_direction": q_emb_top_direction_checked,
     }
 
 
@@ -1245,6 +1368,7 @@ def oracle_sql():
         "emb_dedup_semantic": _semantic_dedup_sql(),
         "emb_dim_stats": SQL_EMB_DIM_STATS,
         "emb_outliers": _outliers_sql(),
+        "emb_top_direction": _top_direction_sql(),
         "emb_near_dup": f"""
 WITH e AS (
   SELECT vec_id, embedding FROM embeddings WHERE vec_id < {NEAR_DUP_N}

@@ -1045,6 +1045,97 @@ FROM events GROUP BY 1
 """
 
 
+# ------------------------------------------------------------ daily trend
+
+def q_events_trend(sf_dir: str) -> ray.data.Dataset:
+    """Per-type DAILY-VOLUME TREND — the exact integer least-squares
+    slope (µ-events/day) of each event type's zero-filled daily count
+    series: the drift detector that catches a slow ramp the spike op
+    (``q_events_spikes``, trailing baseline) is blind to. Closed-form
+    OLS over integers: slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) with x =
+    days since the global first day, reported as floor(10⁶·slope) so
+    both sides stay in exact integer arithmetic.
+
+    Scale shape: each block collapses to (type, epoch-day) partial
+    counts; the bounded histogram (≤ #types × #days rows — a CALENDAR
+    bound, not a data bound) folds through the combine tree; zero-fill
+    and the OLS algebra run on that bounded table in one final task.
+    No per-event exchange.
+
+    Oracle: DuckDB rebuilds the zero-filled series with
+    generate_series and re-derives the same integers; the floor
+    division on the possibly-negative numerator uses the mod-adjusted
+    emulation (DuckDB ``//`` truncates, numpy floors)."""
+    from .agg import tree_fold_sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        tbl = pa.table({
+            "event_type": t["event_type"],
+            "day": pa.array(us // 86_400_000_000, type=pa.int64()),
+        })
+        return pa.TableGroupBy(tbl, ["event_type", "day"]).aggregate(
+            [([], "count_all")]).rename_columns(["event_type", "day", "y"])
+
+    def ols(df_: pd.DataFrame) -> pd.DataFrame:
+        cols = {"event_type": "object", "n_days": "int64",
+                "total": "int64", "slope_e6": "int64"}
+        if df_.empty:
+            return pd.DataFrame({c: pd.Series([], dtype=d)
+                                 for c, d in cols.items()})
+        lo, hi = int(df_["day"].min()), int(df_["day"].max())
+        days = np.arange(0, hi - lo + 1, dtype=np.int64)
+        rows = []
+        for et, g in df_.groupby("event_type"):
+            y = np.zeros(len(days), dtype=np.int64)
+            y[g["day"].to_numpy() - lo] = g["y"].to_numpy()
+            n = len(days)
+            sx, sy = days.sum(), y.sum()
+            sxy, sxx = (days * y).sum(), (days * days).sum()
+            den = n * sxx - sx * sx
+            slope = 0 if den == 0 else \
+                (1_000_000 * (n * sxy - sx * sy)) // den  # numpy floor
+            rows.append((et, n, int(sy), int(slope)))
+        return pd.DataFrame(rows, columns=list(cols)).astype(cols)
+
+    hist = tree_fold_sum(
+        _read_events(sf_dir, ["ts", "event_type"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "day"], ["y"])
+    return hist.map_batches(ols, batch_format="pandas", batch_size=None)
+
+
+SQL_EVENTS_TREND = """
+WITH d AS (
+  SELECT event_type,
+    date_diff('day',
+      (SELECT MIN(date_trunc('day', ts)) FROM events),
+      date_trunc('day', ts)) AS x,
+    COUNT(*)::BIGINT AS y
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT MAX(x) AS mx FROM d
+), filled AS (
+  SELECT t.event_type, gs.x, COALESCE(d.y, 0) AS y
+  FROM (SELECT DISTINCT event_type FROM d) t
+  CROSS JOIN (SELECT UNNEST(generate_series(0, (SELECT mx FROM span))) AS x) gs
+  LEFT JOIN d ON d.event_type = t.event_type AND d.x = gs.x
+), s AS (
+  SELECT event_type, COUNT(*)::BIGINT AS n, SUM(x)::BIGINT AS sx,
+         SUM(y)::BIGINT AS sy, SUM(x*y)::BIGINT AS sxy,
+         SUM(x*x)::BIGINT AS sxx
+  FROM filled GROUP BY 1
+)
+SELECT event_type, n AS n_days, sy AS total,
+  CASE WHEN n*sxx - sx*sx = 0 THEN 0 ELSE
+    ((1000000*(n*sxy - sx*sy))
+     - ((((1000000*(n*sxy - sx*sy)) % (n*sxx - sx*sx)) + (n*sxx - sx*sx))
+        % (n*sxx - sx*sx))) // (n*sxx - sx*sx)
+  END::BIGINT AS slope_e6
+FROM s
+"""
+
+
 # ------------------------------------------------------ transition matrix
 
 def q_events_transitions(sf_dir: str) -> ray.data.Dataset:
@@ -1254,6 +1345,7 @@ def queries():
         "events_value_quantiles": q_events_value_quantiles,
         "events_user_features": q_events_user_features,
         "events_transitions": q_events_transitions,
+        "events_trend": q_events_trend,
         "events_retention": q_events_retention,
         "events_retention_salted": q_events_retention_salted,
         "events_sliding": q_events_sliding,
@@ -1278,6 +1370,7 @@ def oracle_sql():
         "events_value_quantiles": SQL_EVENTS_VALUE_QUANTILES,
         "events_user_features": SQL_EVENTS_USER_FEATURES,
         "events_transitions": SQL_EVENTS_TRANSITIONS,
+        "events_trend": SQL_EVENTS_TREND,
         "tpch_segment_topk": SQL_TPCH_SEGMENT_TOPK,
         "events_retention": SQL_EVENTS_RETENTION,
         "events_retention_salted": SQL_EVENTS_RETENTION,

@@ -798,3 +798,27 @@ def test_outliers_match_serial_recompute(ray_session):
         .head(ann.OUTLIER_K).reset_index(drop=True)
     exp.insert(0, "rank", np.arange(1, len(exp) + 1, dtype=np.int64))
     pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)
+
+
+def test_top_direction_aligns_with_float_pca(ray_session, tmp_path,
+                                             monkeypatch):
+    """The fixed-point power iteration must (a) equal the serial
+    integer recompute exactly and (b) actually find the top principal
+    direction: cosine vs numpy's float eigenvector >= 0.99."""
+    from swarm_ray import fixtures
+    monkeypatch.setattr(fixtures, "FIXTURE_ROOT", tmp_path / "fx")
+
+    got = ann.q_emb_top_direction(SF)
+    exp_dir = fixtures.power_direction_expected_dir(SF)
+    exp = pq.read_table(exp_dir / "expected.parquet").to_pandas()
+    pd.testing.assert_frame_equal(got, exp)
+
+    m = np.asarray(pq.read_table(
+        f"{SF}/embeddings.parquet",
+        columns=["embedding"])["embedding"].to_pylist(), dtype=np.float64)
+    mc = m - m.mean(axis=0)
+    w, vec = np.linalg.eigh(mc.T @ mc)
+    top = vec[:, -1]
+    v = got["v_e6"].to_numpy(dtype=np.float64)
+    cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
+    assert cos >= 0.99, f"direction off: cos={cos:.4f}"

@@ -647,3 +647,26 @@ def test_transitions_user_boundary_and_tie_order(ray_session, tmp_path):
     assert out.loc[("view", "click"), "p_milli"] == 500
     assert out.loc[("view", "error"), "p_milli"] == 500
     assert out.loc[("click", "view"), "p_milli"] == 1000
+
+
+def test_trend_zero_fill_and_negative_floor(ray_session, tmp_path):
+    """Missing days are zero-filled over the GLOBAL day span, and the
+    slope floors (not truncates) on a negative numerator."""
+    from swarm_ray.ops.relational import q_events_trend
+    d0 = pd.Timestamp("2024-01-01")
+    day = pd.Timedelta(days=1)
+    # type a: 1,2,3 per day -> slope exactly +1e6 u-events/day
+    # type b: days 0 and 2 only (counts 2,_,1) -> y=[2,0,1] ->
+    #   num = 3*2-3*3 = -3, den = 6 -> floor(-1e6/2) = -500000
+    ts = ([d0] + [d0 + day] * 2 + [d0 + 2 * day] * 3
+          + [d0, d0] + [d0 + 2 * day])
+    et = ["a"] * 6 + ["b"] * 3
+    sf = _write_events(tmp_path, ts=ts, event_type=et,
+                       event_id=list(range(9)), user_id=[1] * 9,
+                       value=[1.0] * 9)
+    out = (q_events_trend(sf).to_pandas()
+           .set_index("event_type").sort_index())
+    assert out.loc["a", "n_days"] == 3 and out.loc["a", "total"] == 6
+    assert out.loc["a", "slope_e6"] == 1_000_000
+    assert out.loc["b", "n_days"] == 3 and out.loc["b", "total"] == 3
+    assert out.loc["b", "slope_e6"] == -500_000
