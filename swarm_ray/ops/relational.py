@@ -1045,6 +1045,140 @@ FROM events GROUP BY 1
 """
 
 
+# ------------------------------------------------- brand share / suppliers
+
+def q_tpch_brand_share(sf_dir: str) -> ray.data.Dataset:
+    """Per-brand lineitem volume, revenue and floor-milli REVENUE SHARE
+    — the category-mix report (TPC-H Q14's share-of-revenue shape,
+    keyed on brand). Covers the ``part`` dimension: partkey→brand is a
+    broadcast lookup (dense int8 brand-id array + the ≤ #brands name
+    list ride one ``ray.put``; at a 10⁸-part catalog that is ~100 MB —
+    still a dimension broadcast, the same plan as customer/nation), the
+    fact stream collapses to ≤ #brands partial rows per block, one
+    bounded tree fold lands the detail, and the share algebra runs on
+    those ≤ #brands rows in the final task."""
+    from .agg import tree_fold_sum
+    from ..util import autoscaling_pool
+
+    part = read_parquet_clean(f"{sf_dir}/part.parquet",
+                              columns=["p_partkey", "p_brand"]).to_pandas()
+    brands = sorted(part["p_brand"].unique())
+    bid = {b: i for i, b in enumerate(brands)}
+    lookup = np.full(int(part["p_partkey"].max()) + 1, -1, dtype=np.int16)
+    lookup[part["p_partkey"].to_numpy()] = \
+        part["p_brand"].map(bid).to_numpy(dtype=np.int16)
+    lref = ray.put(lookup)
+
+    class BrandPartial:
+        def __init__(self, lref):
+            self.lookup = ray.get(lref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            b = self.lookup[t["l_partkey"].to_numpy()]
+            cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"],
+                                                 100.0)), pa.int64())
+            tbl = pa.table({
+                "brand_id": pa.array(b.astype(np.int64)),
+                "n_items": pa.array(np.ones(len(t), dtype=np.int64)),
+                "price_cents": cents,
+            })
+            return pa.TableGroupBy(tbl, ["brand_id"]).aggregate(
+                [("n_items", "sum"), ("price_cents", "sum")]
+            ).rename_columns(["brand_id", "n_items", "price_cents"])
+
+    detail = tree_fold_sum(
+        read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_partkey", "l_extendedprice"])
+        .map_batches(BrandPartial, batch_format="pyarrow",
+                     zero_copy_batch=True,
+                     concurrency=autoscaling_pool(),
+                     fn_constructor_kwargs={"lref": lref}),
+        ["brand_id"], ["n_items", "price_cents"])
+
+    def share(df_: pd.DataFrame) -> pd.DataFrame:
+        cols = {"p_brand": "object", "n_items": "int64",
+                "price_cents": "int64", "share_milli": "int64"}
+        if df_.empty:
+            return pd.DataFrame({c: pd.Series([], dtype=d)
+                                 for c, d in cols.items()})
+        df_ = df_.assign(
+            p_brand=df_["brand_id"].map(dict(enumerate(brands))),
+            share_milli=(1000 * df_["price_cents"])
+            // df_["price_cents"].sum())
+        return df_[list(cols)].astype(cols)
+
+    return detail.repartition(1).map_batches(share, batch_format="pandas",
+                                             batch_size=None)
+
+
+SQL_TPCH_BRAND_SHARE = """
+WITH b AS (
+  SELECT p_brand, COUNT(*)::BIGINT AS n_items,
+    SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))::BIGINT
+      AS price_cents
+  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1
+)
+SELECT p_brand, n_items, price_cents,
+  ((1000 * price_cents) // (SELECT SUM(price_cents) FROM b))::BIGINT
+    AS share_milli
+FROM b
+"""
+
+
+def q_tpch_supplier_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-nation SUPPLIER balance rollup (count, total and max account
+    balance in cents) — covers the ``supplier`` table with the
+    broadcast-dimension plan (nation names ride the closure; ≤ #nations
+    rows end to end) and exercises a MIXED sum+max bounded fold
+    (``_tree_fold`` with a callable combine — sums and maxes are both
+    associative, so the tree stays exact). Balances can be negative;
+    only sums/maxes touch them, so no floor-division emulation is
+    needed in the SQL."""
+    from .agg import _tree_fold
+
+    nation = read_parquet_clean(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name"]).to_pandas()
+    names = dict(zip(nation["n_nationkey"], nation["n_name"]))
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["s_acctbal"], 100.0)),
+                        pa.int64())
+        tbl = pa.table({
+            "n_name": pa.array(
+                pd.Series(t["s_nationkey"].to_numpy(zero_copy_only=False))
+                .map(names), type=pa.string()),
+            "n_suppliers": pa.array(np.ones(len(t), dtype=np.int64)),
+            "bal_cents": cents,
+            "max_bal_cents": cents,
+        })
+        return combine(tbl)
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select(
+            ["n_name", "n_suppliers", "bal_cents", "max_bal_cents"]),
+            ["n_name"])
+        return g.aggregate([("n_suppliers", "sum"), ("bal_cents", "sum"),
+                            ("max_bal_cents", "max")]) \
+            .rename_columns(["n_name", "n_suppliers", "bal_cents",
+                             "max_bal_cents"])
+
+    parts = read_parquet_clean(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_nationkey", "s_acctbal"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True)
+    return _tree_fold(parts, ["n_name"],
+                      ["n_suppliers", "bal_cents", "max_bal_cents"], combine)
+
+
+SQL_TPCH_SUPPLIER_STATS = """
+SELECT n_name, COUNT(*)::BIGINT AS n_suppliers,
+  SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT))::BIGINT AS bal_cents,
+  MAX(CAST(ROUND(s_acctbal * 100) AS BIGINT))::BIGINT AS max_bal_cents
+FROM supplier JOIN nation ON s_nationkey = n_nationkey GROUP BY 1
+"""
+
+
 # ------------------------------------------------------------ daily trend
 
 def q_events_trend(sf_dir: str) -> ray.data.Dataset:
@@ -1361,6 +1495,8 @@ def queries():
         "tpch_bloom_semijoin": q_tpch_bloom_semijoin,
         "tpch_rollup_revenue": q_tpch_rollup_revenue,
         "tpch_segment_topk": q_tpch_segment_topk,
+        "tpch_brand_share": q_tpch_brand_share,
+        "tpch_supplier_stats": q_tpch_supplier_stats,
     }
 
 
@@ -1372,6 +1508,8 @@ def oracle_sql():
         "events_transitions": SQL_EVENTS_TRANSITIONS,
         "events_trend": SQL_EVENTS_TREND,
         "tpch_segment_topk": SQL_TPCH_SEGMENT_TOPK,
+        "tpch_brand_share": SQL_TPCH_BRAND_SHARE,
+        "tpch_supplier_stats": SQL_TPCH_SUPPLIER_STATS,
         "events_retention": SQL_EVENTS_RETENTION,
         "events_retention_salted": SQL_EVENTS_RETENTION,
         "tpch_priority_revenue": """
