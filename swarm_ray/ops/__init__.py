@@ -32,6 +32,13 @@ _DRIVER_FRONT = [
     "emb_cluster_purity", "tpch_rollup_revenue", "events_hourly_users",
     "emb_label_dispersion", "doc_pagerank", "doc_simhash_pairs",
     "media_dedup", "emb_pq_recall", "events_rate_limit",
+    # round-5 final-session additions (never driver-sampled; the
+    # window cuts at ~38 ops, so only the leading few land — the rest
+    # stay covered by `make oracle-all` / ORACLE_ALL_r5.txt)
+    "emb_dim_stats", "emb_outliers", "emb_top_direction",
+    "events_value_quantiles", "events_user_features",
+    "events_transitions", "events_trend", "doc_minhash_est",
+    "tpch_segment_topk", "tpch_brand_share", "tpch_supplier_stats",
     # last driver row r3 or earlier
     "emb_knn", "emb_lsh_ann", "emb_ivf_ann", "emb_near_dup",
     "emb_dedup_semantic", "emb_centroids",
