@@ -39,6 +39,7 @@ _DRIVER_FRONT = [
     "events_value_quantiles", "events_user_features",
     "events_transitions", "events_trend", "doc_minhash_est",
     "tpch_segment_topk", "tpch_brand_share", "tpch_supplier_stats",
+    "doc_dup_triangles",
     # last driver row r3 or earlier
     "emb_knn", "emb_lsh_ann", "emb_ivf_ann", "emb_near_dup",
     "emb_dedup_semantic", "emb_centroids",
@@ -90,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pagerank": dedup.q_doc_pagerank,
         "doc_simhash_pairs": dedup.q_simhash_pairs,
         "doc_minhash_est": dedup.q_doc_minhash_est_checked,
+        "doc_dup_triangles": dedup.q_doc_dup_triangles,
     }
     try:
         from . import spans
@@ -160,6 +162,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_dedup_near": sql.SQL_DEDUP_NEAR,
         "doc_pagerank": sql.SQL_DOC_PAGERANK,
         "doc_simhash_pairs": sql.SQL_SIMHASH_PAIRS,
+        "doc_dup_triangles": sql.SQL_DOC_TRIANGLES,
         "doc_dup_spans": sql.SQL_DOC_DUP_SPANS,
         "doc_dedup_spans": sql.SQL_DOC_DEDUP_SPANS,
         "doc_source_overlap": sql.SQL_DOC_SOURCE_OVERLAP,

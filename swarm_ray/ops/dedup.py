@@ -1338,78 +1338,10 @@ def q_doc_pagerank(sf_dir: str) -> ray.data.Dataset:
     (frontier-rare). Reference analogue: none (swarm has no graph
     ops) — north-star addition; recipe follows Page et al. 1999 with
     integer clocks."""
-    import hashlib
-
-    import pandas as pd
-
     from .agg import grouped_count, grouped_sum
-    from ..util import (cluster_cpus, enable_hash_shuffle,
-                        keyed_partition_count)
+    from ..util import cluster_cpus
 
-    docs = read_parquet_clean(_doc_files(sf_dir), columns=["doc_id", "text"])
-
-    def shingle_keys(batch: pd.DataFrame) -> pd.DataFrame:
-        md5, K = hashlib.md5, 5
-
-        def keys(text: str) -> list:
-            w = text.split(" ")
-            if len(w) < K:
-                return []
-            return sorted({
-                h for i in range(len(w) - K + 1)
-                if (h := md5(" ".join(w[i:i + K]).encode()).hexdigest())[0]
-                in PR_SHINGLE_PREFIXES})
-
-        ks = batch["text"].map(keys)
-        n = ks.str.len().to_numpy(dtype=np.int64)
-        if n.sum() == 0:
-            return pd.DataFrame({"key": pd.Series([], dtype="object"),
-                                 "doc_id": pd.Series([], dtype="int64")})
-        return pd.DataFrame({
-            "key": np.concatenate([np.asarray(x, dtype=object)
-                                   for x in ks if x]),
-            "doc_id": np.repeat(batch["doc_id"].to_numpy(), n),
-        })
-
-    fps = docs.map_batches(shingle_keys, batch_format="pandas",
-                           batch_size=4096)
-    # ~54/8 sampled shingles per doc × ~44 B per (md5-hex, id) row
-    nparts = keyed_partition_count(_docs_count(sf_dir) * 7 * 44)
-    enable_hash_shuffle(fps, nparts)
-
-    def block_edges(df_: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"s": pd.Series([], dtype="int64"),
-                              "t": pd.Series([], dtype="int64")})
-        if df_.empty:
-            return empty
-        sizes = df_.groupby("key", sort=False)["doc_id"].transform("size")
-        df_ = df_[sizes >= 2]
-        if df_.empty:
-            return empty
-        ss, ts = [], []
-        for _, g in df_.groupby("key", sort=False):
-            ids = g["doc_id"].to_numpy()
-            a = np.repeat(ids, len(ids))
-            b = np.tile(ids, len(ids))
-            m = a != b
-            ss.append(a[m])
-            ts.append(b[m])
-        return pd.DataFrame({"s": np.concatenate(ss),
-                             "t": np.concatenate(ts)})
-
-    raw = (fps.repartition(nparts, keys=["key"])
-           .map_batches(block_edges, batch_format="pandas",
-                        batch_size=None))
-    # frontier-bounded: materializing edges/degrees pins only the dup
-    # frontier, never the corpus. The s-keyed repartition makes the
-    # block-local DISTINCT globally exact (a pair emitted by both the
-    # min- and max-key groups lands in one block).
-    eparts = max(8, cluster_cpus())
-    enable_hash_shuffle(raw, eparts)
-    edges = (raw.repartition(eparts, keys=["s"])
-             .map_batches(lambda d: d.drop_duplicates(),
-                          batch_format="pandas", batch_size=None)
-             .materialize())
+    edges = _dup_edges(sf_dir)
     deg = grouped_count(edges, ["s"], alias="deg").materialize()
 
     base = (1000 - PR_DAMP_MILLI) * PR_SCALE // 1000
@@ -1454,3 +1386,161 @@ def q_doc_pagerank(sf_dir: str) -> ray.data.Dataset:
         lambda t: pa.table({"doc_id": t["s"], "deg": t["deg"],
                             "rank_e6": t["r"]}),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_doc_dup_triangles(sf_dir: str) -> ray.data.Dataset:
+    """Per-doc TRIANGLE counts over the duplicate-similarity graph —
+    the local-clustering diagnostic that separates genuine dup
+    CLUSTERS (triangle-dense: boilerplate families, mirror sets) from
+    chance pairwise collisions (triangle-free): the standard next
+    question after PageRank's "who is the hub". A doc's count is the
+    number of closed wedges at that apex, which equals its triangle
+    memberships exactly.
+
+    Scale shape: reuses the frontier-bounded ``_dup_edges`` substrate;
+    wedges are generated block-locally after the edges' existing
+    s-keyed partitioning (per-node O(deg²) fan-out — the same
+    documented bound as the pair fan-out that built the edges), and
+    closure is tested against a BROADCAST set of the undirected edges
+    (frontier-bounded, the doc_source_overlap cluster-map recipe; an
+    outgrown frontier switches to the two-round repartition-join
+    verify exactly as q_minhash_pairs does). One keyed exchange, one
+    broadcast, one bounded partial-sum fold."""
+    import pandas as pd
+
+    from .agg import grouped_sum
+    from ..util import cluster_cpus, enable_hash_shuffle
+
+    edges = _dup_edges(sf_dir)
+    und = edges.map_batches(
+        lambda t: t.filter(pc.less(t["s"], t["t"])),
+        batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    eset = set(zip(und["s"].tolist(), und["t"].tolist()))
+    eref = ray.put(eset)
+
+    class WedgeClose:
+        def __init__(self, eref):
+            self.eset = ray.get(eref)
+
+        def __call__(self, df_: pd.DataFrame) -> pa.Table:
+            rows = []
+            for apex, g in df_.groupby("s", sort=False):
+                nb = np.unique(g["t"].to_numpy())
+                if len(nb) < 2:
+                    continue
+                n = 0
+                for i in range(len(nb) - 1):
+                    for j in range(i + 1, len(nb)):
+                        if (int(nb[i]), int(nb[j])) in self.eset:
+                            n += 1
+                if n:
+                    rows.append((int(apex), n))
+            # ARROW block out (see shingle_keys): pandas through the
+            # groupby shuffle trips the schema-dedup hash warning
+            return pa.table({
+                "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "tri": pa.array([r[1] for r in rows], type=pa.int64())})
+
+    eparts = max(8, cluster_cpus())
+    enable_hash_shuffle(edges, eparts)
+    from ..util import autoscaling_pool
+    parts = (edges.repartition(eparts, keys=["s"])
+             .map_batches(WedgeClose, batch_format="pandas",
+                          batch_size=None,
+                          concurrency=autoscaling_pool(),
+                          fn_constructor_kwargs={"eref": eref}))
+    return grouped_sum(parts, ["doc_id"], "tri", alias="tri")
+
+
+def _dup_edges(sf_dir: str) -> ray.data.Dataset:
+    """Directed distinct edge set (s, t) of the duplicate-similarity
+    graph — the shared substrate of the graph-analytics family
+    (``q_doc_pagerank``, ``q_doc_dup_triangles``). See the PageRank
+    docstring for why the collision keys are a 1/8 shingle SAMPLE and
+    for the frontier/skew bounds; this helper is that op's edge
+    pipeline moved verbatim (keys → one keyed exchange → within-key
+    pair fan-out → s-keyed block-local DISTINCT), materialized
+    frontier-sized."""
+    import hashlib
+
+    import pandas as pd
+
+    from ..util import (cluster_cpus, enable_hash_shuffle,
+                        keyed_partition_count)
+
+    docs = read_parquet_clean(_doc_files(sf_dir), columns=["doc_id", "text"])
+
+    def shingle_keys(batch: pd.DataFrame) -> pd.DataFrame:
+        md5, K = hashlib.md5, 5
+
+        def keys(text: str) -> list:
+            w = text.split(" ")
+            if len(w) < K:
+                return []
+            return sorted({
+                h for i in range(len(w) - K + 1)
+                if (h := md5(" ".join(w[i:i + K]).encode()).hexdigest())[0]
+                in PR_SHINGLE_PREFIXES})
+
+        ks = batch["text"].map(keys)
+        n = ks.str.len().to_numpy(dtype=np.int64)
+        # ARROW block out: pandas blocks through the keyed hash shuffle
+        # trip Ray's schema-dedup hash ("unhashable type: 'dict'") once
+        # per aggregator task — the same log-noise class the r4 fixture
+        # fix removed from the bench tail (measured here too)
+        if n.sum() == 0:
+            return pa.table({"key": pa.array([], type=pa.string()),
+                             "doc_id": pa.array([], type=pa.int64())})
+        return pa.table({
+            "key": pa.array(np.concatenate(
+                [np.asarray(x, dtype=object) for x in ks if x]),
+                type=pa.string()),
+            "doc_id": pa.array(
+                np.repeat(batch["doc_id"].to_numpy(), n), type=pa.int64()),
+        })
+
+    fps = docs.map_batches(shingle_keys, batch_format="pandas",
+                           batch_size=4096)
+    # ~54/8 sampled shingles per doc × ~44 B per (md5-hex, id) row
+    nparts = keyed_partition_count(_docs_count(sf_dir) * 7 * 44)
+    enable_hash_shuffle(fps, nparts)
+
+    def block_edges(df_: pd.DataFrame) -> pa.Table:
+        empty = pa.table({"s": pa.array([], type=pa.int64()),
+                          "t": pa.array([], type=pa.int64())})
+        if df_.empty:
+            return empty
+        sizes = df_.groupby("key", sort=False)["doc_id"].transform("size")
+        df_ = df_[sizes >= 2]
+        if df_.empty:
+            return empty
+        ss, ts = [], []
+        for _, g in df_.groupby("key", sort=False):
+            ids = g["doc_id"].to_numpy()
+            a = np.repeat(ids, len(ids))
+            b = np.tile(ids, len(ids))
+            m = a != b
+            ss.append(a[m])
+            ts.append(b[m])
+        return pa.table({"s": pa.array(np.concatenate(ss), type=pa.int64()),
+                         "t": pa.array(np.concatenate(ts), type=pa.int64())})
+
+    raw = (fps.repartition(nparts, keys=["key"])
+           .map_batches(block_edges, batch_format="pandas",
+                        batch_size=None))
+    # frontier-bounded: materializing edges/degrees pins only the dup
+    # frontier, never the corpus. The s-keyed repartition makes the
+    # block-local DISTINCT globally exact (a pair emitted by both the
+    # min- and max-key groups lands in one block).
+    eparts = max(8, cluster_cpus())
+    enable_hash_shuffle(raw, eparts)
+
+    def distinct_block(d: pd.DataFrame) -> pa.Table:
+        d = d.drop_duplicates()
+        return pa.table({"s": pa.array(d["s"].to_numpy(), type=pa.int64()),
+                         "t": pa.array(d["t"].to_numpy(), type=pa.int64())})
+
+    return (raw.repartition(eparts, keys=["s"])
+            .map_batches(distinct_block, batch_format="pandas",
+                         batch_size=None)
+            .materialize())

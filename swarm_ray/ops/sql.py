@@ -624,6 +624,36 @@ SELECT node AS doc_id, deg, CAST(r AS BIGINT) AS rank_e6 FROM r{PR_ITERS}
 """
 
 
+# triangles: SAME edge derivation as PageRank (shared substrate —
+# swarm_ray.ops.dedup._dup_edges), then the canonical x<y<z 3-way
+# self-join; per-doc count = triangle memberships.
+SQL_DOC_TRIANGLES = f"""
+WITH d0 AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+    md5(array_to_string(w[CAST(t.i AS BIGINT):CAST(t.i AS BIGINT)+4], ' ')) AS fp
+  FROM d0, UNNEST(range(1, len(w) - 3)) AS t(i)
+  WHERE len(w) >= 5
+), f AS (
+  SELECT doc_id, fp FROM sh WHERE substr(fp, 1, 1) IN ({_PR_PREFIX_LIST})
+), und AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+), tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT doc_id, COUNT(*)::BIGINT AS tri FROM (
+  SELECT x AS doc_id FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+) GROUP BY 1
+"""
+
+
 from .dedup import SIMHASH_BANDS, SIMHASH_HAM  # noqa: E402
 
 SQL_SIMHASH_PAIRS = f"""

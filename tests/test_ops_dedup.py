@@ -455,3 +455,45 @@ def test_minhash_est_matches_serial_recompute(ray_session, tmp_path,
     assert len(got) > 0 and got["est_milli"].nunique() > 1
     assert (got["err_milli"] == (got["est_milli"]
                                  - got["jaccard_milli"]).abs()).all()
+
+
+def test_triangles_planted_clique_and_path(ray_session, tmp_path):
+    """A 4-clique (one shared sampled shingle) gives every member
+    C(3,2)=3 triangles; a 3-node path contributes none."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from swarm_ray.ops.dedup import (PR_SHINGLE_PREFIXES,
+                                     q_doc_dup_triangles)
+
+    def mine_shingle(tag):
+        for n in range(10_000):
+            s = f"{tag}a {tag}b {tag}c {tag}d k{n}"
+            if hashlib.md5(s.encode()).hexdigest()[0] in PR_SHINGLE_PREFIXES:
+                return s
+        raise AssertionError("no shingle found")
+
+    sK = mine_shingle("kq")               # clique key: docs 0-3
+    s1, s2 = mine_shingle("pa"), mine_shingle("pb")   # path 4-5-6
+    docs = [
+        (0, f"{sK} u0a u0b u0c u0d"),
+        (1, f"{sK} u1a u1b u1c u1d"),
+        (2, f"{sK} u2a u2b u2c u2d"),
+        (3, f"{sK} u3a u3b u3c u3d"),
+        (4, f"{s1} u4a u4b u4c u4d"),
+        (5, f"{s1} u5bridge {s2}"),
+        (6, f"{s2} u6a u6b u6c u6d"),
+    ]
+    t = pa.table({
+        "doc_id": pa.array([i for i, _ in docs], type=pa.int64()),
+        "text": pa.array([x for _, x in docs]),
+    })
+    _pq.write_table(t, tmp_path / "documents.parquet")
+
+    got = (q_doc_dup_triangles(str(tmp_path)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # only the clique members appear, each in exactly 3 triangles
+    assert got["doc_id"].tolist() == [0, 1, 2, 3]
+    assert got["tri"].tolist() == [3, 3, 3, 3]
