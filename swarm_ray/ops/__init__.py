@@ -39,7 +39,8 @@ _DRIVER_FRONT = [
     "events_value_quantiles", "events_user_features",
     "events_transitions", "events_trend", "doc_minhash_est",
     "tpch_segment_topk", "tpch_brand_share", "tpch_supplier_stats",
-    "doc_dup_triangles",
+    "doc_dup_triangles", "events_running_total", "events_interarrival",
+    "events_dau_wau",
     # last driver row r3 or earlier
     "emb_knn", "emb_lsh_ann", "emb_ivf_ann", "emb_near_dup",
     "emb_dedup_semantic", "emb_centroids",

@@ -1045,6 +1045,256 @@ FROM events GROUP BY 1
 """
 
 
+# ---------------------------------------------------- inter-arrival gaps
+
+def q_events_interarrival(sf_dir: str) -> ray.data.Dataset:
+    """EXACT inter-arrival gap percentiles (whole seconds, p50/p90/p99)
+    of consecutive same-user events under the (ts, event_id) order —
+    the cadence statistic behind bot detection and session-gap tuning
+    (SESSION_GAP_MIN should sit far right of p99; this op is how you
+    check). Same recipe stack as q_events_value_quantiles: the gap
+    domain is bounded by the OBSERVATION WINDOW in seconds (not the
+    corpus), so (gap_s, count) partials fold exactly and one final
+    task walks the CDF — but the partials here come AFTER a user-keyed
+    exchange + block-local consecutive-pair diff (the transitions
+    pairing, numeric twin)."""
+    from .agg import tree_fold_sum
+    from ..util import enable_hash_shuffle, keyed_partition_count
+
+    def gaps_block(df_: pd.DataFrame) -> pa.Table:
+        empty = pa.table({"gap_s": pa.array([], type=pa.int64()),
+                          "c": pa.array([], type=pa.int64())})
+        if len(df_) < 2:
+            return empty
+        df_ = df_.sort_values(["user_id", "ts", "event_id"],
+                              kind="mergesort")
+        uid = df_["user_id"].to_numpy()
+        us = df_["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        same = uid[1:] == uid[:-1]
+        gaps = (us[1:] - us[:-1])[same] // 1_000_000   # whole seconds
+        if len(gaps) == 0:
+            return empty
+        vals, counts = np.unique(gaps, return_counts=True)
+        return pa.table({"gap_s": pa.array(vals, type=pa.int64()),
+                         "c": pa.array(counts.astype(np.int64))})
+
+    def cdf_walk(df_: pd.DataFrame) -> pd.DataFrame:
+        cols = {"n_gaps": "int64"}
+        cols.update({f"p{p}_s": "int64" for p in QUANTILE_PS})
+        if df_.empty:
+            return pd.DataFrame({c: pd.Series([], dtype=d)
+                                 for c, d in cols.items()})
+        df_ = df_.sort_values("gap_s")
+        cum = df_["c"].to_numpy().cumsum()
+        n = int(cum[-1])
+        row = {"n_gaps": n}
+        for p in QUANTILE_PS:
+            idx = int(np.searchsorted(cum, (n - 1) * p // 100 + 1))
+            row[f"p{p}_s"] = int(df_["gap_s"].iloc[idx])
+        return pd.DataFrame([row]).astype(cols)
+
+    ds = _read_events(sf_dir, ["user_id", "ts", "event_id"])
+    nparts = keyed_partition_count(_events_count(sf_dir) * 24)
+    enable_hash_shuffle(ds, nparts)
+    partial = (ds.repartition(nparts, keys=["user_id"])
+               .map_batches(gaps_block, batch_format="pandas",
+                            batch_size=None))
+    return (tree_fold_sum(partial, ["gap_s"], ["c"])
+            .repartition(1)
+            .map_batches(cdf_walk, batch_format="pandas",
+                         batch_size=None))
+
+
+SQL_EVENTS_INTERARRIVAL = f"""
+WITH g AS (
+  SELECT (epoch_us(ts) - epoch_us(LAG(ts) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id))) // 1000000
+         AS gap_s
+  FROM events
+), v AS (
+  SELECT gap_s FROM g WHERE gap_s IS NOT NULL
+), r AS (
+  SELECT gap_s, ROW_NUMBER() OVER (ORDER BY gap_s) AS rn,
+         COUNT(*) OVER () AS n
+  FROM v
+)
+SELECT MAX(n)::BIGINT AS n_gaps,
+  {", ".join(
+      f"MAX(CASE WHEN rn = (n - 1) * {p} // 100 + 1 THEN gap_s END)"
+      f"::BIGINT AS p{p}_s" for p in QUANTILE_PS)}
+FROM r
+"""
+
+
+# ------------------------------------------------------------ DAU / WAU
+
+WAU_DAYS = 7
+
+
+def q_events_dau_wau(sf_dir: str) -> ray.data.Dataset:
+    """DAU / WAU / stickiness per calendar day — exact distinct-user
+    engagement with a ROLLING 7-day window, the dashboard headline the
+    hourly/retention ops bracket. Exactness without a distinct
+    shuffle, composing two established recipes: the bot-proof
+    user-day collapse (``q_events_retention_salted`` pass 1 — raw
+    events never ride the exchange, distinct (user, day) pairs do) and
+    the sliding-window fan-out (``q_events_sliding`` — each user-day
+    feeds the {WAU_DAYS} window anchors it is visible to). Because the
+    exchange is USER-keyed, the per-anchor distinct (a user active 3×
+    in a window counts once) is a block-local drop_duplicates — a user
+    never straddles blocks, so no distinct ever crosses the wire; the
+    (kind, day) partial counts are additive and CALENDAR-bounded
+    (≤ 2 × #days rows), and one final task aligns the two series over
+    the observed span and derives stickiness = 1000·dau // wau."""
+    from .agg import tree_fold_sum
+    from ..util import enable_hash_shuffle, keyed_partition_count
+
+    def user_days(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        tbl = pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "day": pa.array(us // 86_400_000_000, type=pa.int64())})
+        return tbl.group_by(["user_id", "day"]).aggregate([])
+
+    def window_partials(df_: pd.DataFrame) -> pa.Table:
+        empty = pa.table({"kind": pa.array([], type=pa.int64()),
+                          "day": pa.array([], type=pa.int64()),
+                          "c": pa.array([], type=pa.int64())})
+        if df_.empty:
+            return empty
+        df_ = df_.drop_duplicates(["user_id", "day"])
+        dau = df_.groupby("day").size()
+        anchors = pd.DataFrame({
+            "user_id": np.repeat(df_["user_id"].to_numpy(), WAU_DAYS),
+            "w": (np.repeat(df_["day"].to_numpy(), WAU_DAYS)
+                  + np.tile(np.arange(WAU_DAYS, dtype=np.int64),
+                            len(df_))),
+        }).drop_duplicates()          # block-local = globally exact
+        wau = anchors.groupby("w").size()
+        return pa.table({
+            "kind": pa.array(np.concatenate([
+                np.zeros(len(dau), dtype=np.int64),
+                np.ones(len(wau), dtype=np.int64)])),
+            "day": pa.array(np.concatenate([
+                dau.index.to_numpy(), wau.index.to_numpy()])),
+            "c": pa.array(np.concatenate([
+                dau.to_numpy(), wau.to_numpy()]).astype(np.int64)),
+        })
+
+    def align(df_: pd.DataFrame) -> pd.DataFrame:
+        cols = {"day": "object", "dau": "int64", "wau": "int64",
+                "stickiness_milli": "int64"}
+        if df_.empty:
+            return pd.DataFrame({c: pd.Series([], dtype=d)
+                                 for c, d in cols.items()})
+        dau = df_[df_["kind"] == 0].set_index("day")["c"]
+        wau = df_[df_["kind"] == 1].set_index("day")["c"]
+        lo, hi = int(dau.index.min()), int(dau.index.max())
+        days = np.arange(lo, hi + 1, dtype=np.int64)
+        d = dau.reindex(days, fill_value=0).to_numpy(dtype=np.int64)
+        w = wau.reindex(days, fill_value=0).to_numpy(dtype=np.int64)
+        stick = np.where(w > 0, (1000 * d) // np.maximum(w, 1), 0)
+        return pd.DataFrame({
+            "day": pd.to_datetime(days * 86_400_000_000, unit="us")
+            .strftime("%Y-%m-%d"),
+            "dau": d, "wau": w,
+            "stickiness_milli": stick.astype(np.int64),
+        }).astype(cols)
+
+    ds = _read_events(sf_dir, ["user_id", "ts"])
+    pairs = ds.map_batches(user_days, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    nparts = keyed_partition_count(_events_count(sf_dir) * 16)
+    enable_hash_shuffle(pairs, nparts)
+    partial = (pairs.repartition(nparts, keys=["user_id"])
+               .map_batches(window_partials, batch_format="pandas",
+                            batch_size=None))
+    return (tree_fold_sum(partial, ["kind", "day"], ["c"])
+            .repartition(1)
+            .map_batches(align, batch_format="pandas", batch_size=None))
+
+
+SQL_EVENTS_DAU_WAU = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+), span AS (
+  SELECT MIN(day) AS lo, MAX(day) AS hi FROM ud
+), days AS (
+  SELECT UNNEST(generate_series((SELECT lo FROM span),
+                                (SELECT hi FROM span),
+                                INTERVAL 1 DAY)) AS day
+), dau AS (
+  SELECT day, COUNT(*)::BIGINT AS dau FROM ud GROUP BY 1
+), wau AS (
+  SELECT d.day, COUNT(DISTINCT u.user_id)::BIGINT AS wau
+  FROM days d JOIN ud u
+    ON u.day BETWEEN d.day - INTERVAL {WAU_DAYS - 1} DAY AND d.day
+  GROUP BY 1
+)
+SELECT strftime(d.day, '%Y-%m-%d') AS day,
+  COALESCE(dau.dau, 0)::BIGINT AS dau,
+  COALESCE(wau.wau, 0)::BIGINT AS wau,
+  CASE WHEN COALESCE(wau.wau, 0) = 0 THEN 0
+       ELSE (1000 * COALESCE(dau.dau, 0)) // wau.wau END::BIGINT
+    AS stickiness_milli
+FROM days d
+LEFT JOIN dau ON dau.day = d.day
+LEFT JOIN wau ON wau.day = d.day
+"""
+
+
+# ------------------------------------------------------- running total
+
+def q_events_running_total(sf_dir: str) -> ray.data.Dataset:
+    """Per-user RUNNING VALUE TOTAL — every event row annotated with
+    the cumulative cents of that user's events so far (order:
+    ts, event_id): the ROW-LEVEL window function
+    (``SUM(...) OVER (PARTITION BY user ORDER BY ...)``) the window
+    family was missing — hourly/sliding are grouped aggregates, spikes
+    and trend are per-series folds; this one keeps corpus cardinality.
+    The budget/spend-tracking shape in a monitoring plane.
+
+    Scale shape: ONE user-keyed exchange; one block-local sort + a
+    C-path grouped cumsum; output streams at input cardinality with no
+    further exchange (annotate-then-write, the flagship's shape). Same
+    user-fits-one-block assumption + salted escape hatch as
+    sessionize."""
+    def block(df_: pd.DataFrame) -> pa.Table:
+        if df_.empty:
+            return pa.table({"event_id": pa.array([], type=pa.int64()),
+                             "user_id": pa.array([], type=pa.int64()),
+                             "run_cents": pa.array([], type=pa.int64())})
+        df_ = df_.sort_values(["user_id", "ts", "event_id"],
+                              kind="mergesort")
+        cents = np.round(df_["value"].to_numpy() * 100.0).astype(np.int64)
+        run = pd.Series(cents).groupby(
+            df_["user_id"].to_numpy(), sort=False).cumsum()
+        return pa.table({
+            "event_id": pa.array(df_["event_id"].to_numpy(),
+                                 type=pa.int64()),
+            "user_id": pa.array(df_["user_id"].to_numpy(),
+                                type=pa.int64()),
+            "run_cents": pa.array(run.to_numpy(), type=pa.int64()),
+        })
+
+    from ..util import enable_hash_shuffle, keyed_partition_count
+
+    ds = _read_events(sf_dir, ["event_id", "ts", "user_id", "value"])
+    nparts = keyed_partition_count(_events_count(sf_dir) * 32)
+    enable_hash_shuffle(ds, nparts)
+    return (ds.repartition(nparts, keys=["user_id"])
+            .map_batches(block, batch_format="pandas", batch_size=None))
+
+
+SQL_EVENTS_RUNNING_TOTAL = """
+SELECT event_id, user_id,
+  SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS UNBOUNDED PRECEDING)::BIGINT AS run_cents
+FROM events
+"""
+
+
 # ------------------------------------------------- brand share / suppliers
 
 def q_tpch_brand_share(sf_dir: str) -> ray.data.Dataset:
@@ -1480,6 +1730,9 @@ def queries():
         "events_user_features": q_events_user_features,
         "events_transitions": q_events_transitions,
         "events_trend": q_events_trend,
+        "events_running_total": q_events_running_total,
+        "events_interarrival": q_events_interarrival,
+        "events_dau_wau": q_events_dau_wau,
         "events_retention": q_events_retention,
         "events_retention_salted": q_events_retention_salted,
         "events_sliding": q_events_sliding,
@@ -1507,6 +1760,9 @@ def oracle_sql():
         "events_user_features": SQL_EVENTS_USER_FEATURES,
         "events_transitions": SQL_EVENTS_TRANSITIONS,
         "events_trend": SQL_EVENTS_TREND,
+        "events_running_total": SQL_EVENTS_RUNNING_TOTAL,
+        "events_interarrival": SQL_EVENTS_INTERARRIVAL,
+        "events_dau_wau": SQL_EVENTS_DAU_WAU,
         "tpch_segment_topk": SQL_TPCH_SEGMENT_TOPK,
         "tpch_brand_share": SQL_TPCH_BRAND_SHARE,
         "tpch_supplier_stats": SQL_TPCH_SUPPLIER_STATS,

@@ -670,3 +670,68 @@ def test_trend_zero_fill_and_negative_floor(ray_session, tmp_path):
     assert out.loc["a", "slope_e6"] == 1_000_000
     assert out.loc["b", "n_days"] == 3 and out.loc["b", "total"] == 3
     assert out.loc["b", "slope_e6"] == -500_000
+
+
+def test_running_total_per_user_cumulative(ray_session, tmp_path):
+    from swarm_ray.ops.relational import q_events_running_total
+    t0 = pd.Timestamp("2024-01-01")
+    m = pd.Timedelta(minutes=1)
+    sf = _write_events(
+        tmp_path,
+        ts=[t0, t0 + m, t0 + 2 * m, t0, t0 + m],
+        event_id=[1, 2, 3, 10, 11],
+        user_id=[1, 1, 1, 2, 2],
+        value=[1.00, 2.00, 0.50, 5.00, 0.25],
+    )
+    out = (q_events_running_total(sf).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    assert out["run_cents"].tolist() == [100, 300, 350, 500, 525]
+
+
+def test_interarrival_user_boundary_and_floor(ray_session, tmp_path):
+    """Gaps never cross users; whole-second floor (90s -> 90, 2.5s
+    would floor — pinned with a 59s->61s pair = 2 s)."""
+    from swarm_ray.ops.relational import q_events_interarrival
+    sf = _write_events(
+        tmp_path,
+        ts=[pd.Timestamp("2024-01-01 10:00:59"),
+            pd.Timestamp("2024-01-01 10:01:01"),
+            pd.Timestamp("2024-01-01 12:00:00"),
+            pd.Timestamp("2024-01-01 12:01:30"),
+            pd.Timestamp("2024-01-01 12:02:00")],
+        event_id=[1, 2, 10, 11, 12],
+        user_id=[1, 1, 2, 2, 2],
+        value=[1.0] * 5,
+    )
+    out = q_events_interarrival(sf).to_pandas()
+    # gaps: user1 = [2 s]; user2 = [90 s, 30 s]. If the cross-user 2 h
+    # gap leaked in, n would be 4 and every percentile would shift.
+    # sorted [2, 30, 90], n=3: p50 idx (2*50)//100=1 -> 30; p90/p99
+    # idx 1 -> 30 (the pinned lower-interpolation definition)
+    assert out["n_gaps"].iloc[0] == 3
+    assert out["p50_s"].iloc[0] == 30
+    assert out["p99_s"].iloc[0] == 30
+
+
+def test_dau_wau_rolling_window_and_gap_day(ray_session, tmp_path):
+    """Planted span with a silent day: DAU zero-fills, WAU rolls the
+    trailing 7 days, and a user active twice in one window counts
+    once."""
+    from swarm_ray.ops.relational import q_events_dau_wau
+    d = lambda i, h=0: pd.Timestamp("2024-01-01") + pd.Timedelta(days=i, hours=h)
+    # user 1 active days 0,1 (twice on day 1); user 2 active days 0, 3
+    sf = _write_events(
+        tmp_path,
+        ts=[d(0), d(1), d(1, 5), d(0, 2), d(3)],
+        event_id=[1, 2, 3, 10, 11],
+        user_id=[1, 1, 1, 2, 2],
+        value=[1.0] * 5,
+    )
+    out = (q_events_dau_wau(sf).to_pandas()
+           .sort_values("day").reset_index(drop=True))
+    assert out["day"].tolist() == ["2024-01-01", "2024-01-02",
+                                   "2024-01-03", "2024-01-04"]
+    assert out["dau"].tolist() == [2, 1, 0, 1]
+    # WAU trailing 7d: day0 {1,2}; day1 {1,2}; day2 {1,2}; day3 {1,2}
+    assert out["wau"].tolist() == [2, 2, 2, 2]
+    assert out["stickiness_milli"].tolist() == [1000, 500, 0, 500]
