@@ -40,7 +40,7 @@ _DRIVER_FRONT = [
     "events_transitions", "events_trend", "doc_minhash_est",
     "tpch_segment_topk", "tpch_brand_share", "tpch_supplier_stats",
     "doc_dup_triangles", "events_running_total", "events_interarrival",
-    "events_dau_wau",
+    "events_dau_wau", "doc_source_entropy",
     # last driver row r3 or earlier
     "emb_knn", "emb_lsh_ann", "emb_ivf_ann", "emb_near_dup",
     "emb_dedup_semantic", "emb_centroids",
@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_source_drift": text.q_doc_source_drift,
         "doc_source_terms": text.q_doc_source_terms,
         "doc_weighted_sample": text.q_doc_weighted_sample,
+        "doc_source_entropy": text.q_doc_source_entropy,
         "doc_pii_redact": text.q_doc_pii,
         # dedup family
         "doc_dedup_exact": dedup.q_dedup_exact,
@@ -154,6 +155,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_source_drift": sql.SQL_DOC_SOURCE_DRIFT,
         "doc_source_terms": sql.SQL_DOC_SOURCE_TERMS,
         "doc_weighted_sample": sql.SQL_DOC_WEIGHTED_SAMPLE,
+        "doc_source_entropy": sql.SQL_DOC_SOURCE_ENTROPY,
         "doc_pii_redact": text.pii_oracle_sql(),
         "doc_dedup_exact": sql.SQL_DEDUP_EXACT,
         "doc_dedup_incremental": sql.SQL_DEDUP_INCREMENTAL,

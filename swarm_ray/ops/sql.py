@@ -673,3 +673,20 @@ SELECT doc_a, doc_b,
        CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
 FROM cand WHERE bit_count(xor(ha, hb)) <= {SIMHASH_HAM}
 """
+
+
+SQL_DOC_SOURCE_ENTROPY = """
+WITH w AS (
+  SELECT source, UNNEST(string_split(text, ' ')) AS term FROM documents
+), c AS (
+  SELECT source, term, COUNT(*)::BIGINT AS c FROM w GROUP BY 1, 2
+), s AS (
+  SELECT source, SUM(c)::BIGINT AS n, COUNT(*)::BIGINT AS vocab,
+         SUM(c * CAST(FLOOR(1000 * ln(c) + 0.5) AS BIGINT))::BIGINT AS sl
+  FROM c GROUP BY 1
+)
+SELECT source, n AS n_words, vocab,
+  (CAST(FLOOR(1000 * ln(n) + 0.5) AS BIGINT) - sl // n)::BIGINT
+    AS ent_milli
+FROM s
+"""

@@ -1307,3 +1307,102 @@ def q_doc_weighted_sample(sf_dir: str) -> ray.data.Dataset:
     return (docs.map_batches(keys, batch_format="pandas", batch_size=8192)
             .repartition(1)
             .map_batches(final, batch_format="pandas", batch_size=None))
+
+
+# --------------------------------------------------- per-source entropy
+
+def q_doc_source_entropy(sf_dir: str) -> ray.data.Dataset:
+    """Per-source unigram ENTROPY (milli-nats) — the corpus-diversity
+    measurement behind mixing-weight decisions: a low-entropy source is
+    template/boilerplate-heavy (and a prime dedup target), a
+    high-entropy one is lexically diverse. Integer definition (every
+    term nonneg, floor at each division, so both sides land on the
+    same integers):
+
+        L(c)      = floor(1000·ln(c) + 0.5)   (the q_doc_lm_score form
+                                               — one libm call per
+                                               distinct count)
+        ent_milli = L(N) − (Σ_w c_w·L(c_w)) // N
+
+    which is the plug-in estimate of H = ln N − (Σ c·ln c)/N in
+    milli-nats. Also reports n_words (N) and vocab (distinct terms).
+
+    Scale shape — the q_doc_lm_score exchange plan with a bounded
+    tail: (source, term, tf) partials explode block-locally
+    (dictionary-encode + packed-key np.unique, no Python loop); ONE
+    repartition by TERM makes each (source, term)'s global count
+    block-local; the nonlinear L() applies there, and what leaves the
+    block is ≤ #sources rows of additive (n, vocab, Σc·L) partials —
+    the entropy algebra runs on the ≤ #sources final rows. The
+    vocabulary never rides a broadcast and never reaches the driver."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from .agg import tree_fold_sum
+    from .dedup import _docs_count
+    from ..util import enable_hash_shuffle, keyed_partition_count
+
+    docs = read_parquet_clean(_doc_files(sf_dir), columns=["source", "text"])
+
+    def explode_tf(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(t["text"].combine_chunks(), pattern=" ")
+        flat = words.values
+        counts = np.diff(words.offsets.to_numpy(zero_copy_only=False))
+        doc_of_pos = np.repeat(np.arange(len(t), dtype=np.int64), counts)
+        enc = pc.dictionary_encode(flat)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_codes = max(1, len(enc.dictionary))
+        src_enc = pc.dictionary_encode(t["source"].combine_chunks())
+        src_codes = src_enc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[doc_of_pos]
+        key = src_codes * n_codes + codes
+        uniq, tf = np.unique(key, return_counts=True)
+        return pa.table({
+            "source": src_enc.dictionary.take(pa.array(uniq // n_codes)),
+            "term": enc.dictionary.take(pa.array(uniq % n_codes)),
+            "tf": pa.array(tf.astype(np.int64), type=pa.int64()),
+        })
+
+    def block_partials(df_: pd.DataFrame) -> pd.DataFrame:
+        cols = {"source": "object", "n": "int64", "vocab": "int64",
+                "sl": "int64"}
+        if df_.empty:
+            return pd.DataFrame({c: pd.Series([], dtype=d)
+                                 for c, d in cols.items()})
+        # all rows of a term are co-located ⇒ (source, term) group sum
+        # is the GLOBAL count; L() applies only after this fold
+        g = df_.groupby(["source", "term"], sort=False)["tf"].sum() \
+            .reset_index()
+        c = g["tf"].to_numpy(dtype=np.float64)
+        llog = np.floor(1000.0 * np.log(c) + 0.5).astype(np.int64)
+        g = g.assign(_sl=g["tf"].to_numpy() * llog)
+        out = g.groupby("source", sort=False).agg(
+            n=("tf", "sum"), vocab=("tf", "size"), sl=("_sl", "sum")) \
+            .reset_index()
+        return out.astype(cols)
+
+    def entropy(df_: pd.DataFrame) -> pd.DataFrame:
+        cols = {"source": "object", "n_words": "int64", "vocab": "int64",
+                "ent_milli": "int64"}
+        if df_.empty:
+            return pd.DataFrame({c: pd.Series([], dtype=d)
+                                 for c, d in cols.items()})
+        n = df_["n"].to_numpy(dtype=np.int64)
+        ln_n = np.floor(1000.0 * np.log(n.astype(np.float64)) + 0.5) \
+            .astype(np.int64)
+        return pd.DataFrame({
+            "source": df_["source"].to_numpy(),
+            "n_words": n,
+            "vocab": df_["vocab"].to_numpy(dtype=np.int64),
+            "ent_milli": ln_n - df_["sl"].to_numpy(dtype=np.int64) // n,
+        }).astype(cols)
+
+    tf = docs.map_batches(explode_tf, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=4096)
+    nparts = keyed_partition_count(_docs_count(sf_dir) * 120)
+    enable_hash_shuffle(tf, nparts)
+    partial = (tf.repartition(nparts, keys=["term"])
+               .map_batches(block_partials, batch_format="pandas",
+                            batch_size=None))
+    return (tree_fold_sum(partial, ["source"], ["n", "vocab", "sl"])
+            .map_batches(entropy, batch_format="pandas", batch_size=None))

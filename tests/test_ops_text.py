@@ -569,3 +569,41 @@ def test_weighted_sample_exact_selection(ray_session, tmp_path):
         pq.write_table(t.slice(j * 30, 30), multi / f"documents-{j:03d}.parquet")
     got2 = q_doc_weighted_sample(str(multi)).to_pandas().reset_index(drop=True)
     pd.testing.assert_frame_equal(got, got2)
+
+
+def test_source_entropy_matches_serial_mathlog(ray_session):
+    """The vectorized numpy-log path must equal a serial Counter +
+    math.log recompute (math.log is the same libm call DuckDB makes,
+    so this also guards the numpy-SIMD 1-ulp divergence class the
+    weighted-sample op documented)."""
+    import math
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from swarm_ray.ops.text import q_doc_source_entropy
+
+    sf = "/root/testdata/sf0.001"
+    got = (q_doc_source_entropy(sf).to_pandas()
+           .sort_values("source").reset_index(drop=True))
+
+    t = pq.read_table(f"{sf}/documents.parquet",
+                      columns=["source", "text"]).to_pandas()
+    rows = []
+    for src, g in t.groupby("source"):
+        c = Counter()
+        for text in g["text"]:
+            c.update(text.split(" "))
+        n = sum(c.values())
+        sl = sum(v * math.floor(1000.0 * math.log(v) + 0.5)
+                 for v in c.values())
+        rows.append((src, n, len(c),
+                     math.floor(1000.0 * math.log(n) + 0.5) - sl // n))
+    import pandas as pd
+    exp = pd.DataFrame(rows, columns=["source", "n_words", "vocab",
+                                      "ent_milli"]) \
+        .astype({"n_words": "int64", "vocab": "int64",
+                 "ent_milli": "int64"}) \
+        .sort_values("source").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+    assert got["ent_milli"].nunique() > 1   # sources must differ
