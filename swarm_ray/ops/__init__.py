@@ -40,7 +40,7 @@ _DRIVER_FRONT = [
     "events_transitions", "events_trend", "doc_minhash_est",
     "tpch_segment_topk", "tpch_brand_share", "tpch_supplier_stats",
     "doc_dup_triangles", "events_running_total", "events_interarrival",
-    "events_dau_wau", "doc_source_entropy",
+    "events_dau_wau", "doc_source_entropy", "tpch_customer_rfm",
     # last driver row r3 or earlier
     "emb_knn", "emb_lsh_ann", "emb_ivf_ann", "emb_near_dup",
     "emb_dedup_semantic", "emb_centroids",

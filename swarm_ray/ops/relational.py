@@ -1295,6 +1295,77 @@ FROM events
 """
 
 
+# ------------------------------------------------------------ customer RFM
+
+def q_tpch_customer_rfm(sf_dir: str) -> ray.data.Dataset:
+    """Per-customer R/F/M features (recency in whole days vs the
+    corpus's last order date, order frequency, monetary total in
+    cents) — the classic segmentation featurization, and the ORDERS-
+    side counterpart of ``q_events_user_features`` with a deliberately
+    different plan: all three statistics are ASSOCIATIVE (min/count/
+    sum), so no keyed co-location is needed at all — each block
+    collapses to one fixed-width partial row per customer seen, and
+    Ray's sort-based groupby folds the partials; the only scalar pass
+    is the global max order date (metadata-small). Contrast: user
+    features needs the exchange because nunique does not distribute."""
+    from ray.data.aggregate import Max
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"])
+    last_us = ds.max("o_orderdate")
+    last_day = int(pd.Timestamp(last_us).value // 1000) // 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["o_orderdate"], pa.int64())
+        tbl = pa.table({
+            "c_custkey": t["o_custkey"],
+            "day": pa.array(
+                us.to_numpy(zero_copy_only=False) // 86_400_000_000,
+                type=pa.int64()),
+            "n_orders": pa.array(np.ones(len(t), dtype=np.int64)),
+            "total_cents": pc.cast(
+                pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                pa.int64()),
+        })
+        return pa.TableGroupBy(tbl, ["c_custkey"]).aggregate(
+            [("day", "max"), ("n_orders", "sum"), ("total_cents", "sum")]
+        ).rename_columns(["c_custkey", "day", "n_orders", "total_cents"])
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("c_custkey")
+           .aggregate(Max("day", alias_name="last_day"),
+                      Sum("n_orders", alias_name="n_orders"),
+                      Sum("total_cents", alias_name="total_cents")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": t["c_custkey"],
+            "recency_days": pa.array(
+                last_day - t["last_day"].to_numpy(zero_copy_only=False),
+                type=pa.int64()),
+            "n_orders": t["n_orders"],
+            "total_cents": t["total_cents"],
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+SQL_TPCH_CUSTOMER_RFM = """
+WITH last AS (
+  SELECT MAX(date_trunc('day', o_orderdate)) AS d FROM orders
+)
+SELECT o_custkey AS c_custkey,
+  date_diff('day', MAX(date_trunc('day', o_orderdate)),
+            (SELECT d FROM last))::BIGINT AS recency_days,
+  COUNT(*)::BIGINT AS n_orders,
+  SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))::BIGINT AS total_cents
+FROM orders GROUP BY 1
+"""
+
+
 # ------------------------------------------------- brand share / suppliers
 
 def q_tpch_brand_share(sf_dir: str) -> ray.data.Dataset:
@@ -1750,6 +1821,7 @@ def queries():
         "tpch_segment_topk": q_tpch_segment_topk,
         "tpch_brand_share": q_tpch_brand_share,
         "tpch_supplier_stats": q_tpch_supplier_stats,
+        "tpch_customer_rfm": q_tpch_customer_rfm,
     }
 
 
@@ -1766,6 +1838,7 @@ def oracle_sql():
         "tpch_segment_topk": SQL_TPCH_SEGMENT_TOPK,
         "tpch_brand_share": SQL_TPCH_BRAND_SHARE,
         "tpch_supplier_stats": SQL_TPCH_SUPPLIER_STATS,
+        "tpch_customer_rfm": SQL_TPCH_CUSTOMER_RFM,
         "events_retention": SQL_EVENTS_RETENTION,
         "events_retention_salted": SQL_EVENTS_RETENTION,
         "tpch_priority_revenue": """
