@@ -1790,6 +1790,344 @@ FROM r ORDER BY revenue_e4 DESC, o_orderkey LIMIT {SEGMENT_TOPK_K}
 """
 
 
+# -------------------------------------------- returned-item revenue (Q10)
+
+RETURNED_TOPK = 20
+
+
+def q_tpch_returned_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q10 analogue — top-``RETURNED_TOPK`` customers by revenue
+    from RETURNED lineitems, with customer name and nation attached.
+    The plan's novelty vs ``q_tpch_segment_topk`` is the LATE DIMENSION
+    FETCH: the customer table is never joined at fact scale. The
+    returned-lineitem stream (returnflag pruned AT THE READ) collapses
+    to per-block (orderkey, revenue) partials, hash-co-partition-joins
+    the orders key map, folds to per-customer revenue, and top-K head
+    folds (block heads → one final head). Only THEN do the ≤ K winning
+    custkeys fetch name/nation via a second pushed-down read of
+    customer (`c_custkey isin winners` — row-group pruned); nation is
+    a ≤ #nations driver lookup. At a 10⁹-row customer dimension the
+    join ships 20 rows, not 10⁹."""
+    from ..util import cluster_cpus, enable_hash_shuffle
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        e = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                    pa.int64())
+        d = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)),
+                    pa.int64())
+        tbl = pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "rev": pc.multiply(e, pc.subtract(pa.scalar(100, pa.int64()), d)),
+        })
+        return pa.TableGroupBy(tbl, ["l_orderkey"]).aggregate(
+            [("rev", "sum")]).rename_columns(["l_orderkey", "rev"])
+
+    li = (read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=(pc.field("l_returnflag") == "R"))
+        .map_batches(rev_partial, batch_format="pyarrow",
+                     zero_copy_batch=True))
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_custkey"])
+    enable_hash_shuffle(li, max(8, cluster_cpus()))
+    j = li.join(orders, join_type="inner",
+                num_partitions=max(8, cluster_cpus()),
+                on=("l_orderkey",), right_on=("o_orderkey",))
+    agg = j.groupby("o_custkey").aggregate(Sum("rev",
+                                               alias_name="revenue_e4"))
+
+    def head_block(df_: pd.DataFrame) -> pd.DataFrame:
+        return df_.sort_values(["revenue_e4", "o_custkey"],
+                               ascending=[False, True]).head(RETURNED_TOPK)
+
+    top = (agg.map_batches(head_block, batch_format="pandas",
+                           batch_size=None)
+           .repartition(1)
+           .map_batches(head_block, batch_format="pandas",
+                        batch_size=None)).to_pandas()
+
+    # late dimension fetch: ≤ K custkeys, pushed down into the read
+    winners = top["o_custkey"].tolist()
+    cust = read_parquet_clean(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey"],
+        filter=(pc.field("c_custkey").isin(winners))).to_pandas()
+    nation = read_parquet_clean(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name"]).to_pandas()
+    out = (top.rename(columns={"o_custkey": "c_custkey"})
+           .merge(cust, on="c_custkey")
+           .merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+           .sort_values(["revenue_e4", "c_custkey"],
+                        ascending=[False, True]).reset_index(drop=True))
+    out.insert(0, "rank", np.arange(1, len(out) + 1, dtype=np.int64))
+    return out[["rank", "c_custkey", "c_name", "n_name", "revenue_e4"]]
+
+
+SQL_TPCH_RETURNED_REVENUE = f"""
+WITH r AS (
+  SELECT o_custkey AS c_custkey,
+    SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+        * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))::BIGINT
+      AS revenue_e4
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R' GROUP BY 1
+)
+SELECT ROW_NUMBER() OVER (ORDER BY revenue_e4 DESC, c_custkey)::BIGINT
+         AS rank,
+       c_custkey, c_name, n_name, revenue_e4
+FROM r JOIN customer USING (c_custkey)
+JOIN nation ON c_nationkey = n_nationkey
+ORDER BY revenue_e4 DESC, c_custkey LIMIT {RETURNED_TOPK}
+"""
+
+
+# ----------------------------------------- orders-per-customer dist (Q13)
+
+def q_tpch_order_dist(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q13 analogue — the distribution of orders-per-customer
+    INCLUDING the zero-order customers (SQL needs a LEFT JOIN for
+    those; here they cost literally nothing): the orders stream
+    collapses to per-block custkey-count partials, one keyed groupby
+    lands exact per-customer counts, a second per-block histogram fold
+    is BOUNDED (≤ max-orders-per-customer distinct values), and the
+    zero bucket is computed in the final task as
+    ``footer_row_count(customer) − Σ n_custs`` — the customer table
+    contributes its parquet FOOTER metadata only; no customer row is
+    read, let alone joined, at any scale."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq_
+
+    from .agg import grouped_count, tree_fold_sum
+
+    p = Path(sf_dir) / "customer.parquet"
+    files = sorted(p.glob("**/*.parquet")) if p.is_dir() else [p]
+    n_customers = sum(pq_.read_metadata(f).num_rows for f in files)
+
+    per_cust = grouped_count(
+        read_parquet_clean(f"{sf_dir}/orders.parquet",
+                           columns=["o_custkey"]),
+        ["o_custkey"], alias="n_orders")
+
+    def hist(t: pa.Table) -> pa.Table:
+        tbl = pa.table({
+            "n_orders": t["n_orders"],
+            "n_custs": pa.array(np.ones(len(t), dtype=np.int64)),
+        })
+        return pa.TableGroupBy(tbl, ["n_orders"]).aggregate(
+            [("n_custs", "sum")]).rename_columns(["n_orders", "n_custs"])
+
+    folded = tree_fold_sum(
+        per_cust.map_batches(hist, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        ["n_orders"], ["n_custs"])
+
+    def add_zero(df_: pd.DataFrame) -> pd.DataFrame:
+        zero = n_customers - int(df_["n_custs"].sum())
+        if zero > 0:
+            df_ = pd.concat([df_, pd.DataFrame({"n_orders": [0],
+                                                "n_custs": [zero]})])
+        return df_.astype({"n_orders": "int64", "n_custs": "int64"}) \
+            .sort_values("n_orders").reset_index(drop=True)
+
+    return folded.repartition(1).map_batches(
+        add_zero, batch_format="pandas", batch_size=None)
+
+
+SQL_TPCH_ORDER_DIST = """
+WITH per AS (
+  SELECT c_custkey, COUNT(o_orderkey)::BIGINT AS n_orders
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY 1
+)
+SELECT n_orders, COUNT(*)::BIGINT AS n_custs FROM per GROUP BY 1
+"""
+
+
+# ------------------------------------------- small-quantity revenue (Q17)
+
+SMALL_QTY_BRAND = "Brand#11"
+
+
+def q_tpch_small_qty_rev(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q17 analogue — revenue from lineitems whose quantity is
+    below 0.2 × the part's average quantity, one brand. The correlated
+    ``l_quantity < 0.2 * AVG(...) per part`` is made integer-exact as
+    ``5 · n_part · qty_cents < sum_qty_cents`` and resolved with TWO
+    pruned fact passes instead of a self-join: pass 1 folds per-part
+    (Σ qty, n) for the brand's parts (brand membership is a broadcast
+    bitmap; the per-part stats array rides ONE ``ray.put``, dense
+    int64, ~16 B/part — at a 10⁷-part brand that is 160 MB, the same
+    envelope as the brand-share lookup), pass 2 re-streams the pruned
+    lineitems and keeps the predicate's survivors. No all-to-all
+    exchange at all: both passes are map-only over a bitmap-filtered
+    scan and the fold is bounded by #parts-in-brand."""
+    from .agg import tree_fold_sum
+    from ..util import autoscaling_pool
+
+    part = read_parquet_clean(
+        f"{sf_dir}/part.parquet", columns=["p_partkey"],
+        filter=(pc.field("p_brand") == SMALL_QTY_BRAND)).to_pandas()
+    keep = np.zeros(int(part["p_partkey"].max()) + 1, dtype=bool)
+    keep[part["p_partkey"].to_numpy()] = True
+    keep_ref = ray.put(keep)
+
+    def li(columns):
+        return read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                                  columns=columns)
+
+    class QtyPartial:
+        def __init__(self, keep_ref):
+            self.keep = ray.get(keep_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            pk = t["l_partkey"].to_numpy()
+            mask = (pk < len(self.keep)) & self.keep[
+                np.minimum(pk, len(self.keep) - 1)]
+            t = t.filter(pa.array(mask))
+            tbl = pa.table({
+                "l_partkey": t["l_partkey"],
+                "sum_q": pc.cast(pc.round(
+                    pc.multiply(t["l_quantity"], 100.0)), pa.int64()),
+                "n": pa.array(np.ones(len(t), dtype=np.int64)),
+            })
+            return pa.TableGroupBy(tbl, ["l_partkey"]).aggregate(
+                [("sum_q", "sum"), ("n", "sum")]
+            ).rename_columns(["l_partkey", "sum_q", "n"])
+
+    stats = tree_fold_sum(
+        li(["l_partkey", "l_quantity"]).map_batches(
+            QtyPartial, batch_format="pyarrow", zero_copy_batch=True,
+            concurrency=autoscaling_pool(),
+            fn_constructor_kwargs={"keep_ref": keep_ref}),
+        ["l_partkey"], ["sum_q", "n"]).to_pandas()
+    sum_q = np.zeros(len(keep), dtype=np.int64)
+    n_pp = np.zeros(len(keep), dtype=np.int64)
+    sum_q[stats["l_partkey"].to_numpy()] = stats["sum_q"].to_numpy()
+    n_pp[stats["l_partkey"].to_numpy()] = stats["n"].to_numpy()
+    stats_ref = ray.put((sum_q, n_pp))
+
+    class SmallQty:
+        def __init__(self, stats_ref):
+            self.sum_q, self.n = ray.get(stats_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            raw = t["l_partkey"].to_numpy()
+            in_range = raw < len(self.n)
+            pk = np.where(in_range, raw, 0)
+            q = pc.cast(pc.round(pc.multiply(t["l_quantity"], 100.0)),
+                        pa.int64()).to_numpy()
+            p = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                        pa.int64()).to_numpy()
+            mask = in_range & (5 * self.n[pk] * q < self.sum_q[pk])
+            return pa.table({
+                "n_items": pa.array([np.int64(mask.sum())]),
+                "total_cents": pa.array([p[mask].sum()], type=pa.int64()),
+            })
+
+    partials = li(["l_partkey", "l_quantity", "l_extendedprice"]) \
+        .map_batches(SmallQty, batch_format="pyarrow",
+                     zero_copy_batch=True,
+                     concurrency=autoscaling_pool(),
+                     fn_constructor_kwargs={"stats_ref": stats_ref})
+
+    def total(df_: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "n_items": [np.int64(df_["n_items"].sum())],
+            "total_cents": [np.int64(df_["total_cents"].sum())],
+        })
+
+    return partials.repartition(1).map_batches(
+        total, batch_format="pandas", batch_size=None)
+
+
+SQL_TPCH_SMALL_QTY_REV = f"""
+WITH l AS (
+  SELECT l_partkey,
+    CAST(ROUND(l_quantity * 100) AS BIGINT) AS q,
+    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS p
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = '{SMALL_QTY_BRAND}'
+), a AS (
+  SELECT l_partkey, SUM(q)::BIGINT AS s, COUNT(*)::BIGINT AS n
+  FROM l GROUP BY 1
+)
+SELECT COUNT(*)::BIGINT AS n_items,
+       COALESCE(SUM(l.p), 0)::BIGINT AS total_cents
+FROM l JOIN a USING (l_partkey) WHERE 5 * a.n * l.q < a.s
+"""
+
+
+# ------------------------------------------------- top supplier (Q15)
+
+TOP_SUPPLIER_START = "1997-01-01"
+TOP_SUPPLIER_END = "1997-04-01"
+
+
+def q_tpch_top_supplier(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q15 analogue — the supplier(s) with MAXIMUM revenue in a
+    quarter (ties all reported, as Q15 requires). Date window pruned at
+    the read; per-block (suppkey, revenue) partials collapse before the
+    one keyed groupby; the max is a scalar fold over the ≤ #suppliers
+    aggregate (never the fact table); winners filter-scan that same
+    small aggregate; supplier names arrive by LATE DIMENSION FETCH
+    (pushed-down ``isin`` read of supplier for the ≤ #ties winners) —
+    the supplier dimension never joins at fact scale."""
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        e = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                    pa.int64())
+        d = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)),
+                    pa.int64())
+        tbl = pa.table({
+            "s_suppkey": t["l_suppkey"],
+            "rev": pc.multiply(e, pc.subtract(pa.scalar(100, pa.int64()), d)),
+        })
+        return pa.TableGroupBy(tbl, ["s_suppkey"]).aggregate(
+            [("rev", "sum")]).rename_columns(["s_suppkey", "rev"])
+
+    agg = (read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+        filter=((pc.field("l_shipdate") >= pd.Timestamp(TOP_SUPPLIER_START))
+                & (pc.field("l_shipdate") < pd.Timestamp(TOP_SUPPLIER_END))))
+        .map_batches(rev_partial, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby("s_suppkey").aggregate(Sum("rev", alias_name="total_rev_e4")))
+    best = agg.max("total_rev_e4")
+    winners = agg.filter(
+        expr=f"total_rev_e4 == {best}").to_pandas()
+
+    supp = read_parquet_clean(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"],
+        filter=(pc.field("s_suppkey").isin(
+            winners["s_suppkey"].tolist()))).to_pandas()
+    out = winners.merge(supp, on="s_suppkey") \
+        .sort_values("s_suppkey").reset_index(drop=True)
+    return out[["s_suppkey", "s_name", "total_rev_e4"]] \
+        .astype({"s_suppkey": "int64", "total_rev_e4": "int64"})
+
+
+SQL_TPCH_TOP_SUPPLIER = f"""
+WITH r AS (
+  SELECT l_suppkey AS s_suppkey,
+    SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+        * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))::BIGINT
+      AS total_rev_e4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{TOP_SUPPLIER_START}'
+    AND l_shipdate < TIMESTAMP '{TOP_SUPPLIER_END}'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, total_rev_e4
+FROM r JOIN supplier USING (s_suppkey)
+WHERE total_rev_e4 = (SELECT MAX(total_rev_e4) FROM r)
+ORDER BY s_suppkey
+"""
+
+
 def queries():
     return {
         "events_parse_props": q_events_parse_props,
@@ -1822,6 +2160,10 @@ def queries():
         "tpch_brand_share": q_tpch_brand_share,
         "tpch_supplier_stats": q_tpch_supplier_stats,
         "tpch_customer_rfm": q_tpch_customer_rfm,
+        "tpch_returned_revenue": q_tpch_returned_revenue,
+        "tpch_order_dist": q_tpch_order_dist,
+        "tpch_small_qty_rev": q_tpch_small_qty_rev,
+        "tpch_top_supplier": q_tpch_top_supplier,
     }
 
 
@@ -1839,6 +2181,10 @@ def oracle_sql():
         "tpch_brand_share": SQL_TPCH_BRAND_SHARE,
         "tpch_supplier_stats": SQL_TPCH_SUPPLIER_STATS,
         "tpch_customer_rfm": SQL_TPCH_CUSTOMER_RFM,
+        "tpch_returned_revenue": SQL_TPCH_RETURNED_REVENUE,
+        "tpch_order_dist": SQL_TPCH_ORDER_DIST,
+        "tpch_small_qty_rev": SQL_TPCH_SMALL_QTY_REV,
+        "tpch_top_supplier": SQL_TPCH_TOP_SUPPLIER,
         "events_retention": SQL_EVENTS_RETENTION,
         "events_retention_salted": SQL_EVENTS_RETENTION,
         "tpch_priority_revenue": """
