@@ -2128,6 +2128,275 @@ ORDER BY s_suppkey
 """
 
 
+# ------------------------------------------------ promo revenue share (Q14)
+
+PROMO_START = "1998-03-01"
+PROMO_END = "1998-04-01"
+
+
+def q_tpch_promo_share(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q14 analogue — share of one month's revenue from PROMO
+    parts. The part dimension rides as a broadcast promo BITMAP (1 bit
+    per partkey — 12.5 MB at a 10⁸-part catalog); the date window is
+    pruned AT THE READ; each block collapses to ONE (promo_e4,
+    total_e4) partial row and a scalar fold lands the share. Map-only:
+    no exchange of any kind."""
+    from .agg import tree_fold_sum
+    from ..util import autoscaling_pool
+
+    part = read_parquet_clean(
+        f"{sf_dir}/part.parquet", columns=["p_partkey"],
+        filter=(pc.field("p_type") == "PROMO")).to_pandas()
+    promo = np.zeros(int(part["p_partkey"].max()) + 2, dtype=bool)
+    promo[part["p_partkey"].to_numpy()] = True
+    pref = ray.put(promo)
+
+    class PromoPartial:
+        def __init__(self, pref):
+            self.promo = ray.get(pref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            e = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                        pa.int64()).to_numpy()
+            d = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)),
+                        pa.int64()).to_numpy()
+            rev = e * (100 - d)
+            pk = t["l_partkey"].to_numpy()
+            is_promo = (pk < len(self.promo)) & self.promo[
+                np.minimum(pk, len(self.promo) - 1)]
+            return pa.table({
+                "one": pa.array([np.int64(1)]),
+                "promo_e4": pa.array([rev[is_promo].sum()], type=pa.int64()),
+                "total_e4": pa.array([rev.sum()], type=pa.int64()),
+            })
+
+    folded = tree_fold_sum(
+        read_parquet_clean(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_extendedprice", "l_discount"],
+            filter=((pc.field("l_shipdate") >= pd.Timestamp(PROMO_START))
+                    & (pc.field("l_shipdate") < pd.Timestamp(PROMO_END))))
+        .map_batches(PromoPartial, batch_format="pyarrow",
+                     zero_copy_batch=True,
+                     concurrency=autoscaling_pool(),
+                     fn_constructor_kwargs={"pref": pref}),
+        ["one"], ["promo_e4", "total_e4"])
+
+    def share(df_: pd.DataFrame) -> pd.DataFrame:
+        p = np.int64(df_["promo_e4"].sum())
+        t = np.int64(df_["total_e4"].sum())
+        return pd.DataFrame({
+            "promo_e4": [p], "total_e4": [t],
+            "promo_milli": [np.int64((1000 * p) // t) if t else np.int64(0)],
+        })
+
+    return folded.repartition(1).map_batches(share, batch_format="pandas",
+                                             batch_size=None)
+
+
+SQL_TPCH_PROMO_SHARE = f"""
+WITH l AS (
+  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS rev,
+         p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '{PROMO_START}'
+    AND l_shipdate < TIMESTAMP '{PROMO_END}'
+)
+SELECT SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END)::BIGINT
+         AS promo_e4,
+       SUM(rev)::BIGINT AS total_e4,
+       ((1000 * SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END))
+        // SUM(rev))::BIGINT AS promo_milli
+FROM l
+"""
+
+
+# ------------------------------------------ disjunctive predicate (Q19)
+
+DISJ_CLAUSES = [  # (brand, size_lo, size_hi, qty_lo, qty_hi)
+    ("Brand#12", 1, 15, 1, 15),
+    ("Brand#23", 10, 30, 10, 25),
+    ("Brand#34", 20, 50, 25, 50),
+]
+
+
+def q_tpch_disjunctive_rev(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q19 analogue — revenue under an OR of three
+    (brand, size-range, quantity-range) clauses. A naïve plan joins
+    lineitem⋈part three times (or once plus a row-wise CASE); here the
+    part ATTRIBUTES ship as two dense broadcast arrays (brand-id int16
+    + size int8, 3 B/part — 300 MB at 10⁸ parts, one ``ray.put``), the
+    whole disjunction evaluates as vectorized numpy boolean algebra
+    inside each map task, and each block collapses to one (n, rev)
+    partial. Map-only; the OR never multiplies passes or joins."""
+    from .agg import tree_fold_sum
+    from ..util import autoscaling_pool
+
+    part = read_parquet_clean(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_size"]).to_pandas()
+    brands = sorted(part["p_brand"].unique())
+    bid = {b: i for i, b in enumerate(brands)}
+    n_slots = int(part["p_partkey"].max()) + 2
+    brand_arr = np.full(n_slots, -1, dtype=np.int16)
+    size_arr = np.zeros(n_slots, dtype=np.int16)
+    pk = part["p_partkey"].to_numpy()
+    brand_arr[pk] = part["p_brand"].map(bid).to_numpy(dtype=np.int16)
+    size_arr[pk] = part["p_size"].to_numpy(dtype=np.int16)
+    clauses = [(bid.get(b, -2), slo, shi, qlo, qhi)
+               for b, slo, shi, qlo, qhi in DISJ_CLAUSES]
+    ref = ray.put((brand_arr, size_arr, clauses))
+
+    class DisjPartial:
+        def __init__(self, ref):
+            self.brand, self.size, self.clauses = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            pk = np.minimum(t["l_partkey"].to_numpy(), len(self.brand) - 1)
+            b, s = self.brand[pk], self.size[pk]
+            q = pc.cast(pc.round(t["l_quantity"]), pa.int64()).to_numpy()
+            e = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                        pa.int64()).to_numpy()
+            d = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)),
+                        pa.int64()).to_numpy()
+            mask = np.zeros(len(q), dtype=bool)
+            for cb, slo, shi, qlo, qhi in self.clauses:
+                mask |= ((b == cb) & (s >= slo) & (s <= shi)
+                         & (q >= qlo) & (q <= qhi))
+            rev = e[mask] * (100 - d[mask])
+            return pa.table({
+                "one": pa.array([np.int64(1)]),
+                "n_items": pa.array([np.int64(mask.sum())]),
+                "revenue_e4": pa.array([rev.sum()], type=pa.int64()),
+            })
+
+    folded = tree_fold_sum(
+        read_parquet_clean(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_quantity", "l_extendedprice",
+                     "l_discount"])
+        .map_batches(DisjPartial, batch_format="pyarrow",
+                     zero_copy_batch=True,
+                     concurrency=autoscaling_pool(),
+                     fn_constructor_kwargs={"ref": ref}),
+        ["one"], ["n_items", "revenue_e4"])
+
+    def total(df_: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "n_items": [np.int64(df_["n_items"].sum())],
+            "revenue_e4": [np.int64(df_["revenue_e4"].sum())],
+        })
+
+    return folded.repartition(1).map_batches(total, batch_format="pandas",
+                                             batch_size=None)
+
+
+def _disj_sql() -> str:
+    ors = " OR ".join(
+        f"(p_brand = '{b}' AND p_size BETWEEN {slo} AND {shi}"
+        f" AND l_quantity BETWEEN {qlo} AND {qhi})"
+        for b, slo, shi, qlo, qhi in DISJ_CLAUSES)
+    return f"""
+SELECT COUNT(*)::BIGINT AS n_items,
+  COALESCE(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))), 0)::BIGINT
+    AS revenue_e4
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE {ors}
+"""
+
+
+SQL_TPCH_DISJUNCTIVE_REV = _disj_sql()
+
+
+# ------------------------------------------------- big-order HAVING (Q18)
+
+BIG_ORDER_QTY_CENTS = 300 * 100  # SUM(l_quantity) > 300
+BIG_ORDER_TOPK = 100
+
+
+def q_tpch_big_orders(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q18 analogue — orders whose total quantity exceeds a
+    HAVING threshold, top-``BIG_ORDER_TOPK`` by total price with the
+    customer name attached. Per-block (orderkey, qty) partials collapse
+    before ONE keyed groupby; the HAVING filter runs on the aggregate
+    (the fact table is never re-scanned); the ≤ tail-sized survivor set
+    fetches its order rows by a pushed-down ``isin`` read of orders
+    (row-group pruned), top-K is a block-head fold, and the ≤ K winning
+    customers arrive by late dimension fetch — neither orders nor
+    customer ever joins at fact scale."""
+    from .agg import tree_fold_sum
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        tbl = pa.table({
+            "o_orderkey": t["l_orderkey"],
+            "qty_cents": pc.cast(pc.round(
+                pc.multiply(t["l_quantity"], 100.0)), pa.int64()),
+        })
+        return pa.TableGroupBy(tbl, ["o_orderkey"]).aggregate(
+            [("qty_cents", "sum")]).rename_columns(
+                ["o_orderkey", "qty_cents"])
+
+    agg = tree_fold_sum(
+        read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_orderkey", "l_quantity"])
+        .map_batches(qty_partial, batch_format="pyarrow",
+                     zero_copy_batch=True),
+        ["o_orderkey"], ["qty_cents"])
+    big = agg.filter(
+        expr=f"qty_cents > {BIG_ORDER_QTY_CENTS}").to_pandas()
+    if big.empty:
+        return pd.DataFrame({
+            "o_orderkey": pd.Series([], dtype="int64"),
+            "c_name": pd.Series([], dtype="object"),
+            "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+            "totalprice_cents": pd.Series([], dtype="int64"),
+            "qty_cents": pd.Series([], dtype="int64"),
+        })
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+        filter=(pc.field("o_orderkey").isin(
+            big["o_orderkey"].tolist()))).to_pandas()
+    merged = big.merge(orders, on="o_orderkey")
+    merged["totalprice_cents"] = np.round(
+        merged["o_totalprice"] * 100).astype(np.int64)
+    top = merged.sort_values(
+        ["totalprice_cents", "o_orderkey"],
+        ascending=[False, True]).head(BIG_ORDER_TOPK)
+
+    cust = read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"],
+        filter=(pc.field("c_custkey").isin(
+            top["o_custkey"].tolist()))).to_pandas()
+    out = (top.merge(cust, left_on="o_custkey", right_on="c_custkey")
+           .sort_values(["totalprice_cents", "o_orderkey"],
+                        ascending=[False, True]).reset_index(drop=True))
+    return out[["o_orderkey", "c_name", "o_orderdate",
+                "totalprice_cents", "qty_cents"]].astype(
+        {"o_orderkey": "int64", "totalprice_cents": "int64",
+         "qty_cents": "int64"})
+
+
+SQL_TPCH_BIG_ORDERS = f"""
+WITH a AS (
+  SELECT l_orderkey AS o_orderkey,
+         SUM(CAST(ROUND(l_quantity * 100) AS BIGINT))::BIGINT AS qty_cents
+  FROM lineitem GROUP BY 1
+  HAVING SUM(CAST(ROUND(l_quantity * 100) AS BIGINT))
+           > {BIG_ORDER_QTY_CENTS}
+)
+SELECT o_orderkey, c_name, o_orderdate,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+       qty_cents
+FROM a JOIN orders USING (o_orderkey)
+JOIN customer ON o_custkey = c_custkey
+ORDER BY totalprice_cents DESC, o_orderkey LIMIT {BIG_ORDER_TOPK}
+"""
+
+
 def queries():
     return {
         "events_parse_props": q_events_parse_props,
@@ -2164,6 +2433,9 @@ def queries():
         "tpch_order_dist": q_tpch_order_dist,
         "tpch_small_qty_rev": q_tpch_small_qty_rev,
         "tpch_top_supplier": q_tpch_top_supplier,
+        "tpch_promo_share": q_tpch_promo_share,
+        "tpch_disjunctive_rev": q_tpch_disjunctive_rev,
+        "tpch_big_orders": q_tpch_big_orders,
     }
 
 
@@ -2185,6 +2457,9 @@ def oracle_sql():
         "tpch_order_dist": SQL_TPCH_ORDER_DIST,
         "tpch_small_qty_rev": SQL_TPCH_SMALL_QTY_REV,
         "tpch_top_supplier": SQL_TPCH_TOP_SUPPLIER,
+        "tpch_promo_share": SQL_TPCH_PROMO_SHARE,
+        "tpch_disjunctive_rev": SQL_TPCH_DISJUNCTIVE_REV,
+        "tpch_big_orders": SQL_TPCH_BIG_ORDERS,
         "events_retention": SQL_EVENTS_RETENTION,
         "events_retention_salted": SQL_EVENTS_RETENTION,
         "tpch_priority_revenue": """
