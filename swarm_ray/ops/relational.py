@@ -2397,6 +2397,188 @@ ORDER BY totalprice_cents DESC, o_orderkey LIMIT {BIG_ORDER_TOPK}
 """
 
 
+# --------------------------------------------- EXISTS semi-join (Q4)
+
+ORDER_EXISTS_START = "1996-01-01"
+ORDER_EXISTS_END = "1996-04-01"
+
+
+def q_tpch_order_exists(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q4 analogue — per-priority count of one quarter's orders
+    for which EXISTS a RETURNED lineitem. The EXISTS becomes a
+    SEMI-JOIN: the returned-lineitem stream (returnflag pruned at the
+    read, ONE key column) dedupes to distinct orderkeys with a keyed
+    groupby, so the subsequent hash-co-partitioned join against the
+    date-pruned orders is exactly one row per qualifying order — inner
+    join ≡ semi-join once both sides are key-unique. Counts collapse
+    per block before one final ≤ #priorities fold; neither fact table
+    is ever re-scanned."""
+    from .agg import grouped_count, tree_fold_sum
+    from ..util import cluster_cpus, enable_hash_shuffle
+
+    returned = grouped_count(
+        read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_orderkey"],
+                           filter=(pc.field("l_returnflag") == "R")),
+        ["l_orderkey"], alias="n_ret")
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"],
+        filter=((pc.field("o_orderdate")
+                 >= pd.Timestamp(ORDER_EXISTS_START))
+                & (pc.field("o_orderdate")
+                   < pd.Timestamp(ORDER_EXISTS_END))))
+    enable_hash_shuffle(returned, max(8, cluster_cpus()))
+    j = returned.join(orders, join_type="inner",
+                      num_partitions=max(8, cluster_cpus()),
+                      on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def prio_partial(t: pa.Table) -> pa.Table:
+        tbl = pa.table({
+            "o_orderpriority": t["o_orderpriority"],
+            "n_orders": pa.array(np.ones(len(t), dtype=np.int64)),
+        })
+        return pa.TableGroupBy(tbl, ["o_orderpriority"]).aggregate(
+            [("n_orders", "sum")]).rename_columns(
+                ["o_orderpriority", "n_orders"])
+
+    return tree_fold_sum(
+        j.map_batches(prio_partial, batch_format="pyarrow",
+                      zero_copy_batch=True),
+        ["o_orderpriority"], ["n_orders"])
+
+
+SQL_TPCH_ORDER_EXISTS = f"""
+SELECT o_orderpriority, COUNT(*)::BIGINT AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{ORDER_EXISTS_START}'
+  AND o_orderdate < TIMESTAMP '{ORDER_EXISTS_END}'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY 1
+"""
+
+
+# ----------------------------------------- dormant-customer anti-join (Q22)
+
+DORMANT_NATIONS = [1, 3, 5, 7, 9, 11, 13]
+DORMANT_CUTOFF = "2000-01-01"
+
+
+def q_tpch_dormant_customers(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q22 analogue — per-nation count and balance of
+    above-average-balance customers with NO order since
+    ``DORMANT_CUTOFF``. Two exchanges total, both bounded: (1) the
+    positive-balance mean is a scalar fold (shipped as the exact
+    integer predicate ``bal·n > Σbal`` — no float division anywhere);
+    (2) the NOT-EXISTS is the union-tag ANTI-JOIN shape
+    (ann._semantic_antijoin_counts): distinct recent-order custkeys
+    (keyed groupby of the date-pruned orders KEY COLUMN) union the
+    qualifying customers, ONE keyed repartition on custkey,
+    block-local ``np.isin`` drops the hit rows — the driver never
+    holds a custkey set, so a 10⁹-customer anti-join moves only
+    (custkey, nationkey, bal) triples."""
+    from .agg import grouped_count, tree_fold_sum
+    from ..util import enable_hash_shuffle, keyed_partition_count
+
+    def cust(columns):
+        return read_parquet_clean(
+            f"{sf_dir}/customer.parquet", columns=columns,
+            filter=(pc.field("c_nationkey").isin(DORMANT_NATIONS)))
+
+    def pos_partial(t: pa.Table) -> pa.Table:
+        bal = pc.cast(pc.round(pc.multiply(t["c_acctbal"], 100.0)),
+                      pa.int64()).to_numpy()
+        pos = bal[bal > 0]
+        return pa.table({"one": pa.array([np.int64(1)]),
+                         "s": pa.array([pos.sum()], type=pa.int64()),
+                         "n": pa.array([np.int64(len(pos))])})
+
+    avg = tree_fold_sum(
+        cust(["c_acctbal"]).map_batches(pos_partial,
+                                        batch_format="pyarrow",
+                                        zero_copy_batch=True),
+        ["one"], ["s", "n"]).to_pandas()
+    s, n = np.int64(avg["s"].sum()), np.int64(avg["n"].sum())
+
+    def qualify(t: pa.Table) -> pa.Table:
+        bal = pc.cast(pc.round(pc.multiply(t["c_acctbal"], 100.0)),
+                      pa.int64()).to_numpy()
+        keep = bal * n > s
+        return pa.table({
+            "c_custkey": pc.cast(t["c_custkey"], pa.int64())
+            .filter(pa.array(keep)),
+            "c_nationkey": pc.cast(t["c_nationkey"], pa.int64())
+            .filter(pa.array(keep)),
+            "bal": pa.array(bal[keep]),
+            "is_active": pa.array(np.zeros(int(keep.sum()),
+                                           dtype=np.int8)),
+        })
+
+    rich = cust(["c_custkey", "c_nationkey", "c_acctbal"]).map_batches(
+        qualify, batch_format="pyarrow", zero_copy_batch=True)
+
+    def active_keys(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": pc.cast(t["o_custkey"], pa.int64()),
+            "c_nationkey": pa.array(np.zeros(len(t), dtype=np.int64)),
+            "bal": pa.array(np.zeros(len(t), dtype=np.int64)),
+            "is_active": pa.array(np.ones(len(t), dtype=np.int8)),
+        })
+
+    active = grouped_count(
+        read_parquet_clean(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+            filter=(pc.field("o_orderdate")
+                    >= pd.Timestamp(DORMANT_CUTOFF))),
+        ["o_custkey"], alias="n_o").map_batches(
+            active_keys, batch_format="pyarrow", zero_copy_batch=True)
+
+    _OUT = pa.schema([("c_nationkey", pa.int64()),
+                      ("n_custs", pa.int64()), ("bal_cents", pa.int64())])
+
+    def anti_fold(df_: pd.DataFrame) -> pd.DataFrame:
+        if df_.empty:
+            return _OUT.empty_table().to_pandas()
+        gone = df_.loc[df_["is_active"] == 1, "c_custkey"].to_numpy()
+        rows = df_[df_["is_active"] == 0]
+        rows = rows[~np.isin(rows["c_custkey"].to_numpy(), gone)]
+        out = rows.groupby("c_nationkey", as_index=False).agg(
+            n_custs=("c_custkey", "size"), bal_cents=("bal", "sum"))
+        return out.astype({"c_nationkey": "int64", "n_custs": "int64",
+                           "bal_cents": "int64"})
+
+    both = rich.union(active)
+    n_parts = keyed_partition_count()
+    enable_hash_shuffle(both, n_parts)
+    partials = (both.repartition(n_parts, keys=["c_custkey"])
+                .map_batches(anti_fold, batch_format="pandas",
+                             batch_size=None))
+    return tree_fold_sum(partials, ["c_nationkey"],
+                         ["n_custs", "bal_cents"])
+
+
+SQL_TPCH_DORMANT_CUSTOMERS = f"""
+WITH sel AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal
+  FROM customer
+  WHERE c_nationkey IN ({', '.join(str(k) for k in DORMANT_NATIONS)})
+), a AS (
+  SELECT SUM(bal)::BIGINT AS s, COUNT(*)::BIGINT AS n
+  FROM sel WHERE bal > 0
+)
+SELECT c_nationkey, COUNT(*)::BIGINT AS n_custs,
+       SUM(bal)::BIGINT AS bal_cents
+FROM sel, a
+WHERE bal * a.n > a.s
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '{DORMANT_CUTOFF}')
+GROUP BY 1
+"""
+
+
 def queries():
     return {
         "events_parse_props": q_events_parse_props,
@@ -2436,6 +2618,8 @@ def queries():
         "tpch_promo_share": q_tpch_promo_share,
         "tpch_disjunctive_rev": q_tpch_disjunctive_rev,
         "tpch_big_orders": q_tpch_big_orders,
+        "tpch_order_exists": q_tpch_order_exists,
+        "tpch_dormant_customers": q_tpch_dormant_customers,
     }
 
 
@@ -2460,6 +2644,8 @@ def oracle_sql():
         "tpch_promo_share": SQL_TPCH_PROMO_SHARE,
         "tpch_disjunctive_rev": SQL_TPCH_DISJUNCTIVE_REV,
         "tpch_big_orders": SQL_TPCH_BIG_ORDERS,
+        "tpch_order_exists": SQL_TPCH_ORDER_EXISTS,
+        "tpch_dormant_customers": SQL_TPCH_DORMANT_CUSTOMERS,
         "events_retention": SQL_EVENTS_RETENTION,
         "events_retention_salted": SQL_EVENTS_RETENTION,
         "tpch_priority_revenue": """
