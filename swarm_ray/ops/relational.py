@@ -2579,6 +2579,270 @@ GROUP BY 1
 """
 
 
+# ----------------------------------------------- region revenue (Q5)
+
+REGION_REV_NAME = "ASIA"
+REGION_REV_START = "1997-01-01"
+REGION_REV_END = "1998-01-01"
+
+
+def q_tpch_region_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q5 analogue — yearly revenue per nation of one region,
+    counting only lineitems whose SUPPLIER and CUSTOMER share that
+    nation. The two tiny dims (nation, region) resolve driver-side;
+    supplier→nation ships as a dense broadcast array so the fact scan
+    filters to region suppliers with zero joins; the remaining plan is
+    the genuine Q5 shape — a hash-co-partitioned join at fact scale
+    (partials⋈orders on orderkey), then the customer dimension arrives
+    by the union-tag CO-PARTITION MERGE (one keyed repartition on
+    custkey, block-local map) rather than a second join operator: the
+    stream is PRE-AGGREGATED to (custkey, nation, rev) partials before
+    the exchange and the customer side is pruned to region nations AT
+    THE READ, so the merge moves one partial row per (custkey, nation)
+    plus one dim row per region customer — and skips the second join's
+    aggregator-pool spin-up entirely. The same-nation filter and final
+    ≤ #nations fold run on the merged partials, never on raw
+    lineitems."""
+    from .agg import tree_fold_sum
+    from ..util import autoscaling_pool, cluster_cpus, enable_hash_shuffle
+
+    nation = read_parquet_clean(f"{sf_dir}/nation.parquet").to_pandas()
+    region = read_parquet_clean(f"{sf_dir}/region.parquet").to_pandas()
+    rkey = int(region.loc[region["r_name"] == REGION_REV_NAME,
+                          "r_regionkey"].iloc[0])
+    nkeys = nation.loc[nation["n_regionkey"] == rkey,
+                       "n_nationkey"].astype(int).tolist()
+    names = dict(zip(nation["n_nationkey"].astype(int),
+                     nation["n_name"]))
+
+    supp = read_parquet_clean(f"{sf_dir}/supplier.parquet",
+                              columns=["s_suppkey",
+                                       "s_nationkey"]).to_pandas()
+    s_nat = np.full(int(supp["s_suppkey"].max()) + 2, -1, dtype=np.int16)
+    s_nat[supp["s_suppkey"].to_numpy()] = \
+        supp["s_nationkey"].to_numpy(dtype=np.int16)
+    in_region = np.isin(s_nat, np.array(nkeys, dtype=np.int16))
+    sref = ray.put((s_nat, in_region))
+
+    class SuppPartial:
+        def __init__(self, sref):
+            self.s_nat, self.in_region = ray.get(sref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            sk = np.minimum(t["l_suppkey"].to_numpy(),
+                            len(self.s_nat) - 1)
+            keep = self.in_region[sk]
+            t = t.filter(pa.array(keep))
+            e = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                        pa.int64())
+            d = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)),
+                        pa.int64())
+            tbl = pa.table({
+                "l_orderkey": t["l_orderkey"],
+                "supp_nation": pa.array(
+                    self.s_nat[sk[keep]].astype(np.int64)),
+                "rev": pc.multiply(e, pc.subtract(
+                    pa.scalar(100, pa.int64()), d)),
+            })
+            return pa.TableGroupBy(tbl, ["l_orderkey", "supp_nation"]) \
+                .aggregate([("rev", "sum")]).rename_columns(
+                    ["l_orderkey", "supp_nation", "rev"])
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"]).map_batches(
+        SuppPartial, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=autoscaling_pool(),
+        fn_constructor_kwargs={"sref": sref})
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"],
+        filter=((pc.field("o_orderdate") >= pd.Timestamp(REGION_REV_START))
+                & (pc.field("o_orderdate") < pd.Timestamp(REGION_REV_END))))
+    n_parts = max(8, cluster_cpus())
+    enable_hash_shuffle(li, n_parts)
+    j1 = li.join(orders, join_type="inner", num_partitions=n_parts,
+                 on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def cust_partial(t: pa.Table) -> pa.Table:
+        tbl = pa.table({
+            "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+            "supp_nation": t["supp_nation"],
+            "rev": t["rev"],
+        })
+        return pa.TableGroupBy(tbl, ["o_custkey", "supp_nation"]) \
+            .aggregate([("rev", "sum")]).rename_columns(
+                ["o_custkey", "supp_nation", "rev"])
+
+    def cust_tag(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": pc.cast(t["c_custkey"], pa.int64()),
+            "supp_nation": pc.subtract(
+                pa.scalar(-1, pa.int64()),
+                pc.cast(t["c_nationkey"], pa.int64())),
+            "rev": pa.array(np.zeros(len(t), dtype=np.int64)),
+        })
+
+    cust = read_parquet_clean(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"],
+        filter=(pc.field("c_nationkey").isin(nkeys))).map_batches(
+        cust_tag, batch_format="pyarrow", zero_copy_batch=True)
+    both = j1.map_batches(cust_partial, batch_format="pyarrow",
+                          zero_copy_batch=True).union(cust)
+    enable_hash_shuffle(both, n_parts)
+
+    _OUT = pa.schema([("n_nationkey", pa.int64()),
+                      ("revenue_e4", pa.int64())])
+
+    def merge_block(df_: pd.DataFrame) -> pd.DataFrame:
+        if df_.empty:
+            return _OUT.empty_table().to_pandas()
+        dim = df_[df_["supp_nation"] < 0]
+        nat = dict(zip(dim["o_custkey"].to_numpy(),
+                       (-1 - dim["supp_nation"]).to_numpy()))
+        fact = df_[df_["supp_nation"] >= 0]
+        same = fact["supp_nation"].to_numpy() == np.fromiter(
+            (nat.get(k, -9) for k in fact["o_custkey"].to_numpy()),
+            dtype=np.int64, count=len(fact))
+        out = fact[same].groupby("supp_nation", as_index=False).agg(
+            revenue_e4=("rev", "sum"))
+        return out.rename(columns={"supp_nation": "n_nationkey"}).astype(
+            {"n_nationkey": "int64", "revenue_e4": "int64"})
+
+    folded = tree_fold_sum(
+        both.repartition(n_parts, keys=["o_custkey"])
+        .map_batches(merge_block, batch_format="pandas", batch_size=None),
+        ["n_nationkey"], ["revenue_e4"]).to_pandas()
+    folded["n_name"] = folded["n_nationkey"].map(names)
+    return (folded.sort_values("n_nationkey").reset_index(drop=True)
+            [["n_nationkey", "n_name", "revenue_e4"]]
+            .astype({"n_nationkey": "int64", "revenue_e4": "int64"}))
+
+
+SQL_TPCH_REGION_REVENUE = f"""
+WITH l AS (
+  SELECT l_orderkey, s_nationkey AS nk,
+    CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+      * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS rev
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  WHERE s_nationkey IN (
+    SELECT n_nationkey FROM nation
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = '{REGION_REV_NAME}')
+)
+SELECT n_nationkey, n_name, SUM(rev)::BIGINT AS revenue_e4
+FROM l
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_nationkey = l.nk
+  AND o_orderdate >= TIMESTAMP '{REGION_REV_START}'
+  AND o_orderdate < TIMESTAMP '{REGION_REV_END}'
+GROUP BY 1, 2
+"""
+
+
+# -------------------------------------------- waiting suppliers (Q21)
+
+WAITING_TOPK = 100
+
+
+def q_tpch_waiting_suppliers(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q21 analogue — suppliers who were the SOLE returning
+    supplier in multi-supplier orders (EXISTS another supplier in the
+    order + NOT EXISTS another returner), top-``WAITING_TOPK`` by
+    count. One exchange resolves both quantifiers: per-block
+    (orderkey, suppkey, any_r) max-partials co-locate per ORDER under
+    a single keyed repartition, and the block-local pass finishes the
+    (ok, sk) fold AND the per-order sole-returner test in one pandas
+    groupby chain (both bounded by lineitems-per-order). Per-supplier
+    tallies collapse per block, one keyed groupby lands exact counts,
+    top-K head folds, and the ≤ K winners late-fetch their names via a
+    pushed-down ``isin`` supplier read — no dimension joins at fact
+    scale, no driver-side key sets."""
+    from .agg import tree_fold_sum
+    from ..util import enable_hash_shuffle, keyed_partition_count
+
+    def flag_partial(t: pa.Table) -> pa.Table:
+        tbl = pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "l_suppkey": t["l_suppkey"],
+            "any_r": pc.cast(pc.equal(t["l_returnflag"], "R"), pa.int64()),
+        })
+        return pa.TableGroupBy(tbl, ["l_orderkey", "l_suppkey"]) \
+            .aggregate([("any_r", "max")]).rename_columns(
+                ["l_orderkey", "l_suppkey", "any_r"])
+
+    partials = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_returnflag"]).map_batches(
+        flag_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    _OUT = pa.schema([("s_suppkey", pa.int64()), ("n_waits", pa.int64())])
+
+    def sole_returner(df_: pd.DataFrame) -> pd.DataFrame:
+        if df_.empty:
+            return _OUT.empty_table().to_pandas()
+        f = df_.groupby(["l_orderkey", "l_suppkey"],
+                        as_index=False)["any_r"].max()
+        per_order = f.groupby("l_orderkey").agg(
+            n_supp=("l_suppkey", "size"), n_r=("any_r", "sum"))
+        ok = per_order.index[(per_order["n_supp"] > 1)
+                             & (per_order["n_r"] == 1)]
+        win = f[(f["any_r"] == 1) & f["l_orderkey"].isin(ok)]
+        out = win.groupby("l_suppkey", as_index=False).agg(
+            n_waits=("l_orderkey", "size"))
+        return out.rename(columns={"l_suppkey": "s_suppkey"}).astype(
+            {"s_suppkey": "int64", "n_waits": "int64"})
+
+    n_parts = keyed_partition_count()
+    enable_hash_shuffle(partials, n_parts)
+    per_supp = tree_fold_sum(
+        partials.repartition(n_parts, keys=["l_orderkey"])
+        .map_batches(sole_returner, batch_format="pandas",
+                     batch_size=None),
+        ["s_suppkey"], ["n_waits"])
+
+    def head_block(df_: pd.DataFrame) -> pd.DataFrame:
+        return df_.sort_values(["n_waits", "s_suppkey"],
+                               ascending=[False, True]).head(WAITING_TOPK)
+
+    top = (per_supp.map_batches(head_block, batch_format="pandas",
+                                batch_size=None)
+           .repartition(1)
+           .map_batches(head_block, batch_format="pandas",
+                        batch_size=None)).to_pandas()
+
+    supp = read_parquet_clean(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"],
+        filter=(pc.field("s_suppkey").isin(
+            top["s_suppkey"].tolist()))).to_pandas()
+    out = (top.merge(supp, on="s_suppkey")
+           .sort_values(["n_waits", "s_suppkey"],
+                        ascending=[False, True]).reset_index(drop=True))
+    return out[["s_suppkey", "s_name", "n_waits"]].astype(
+        {"s_suppkey": "int64", "n_waits": "int64"})
+
+
+SQL_TPCH_WAITING_SUPPLIERS = f"""
+WITH f AS (
+  SELECT l_orderkey, l_suppkey,
+         MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS r
+  FROM lineitem GROUP BY 1, 2
+), w AS (
+  SELECT l_orderkey FROM f GROUP BY 1
+  HAVING COUNT(*) > 1 AND SUM(r) = 1
+)
+SELECT s_suppkey, s_name, COUNT(*)::BIGINT AS n_waits
+FROM f JOIN w USING (l_orderkey)
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE f.r = 1 GROUP BY 1, 2
+ORDER BY n_waits DESC, s_suppkey LIMIT {WAITING_TOPK}
+"""
+
+
 def queries():
     return {
         "events_parse_props": q_events_parse_props,
@@ -2620,6 +2884,8 @@ def queries():
         "tpch_big_orders": q_tpch_big_orders,
         "tpch_order_exists": q_tpch_order_exists,
         "tpch_dormant_customers": q_tpch_dormant_customers,
+        "tpch_region_revenue": q_tpch_region_revenue,
+        "tpch_waiting_suppliers": q_tpch_waiting_suppliers,
     }
 
 
@@ -2646,6 +2912,8 @@ def oracle_sql():
         "tpch_big_orders": SQL_TPCH_BIG_ORDERS,
         "tpch_order_exists": SQL_TPCH_ORDER_EXISTS,
         "tpch_dormant_customers": SQL_TPCH_DORMANT_CUSTOMERS,
+        "tpch_region_revenue": SQL_TPCH_REGION_REVENUE,
+        "tpch_waiting_suppliers": SQL_TPCH_WAITING_SUPPLIERS,
         "events_retention": SQL_EVENTS_RETENTION,
         "events_retention_salted": SQL_EVENTS_RETENTION,
         "tpch_priority_revenue": """
