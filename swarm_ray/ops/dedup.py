@@ -1331,21 +1331,27 @@ def q_doc_pagerank(sf_dir: str) -> ray.data.Dataset:
     Scale shape: the graph is bounded by the DUP FRONTIER (docs whose
     fingerprint collides), never the corpus — fingerprint keys ride
     one keyed exchange, edges/degrees materialize frontier-sized, and
-    each iteration is one keyed join + one keyed partial-sum over
-    edges (the CC exchange pattern). The per-key pair fan-out is O(g²)
-    for a hot key — same bound as the exact-dup keeper group; group
-    iteration is a Python loop over COLLIDING groups only
-    (frontier-rare). Reference analogue: none (swarm has no graph
-    ops) — north-star addition; recipe follows Page et al. 1999 with
-    integer clocks."""
-    from .agg import grouped_count, grouped_sum
-    from ..util import cluster_cpus
+    each iteration is TWO keyed repartitions with block-local merges
+    (the union-tag co-partition shape used by every anti-join here):
+    shares spread along edges co-partitioned on source, contributions
+    fold and re-meet deg co-partitioned on target. No ``Dataset.join``
+    in the loop — the Ray hash-join finalizer intermittently raised
+    ArrowInvalid on the tiny frontier-sized right side under load
+    (empty hash partitions present a schema-less table to the acero
+    join), and the repartition+merge path has no such finalize step.
+    The per-key pair fan-out is O(g²) for a hot key — same bound as
+    the exact-dup keeper group; group iteration is a Python loop over
+    COLLIDING groups only (frontier-rare). Reference analogue: none
+    (swarm has no graph ops) — north-star addition; recipe follows
+    Page et al. 1999 with integer clocks."""
+    from .agg import grouped_count
+    from ..util import cluster_cpus, enable_hash_shuffle
 
     edges = _dup_edges(sf_dir)
     deg = grouped_count(edges, ["s"], alias="deg").materialize()
 
     base = (1000 - PR_DAMP_MILLI) * PR_SCALE // 1000
-    njoin = max(8, cluster_cpus())
+    n_parts = max(8, cluster_cpus())
 
     def init_rank(t: pa.Table) -> pa.Table:
         return t.append_column(
@@ -1353,34 +1359,76 @@ def q_doc_pagerank(sf_dir: str) -> ray.data.Dataset:
 
     ranks = deg.map_batches(init_rank, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+    def share_tag(t: pa.Table) -> pa.Table:
+        # dim rows: t = -1 marks "this is node s's share", never an edge
+        return pa.table({
+            "s": t["s"],
+            "t": pa.array(np.full(t.num_rows, -1, dtype=np.int64)),
+            "share": pa.array(t["r"].to_numpy(zero_copy_only=False)
+                              // t["deg"].to_numpy(zero_copy_only=False)),
+        })
+
+    def edge_tag(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "s": pc.cast(t["s"], pa.int64()),
+            "t": pc.cast(t["t"], pa.int64()),
+            "share": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+        })
+
+    _SPREAD = pa.schema([("t", pa.int64()), ("csum", pa.int64()),
+                         ("deg", pa.int64())])
+
+    def spread(df_: pd.DataFrame) -> pd.DataFrame:
+        if df_.empty:
+            return _SPREAD.empty_table().to_pandas()
+        dim = df_[df_["t"] < 0]
+        m = dict(zip(dim["s"].to_numpy(), dim["share"].to_numpy()))
+        fact = df_[df_["t"] >= 0]
+        out = fact.assign(csum=fact["s"].map(m)) \
+            .groupby("t", as_index=False)["csum"].sum()
+        out["deg"] = np.int64(-1)  # fact marker for the target merge
+        return out.astype({"t": "int64", "csum": "int64", "deg": "int64"})
+
+    def deg_tag(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "t": t["s"],
+            "csum": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            "deg": pc.cast(t["deg"], pa.int64()),
+        })
+
+    _RANK = pa.schema([("s", pa.int64()), ("deg", pa.int64()),
+                       ("r", pa.int64())])
+
+    def step(df_: pd.DataFrame) -> pd.DataFrame:
+        if df_.empty:
+            return _RANK.empty_table().to_pandas()
+        dim = df_[df_["deg"] >= 0]
+        cs = df_[df_["deg"] < 0].groupby("t")["csum"].sum()
+        dim = dim[dim["t"].isin(cs.index)]  # inner-join semantics
+        r = base + (PR_DAMP_MILLI * cs.loc[dim["t"]].to_numpy()) // 1000
+        return pd.DataFrame({"s": dim["t"].to_numpy(),
+                             "deg": dim["deg"].to_numpy(),
+                             "r": r}).astype(
+            {"s": "int64", "deg": "int64", "r": "int64"})
+
+    edges_tagged = edges.map_batches(edge_tag, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+    deg_tagged = deg.map_batches(deg_tag, batch_format="pyarrow",
+                                 zero_copy_batch=True)
     for _ in range(PR_ITERS):
-        shares = ranks.map_batches(
-            lambda t: pa.table({
-                "node": t["s"],
-                "share": pa.array(
-                    t["r"].to_numpy(zero_copy_only=False)
-                    // t["deg"].to_numpy(zero_copy_only=False))}),
-            batch_format="pyarrow", zero_copy_batch=True)
-        contrib = edges.join(shares, join_type="inner",
-                             num_partitions=njoin,
-                             on=("s",), right_on=("node",))
-        sums = grouped_sum(
-            contrib.map_batches(lambda t: t.select(["t", "share"]),
-                                batch_format="pyarrow",
-                                zero_copy_batch=True),
-            ["t"], "share", alias="csum")
-        joined = deg.join(sums, join_type="inner", num_partitions=njoin,
-                          on=("s",), right_on=("t",))
-
-        def step(tb: pa.Table) -> pa.Table:
-            cs = tb["csum"].to_numpy(zero_copy_only=False)
-            return pa.table({
-                "s": tb["s"], "deg": tb["deg"],
-                "r": pa.array(base + (PR_DAMP_MILLI * cs) // 1000),
-            })
-
-        ranks = joined.map_batches(step, batch_format="pyarrow",
-                                   zero_copy_batch=True).materialize()
+        shares = ranks.map_batches(share_tag, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+        both_s = edges_tagged.union(shares)
+        enable_hash_shuffle(both_s, n_parts)
+        contrib = (both_s.repartition(n_parts, keys=["s"])
+                   .map_batches(spread, batch_format="pandas",
+                                batch_size=None))
+        both_t = contrib.union(deg_tagged)
+        enable_hash_shuffle(both_t, n_parts)
+        ranks = (both_t.repartition(n_parts, keys=["t"])
+                 .map_batches(step, batch_format="pandas",
+                              batch_size=None)).materialize()
 
     return ranks.map_batches(
         lambda t: pa.table({"doc_id": t["s"], "deg": t["deg"],
