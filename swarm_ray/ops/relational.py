@@ -2843,6 +2843,165 @@ ORDER BY n_waits DESC, s_suppkey LIMIT {WAITING_TOPK}
 """
 
 
+# ------------------------------------------- nation-pair volume (Q7)
+
+PAIR_NATIONS = [5, 20]
+PAIR_START = "1996-01-01"
+PAIR_END = "1998-01-01"
+
+
+def q_tpch_nation_pair_volume(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q7 analogue — shipped revenue between two nations per
+    ship-year, in both directions (supplier in one, customer in the
+    other). Same plan skeleton as ``q_tpch_region_revenue`` with a
+    PAIR key: supplier→nation rides a dense broadcast array so the
+    fact scan filters to the two nations' suppliers with no join and
+    the ship-year is extracted in the scan task; per-block partials
+    keyed (orderkey, supp_nation, year) pre-aggregate before the ONE
+    hash-co-partitioned join against orders; the customer side (pruned
+    to the two nations AT THE READ) arrives by the union-tag
+    co-partition merge on custkey; the cross-nation filter and the
+    ≤ 2×#years fold run on merged partials."""
+    from .agg import tree_fold_sum
+    from ..util import autoscaling_pool, cluster_cpus, enable_hash_shuffle
+
+    supp = read_parquet_clean(f"{sf_dir}/supplier.parquet",
+                              columns=["s_suppkey",
+                                       "s_nationkey"]).to_pandas()
+    s_nat = np.full(int(supp["s_suppkey"].max()) + 2, -1, dtype=np.int16)
+    s_nat[supp["s_suppkey"].to_numpy()] = \
+        supp["s_nationkey"].to_numpy(dtype=np.int16)
+    in_pair = np.isin(s_nat, np.array(PAIR_NATIONS, dtype=np.int16))
+    sref = ray.put((s_nat, in_pair))
+
+    class PairPartial:
+        def __init__(self, sref):
+            self.s_nat, self.in_pair = ray.get(sref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            sk = np.minimum(t["l_suppkey"].to_numpy(),
+                            len(self.s_nat) - 1)
+            keep = self.in_pair[sk]
+            t = t.filter(pa.array(keep))
+            e = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                        pa.int64())
+            d = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)),
+                        pa.int64())
+            tbl = pa.table({
+                "l_orderkey": t["l_orderkey"],
+                "supp_nation": pa.array(
+                    self.s_nat[sk[keep]].astype(np.int64)),
+                "ship_year": pc.cast(pc.year(t["l_shipdate"]), pa.int64()),
+                "rev": pc.multiply(e, pc.subtract(
+                    pa.scalar(100, pa.int64()), d)),
+            })
+            return pa.TableGroupBy(
+                tbl, ["l_orderkey", "supp_nation", "ship_year"]).aggregate(
+                [("rev", "sum")]).rename_columns(
+                    ["l_orderkey", "supp_nation", "ship_year", "rev"])
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                 "l_extendedprice", "l_discount"],
+        filter=((pc.field("l_shipdate") >= pd.Timestamp(PAIR_START))
+                & (pc.field("l_shipdate") < pd.Timestamp(PAIR_END)))
+    ).map_batches(PairPartial, batch_format="pyarrow",
+                  zero_copy_batch=True, concurrency=autoscaling_pool(),
+                  fn_constructor_kwargs={"sref": sref})
+
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_custkey"])
+    n_parts = max(8, cluster_cpus())
+    enable_hash_shuffle(li, n_parts)
+    j1 = li.join(orders, join_type="inner", num_partitions=n_parts,
+                 on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def fact_partial(t: pa.Table) -> pa.Table:
+        tbl = pa.table({
+            "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+            "supp_nation": t["supp_nation"],
+            "ship_year": t["ship_year"],
+            "rev": t["rev"],
+        })
+        return pa.TableGroupBy(
+            tbl, ["o_custkey", "supp_nation", "ship_year"]).aggregate(
+            [("rev", "sum")]).rename_columns(
+                ["o_custkey", "supp_nation", "ship_year", "rev"])
+
+    def cust_tag(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": pc.cast(t["c_custkey"], pa.int64()),
+            "supp_nation": pc.subtract(
+                pa.scalar(-1, pa.int64()),
+                pc.cast(t["c_nationkey"], pa.int64())),
+            "ship_year": pa.array(np.zeros(len(t), dtype=np.int64)),
+            "rev": pa.array(np.zeros(len(t), dtype=np.int64)),
+        })
+
+    cust = read_parquet_clean(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"],
+        filter=(pc.field("c_nationkey").isin(PAIR_NATIONS))).map_batches(
+        cust_tag, batch_format="pyarrow", zero_copy_batch=True)
+    both = j1.map_batches(fact_partial, batch_format="pyarrow",
+                          zero_copy_batch=True).union(cust)
+    enable_hash_shuffle(both, n_parts)
+
+    _OUT = pa.schema([("supp_nation", pa.int64()),
+                      ("cust_nation", pa.int64()),
+                      ("ship_year", pa.int64()),
+                      ("revenue_e4", pa.int64())])
+
+    def merge_block(df_: pd.DataFrame) -> pd.DataFrame:
+        if df_.empty:
+            return _OUT.empty_table().to_pandas()
+        dim = df_[df_["supp_nation"] < 0]
+        nat = dict(zip(dim["o_custkey"].to_numpy(),
+                       (-1 - dim["supp_nation"]).to_numpy()))
+        fact = df_[df_["supp_nation"] >= 0].copy()
+        fact["cust_nation"] = np.fromiter(
+            (nat.get(k, -9) for k in fact["o_custkey"].to_numpy()),
+            dtype=np.int64, count=len(fact))
+        fact = fact[(fact["cust_nation"] >= 0)
+                    & (fact["cust_nation"] != fact["supp_nation"])]
+        out = fact.groupby(["supp_nation", "cust_nation", "ship_year"],
+                           as_index=False).agg(revenue_e4=("rev", "sum"))
+        return out.astype({c: "int64" for c in _OUT.names})
+
+    folded = tree_fold_sum(
+        both.repartition(n_parts, keys=["o_custkey"])
+        .map_batches(merge_block, batch_format="pandas", batch_size=None),
+        ["supp_nation", "cust_nation", "ship_year"],
+        ["revenue_e4"]).to_pandas()
+    return (folded.sort_values(["supp_nation", "cust_nation", "ship_year"])
+            .reset_index(drop=True).astype(
+                {c: "int64" for c in ["supp_nation", "cust_nation",
+                                      "ship_year", "revenue_e4"]}))
+
+
+SQL_TPCH_NATION_PAIR_VOLUME = f"""
+WITH l AS (
+  SELECT l_orderkey, s_nationkey AS supp_nation,
+    EXTRACT(year FROM l_shipdate)::BIGINT AS ship_year,
+    CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+      * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS rev
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  WHERE s_nationkey IN ({PAIR_NATIONS[0]}, {PAIR_NATIONS[1]})
+    AND l_shipdate >= TIMESTAMP '{PAIR_START}'
+    AND l_shipdate < TIMESTAMP '{PAIR_END}'
+)
+SELECT supp_nation, c_nationkey AS cust_nation, ship_year,
+       SUM(rev)::BIGINT AS revenue_e4
+FROM l
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_nationkey IN ({PAIR_NATIONS[0]}, {PAIR_NATIONS[1]})
+  AND c_nationkey <> supp_nation
+GROUP BY 1, 2, 3
+"""
+
+
 def queries():
     return {
         "events_parse_props": q_events_parse_props,
@@ -2886,6 +3045,7 @@ def queries():
         "tpch_dormant_customers": q_tpch_dormant_customers,
         "tpch_region_revenue": q_tpch_region_revenue,
         "tpch_waiting_suppliers": q_tpch_waiting_suppliers,
+        "tpch_nation_pair_volume": q_tpch_nation_pair_volume,
     }
 
 
@@ -2914,6 +3074,7 @@ def oracle_sql():
         "tpch_dormant_customers": SQL_TPCH_DORMANT_CUSTOMERS,
         "tpch_region_revenue": SQL_TPCH_REGION_REVENUE,
         "tpch_waiting_suppliers": SQL_TPCH_WAITING_SUPPLIERS,
+        "tpch_nation_pair_volume": SQL_TPCH_NATION_PAIR_VOLUME,
         "events_retention": SQL_EVENTS_RETENTION,
         "events_retention_salted": SQL_EVENTS_RETENTION,
         "tpch_priority_revenue": """
