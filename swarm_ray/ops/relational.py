@@ -3002,6 +3002,181 @@ GROUP BY 1, 2, 3
 """
 
 
+# ------------------------------------------------- market share (Q8)
+
+MKT_REGION = "AMERICA"
+MKT_TYPE = "ECONOMY"
+MKT_NATION = 21
+MKT_START = "1996-01-01"
+MKT_END = "1998-01-01"
+
+
+def q_tpch_market_share(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q8 analogue — one nation's share of a region's market for
+    one part type, per ORDER year. Three dimensions collapse into the
+    fact scan with zero joins: part-type membership is a broadcast
+    bitmap, supplier→target-nation is a broadcast flag array, and the
+    tiny nation/region tables resolve driver-side. Per-block partials
+    keyed (orderkey, is_target) meet the window-pruned orders (order
+    YEAR extracted in the scan task so no timestamp rides the
+    exchange — timestamps double hash-exchange wall time and warn per
+    aggregator) in ONE hash-co-partitioned join; region customers
+    arrive by the union-tag co-partition merge; the share algebra runs
+    on the ≤ #years fold."""
+    from .agg import tree_fold_sum
+    from ..util import autoscaling_pool, cluster_cpus, enable_hash_shuffle
+
+    nation = read_parquet_clean(f"{sf_dir}/nation.parquet").to_pandas()
+    region = read_parquet_clean(f"{sf_dir}/region.parquet").to_pandas()
+    rkey = int(region.loc[region["r_name"] == MKT_REGION,
+                          "r_regionkey"].iloc[0])
+    nkeys = nation.loc[nation["n_regionkey"] == rkey,
+                       "n_nationkey"].astype(int).tolist()
+
+    part = read_parquet_clean(
+        f"{sf_dir}/part.parquet", columns=["p_partkey"],
+        filter=(pc.field("p_type") == MKT_TYPE)).to_pandas()
+    in_type = np.zeros(int(part["p_partkey"].max()) + 2, dtype=bool)
+    in_type[part["p_partkey"].to_numpy()] = True
+    supp = read_parquet_clean(f"{sf_dir}/supplier.parquet",
+                              columns=["s_suppkey",
+                                       "s_nationkey"]).to_pandas()
+    is_target = np.zeros(int(supp["s_suppkey"].max()) + 2, dtype=bool)
+    is_target[supp.loc[supp["s_nationkey"] == MKT_NATION,
+                       "s_suppkey"].to_numpy()] = True
+    ref = ray.put((in_type, is_target))
+
+    class TypePartial:
+        def __init__(self, ref):
+            self.in_type, self.is_target = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            pk = np.minimum(t["l_partkey"].to_numpy(),
+                            len(self.in_type) - 1)
+            keep = self.in_type[pk]
+            t = t.filter(pa.array(keep))
+            sk = np.minimum(t["l_suppkey"].to_numpy(),
+                            len(self.is_target) - 1)
+            e = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                        pa.int64())
+            d = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)),
+                        pa.int64())
+            tbl = pa.table({
+                "l_orderkey": t["l_orderkey"],
+                "is_target": pa.array(
+                    self.is_target[sk].astype(np.int64)),
+                "rev": pc.multiply(e, pc.subtract(
+                    pa.scalar(100, pa.int64()), d)),
+            })
+            return pa.TableGroupBy(tbl, ["l_orderkey", "is_target"]) \
+                .aggregate([("rev", "sum")]).rename_columns(
+                    ["l_orderkey", "is_target", "rev"])
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"]).map_batches(
+        TypePartial, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=autoscaling_pool(),
+        fn_constructor_kwargs={"ref": ref})
+
+    def order_year(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+            "o_year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+        })
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=((pc.field("o_orderdate") >= pd.Timestamp(MKT_START))
+                & (pc.field("o_orderdate") < pd.Timestamp(MKT_END)))
+    ).map_batches(order_year, batch_format="pyarrow",
+                  zero_copy_batch=True)
+    n_parts = max(8, cluster_cpus())
+    enable_hash_shuffle(li, n_parts)
+    j1 = li.join(orders, join_type="inner", num_partitions=n_parts,
+                 on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def fact_partial(t: pa.Table) -> pa.Table:
+        tbl = t.select(["o_custkey", "o_year", "is_target", "rev"])
+        return pa.TableGroupBy(tbl, ["o_custkey", "o_year", "is_target"]) \
+            .aggregate([("rev", "sum")]).rename_columns(
+                ["o_custkey", "o_year", "is_target", "rev"])
+
+    def cust_tag(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": pc.cast(t["c_custkey"], pa.int64()),
+            "o_year": pa.array(np.full(len(t), -1, dtype=np.int64)),
+            "is_target": pa.array(np.zeros(len(t), dtype=np.int64)),
+            "rev": pa.array(np.zeros(len(t), dtype=np.int64)),
+        })
+
+    cust = read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"],
+        filter=(pc.field("c_nationkey").isin(nkeys))).map_batches(
+        cust_tag, batch_format="pyarrow", zero_copy_batch=True)
+    both = j1.map_batches(fact_partial, batch_format="pyarrow",
+                          zero_copy_batch=True).union(cust)
+    enable_hash_shuffle(both, n_parts)
+
+    _OUT = pa.schema([("o_year", pa.int64()), ("target_e4", pa.int64()),
+                      ("total_e4", pa.int64())])
+
+    def merge_block(df_: pd.DataFrame) -> pd.DataFrame:
+        if df_.empty:
+            return _OUT.empty_table().to_pandas()
+        in_region = set(df_.loc[df_["o_year"] < 0, "o_custkey"].to_numpy())
+        fact = df_[(df_["o_year"] >= 0)
+                   & df_["o_custkey"].isin(in_region)]
+        tgt = fact["rev"].to_numpy() * fact["is_target"].to_numpy()
+        out = fact.assign(target_e4=tgt).groupby(
+            "o_year", as_index=False).agg(
+            target_e4=("target_e4", "sum"), total_e4=("rev", "sum"))
+        return out.astype({c: "int64" for c in _OUT.names})
+
+    folded = tree_fold_sum(
+        both.repartition(n_parts, keys=["o_custkey"])
+        .map_batches(merge_block, batch_format="pandas", batch_size=None),
+        ["o_year"], ["target_e4", "total_e4"]).to_pandas()
+    folded["share_milli"] = (1000 * folded["target_e4"]) \
+        // folded["total_e4"]
+    return (folded.sort_values("o_year").reset_index(drop=True)
+            .astype({c: "int64" for c in
+                     ["o_year", "target_e4", "total_e4", "share_milli"]}))
+
+
+SQL_TPCH_MARKET_SHARE = f"""
+WITH l AS (
+  SELECT l_orderkey,
+    CASE WHEN s_nationkey = {MKT_NATION} THEN 1 ELSE 0 END AS is_target,
+    CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+      * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS rev
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_type = '{MKT_TYPE}'
+), f AS (
+  SELECT EXTRACT(year FROM o_orderdate)::BIGINT AS o_year,
+         SUM(rev * is_target)::BIGINT AS target_e4,
+         SUM(rev)::BIGINT AS total_e4
+  FROM l
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = '{MKT_REGION}'
+    AND o_orderdate >= TIMESTAMP '{MKT_START}'
+    AND o_orderdate < TIMESTAMP '{MKT_END}'
+  GROUP BY 1
+)
+SELECT o_year, target_e4, total_e4,
+       ((1000 * target_e4) // total_e4)::BIGINT AS share_milli
+FROM f
+"""
+
+
 def queries():
     return {
         "events_parse_props": q_events_parse_props,
@@ -3046,6 +3221,7 @@ def queries():
         "tpch_region_revenue": q_tpch_region_revenue,
         "tpch_waiting_suppliers": q_tpch_waiting_suppliers,
         "tpch_nation_pair_volume": q_tpch_nation_pair_volume,
+        "tpch_market_share": q_tpch_market_share,
     }
 
 
@@ -3075,6 +3251,7 @@ def oracle_sql():
         "tpch_region_revenue": SQL_TPCH_REGION_REVENUE,
         "tpch_waiting_suppliers": SQL_TPCH_WAITING_SUPPLIERS,
         "tpch_nation_pair_volume": SQL_TPCH_NATION_PAIR_VOLUME,
+        "tpch_market_share": SQL_TPCH_MARKET_SHARE,
         "events_retention": SQL_EVENTS_RETENTION,
         "events_retention_salted": SQL_EVENTS_RETENTION,
         "tpch_priority_revenue": """
