@@ -735,3 +735,69 @@ def test_dau_wau_rolling_window_and_gap_day(ray_session, tmp_path):
     # WAU trailing 7d: day0 {1,2}; day1 {1,2}; day2 {1,2}; day3 {1,2}
     assert out["wau"].tolist() == [2, 2, 2, 2]
     assert out["stickiness_milli"].tolist() == [1000, 500, 0, 500]
+
+
+def test_order_dist_zero_bucket(ray_session, tmp_path):
+    """The Q13 zero-order bucket comes from the customer parquet FOOTER
+    (never a read, never a join) — the synthetic sf tables have no
+    order-less customers, so this path only runs here: 5 customers, 3
+    with orders → a (0, 2) bucket must appear, and it must NOT appear
+    when every customer has orders."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from swarm_ray.ops.relational import q_tpch_order_dist
+
+    def write(sf, custkeys, order_custkeys):
+        pq.write_table(pa.table({
+            "c_custkey": pa.array(custkeys, type=pa.int64())}),
+            sf / "customer.parquet")
+        pq.write_table(pa.table({
+            "o_orderkey": pa.array(range(len(order_custkeys)),
+                                   type=pa.int64()),
+            "o_custkey": pa.array(order_custkeys, type=pa.int64())}),
+            sf / "orders.parquet")
+        return str(sf)
+
+    sf = tmp_path / "gap"
+    sf.mkdir()
+    out = q_tpch_order_dist(
+        write(sf, [1, 2, 3, 4, 5], [1, 1, 2, 3, 3, 3])).to_pandas()
+    assert out.set_index("n_orders")["n_custs"].to_dict() == {
+        0: 2, 1: 1, 2: 1, 3: 1}
+
+    sf2 = tmp_path / "full"
+    sf2.mkdir()
+    out2 = q_tpch_order_dist(write(sf2, [1, 2], [1, 2, 2])).to_pandas()
+    assert 0 not in set(out2["n_orders"])
+    assert out2.set_index("n_orders")["n_custs"].to_dict() == {1: 1, 2: 1}
+
+
+def test_waiting_suppliers_quantifier_semantics(ray_session, tmp_path):
+    """Q21's two quantifiers on crafted lineitems: a single-supplier
+    order never counts (no 'other supplier' exists), a two-returner
+    order never counts (the returner was not SOLE), and the sole
+    returner in a multi-supplier order counts once per such order."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from swarm_ray.ops.relational import q_tpch_waiting_suppliers
+
+    sf = tmp_path
+    # order 1: supplier 7 alone, returned        -> excluded (solo)
+    # order 2: suppliers 7, 8 both returned      -> excluded (2 returners)
+    # order 3: suppliers 7 (R twice), 9 (clean)  -> supplier 7 counts once
+    # order 4: suppliers 8 (R), 9 (clean)        -> supplier 8 counts
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 2, 2, 3, 3, 3, 4, 4], type=pa.int64()),
+        "l_suppkey": pa.array([7, 7, 8, 7, 7, 9, 8, 9], type=pa.int64()),
+        "l_returnflag": pa.array(
+            ["R", "R", "R", "R", "R", "N", "R", "N"]),
+    }), sf / "lineitem.parquet")
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([7, 8, 9], type=pa.int64()),
+        "s_name": pa.array(["s7", "s8", "s9"]),
+    }), sf / "supplier.parquet")
+
+    out = q_tpch_waiting_suppliers(str(sf))
+    assert out.set_index("s_suppkey")["n_waits"].to_dict() == {7: 1, 8: 1}
+    assert out.set_index("s_suppkey")["s_name"].to_dict() == {
+        7: "s7", 8: "s8"}
