@@ -157,7 +157,8 @@ def main(argv: list[str] | None = None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     pi = sub.add_parser("ingest", help="parse → enrich → route → sinks")
-    pi.add_argument("--input", required=True, help="input parquet glob")
+    pi.add_argument("--input", required=True,
+                    help="input glob: .parquet, .jsonl(.gz) or .csv(.gz)")
     pi.add_argument("--out", required=True)
     pi.add_argument("--rules", help="rules file/dir (YAML or JSON)")
     pi.add_argument("--files-per-partition", type=int, default=64)

@@ -258,6 +258,51 @@ def sequences_ndjson_files(label: str) -> list[str]:
     return sorted(str(p) for p in sequences_ndjson_dir(label).glob("*.jsonl.gz"))
 
 
+CSV_FIXTURE_VERSION = 1
+
+
+def sequences_csv_dir(label: str) -> Path:
+    """The sequences corpus re-serialized as gzipped CSV — the
+    lowest-common-denominator export feed for the CSV ingestion
+    source. ``tokens`` is a space-separated integer string (CSV has no
+    list type); zero-token rows serialize as the empty string. Derived
+    file-for-file from the Parquet fixture, so all three serializations
+    carry identical records."""
+    src = sequences_dir(label)
+    n_rows = rows_for_label(label)
+    out = FIXTURE_ROOT / label / "sequences_csv"
+    meta = out / "_FIXTURE.json"
+    if meta.exists():
+        try:
+            m = json.loads(meta.read_text())
+            if m["rows"] == n_rows and m.get("version") == CSV_FIXTURE_VERSION:
+                return out
+        except Exception:
+            pass
+        shutil.rmtree(out, ignore_errors=True)
+    tmp = out.with_name(out.name + ".tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    tmp.mkdir(parents=True)
+    for p in sorted(src.glob("*.parquet")):
+        df = pq.read_table(p).to_pandas()
+        df["tokens"] = df["tokens"].map(
+            lambda a: " ".join(str(int(x)) for x in a))
+        df.to_csv(tmp / f"{p.stem}.csv.gz", index=False,
+                  compression="gzip")
+    (tmp / "_FIXTURE.json").write_text(json.dumps(
+        {"rows": n_rows, "version": CSV_FIXTURE_VERSION}))
+    out.parent.mkdir(parents=True, exist_ok=True)
+    if out.exists():
+        shutil.rmtree(tmp, ignore_errors=True)
+    else:
+        os.replace(tmp, out)
+    return out
+
+
+def sequences_csv_files(label: str) -> list[str]:
+    return sorted(str(p) for p in sequences_csv_dir(label).glob("*.csv.gz"))
+
+
 def intel_table() -> pa.Table:
     return pa.table(
         {

@@ -53,17 +53,29 @@ def _is_json_input(paths: list[str] | str) -> bool:
                                              ".json.gz")) for p in ps)
 
 
+def _is_csv_input(paths: list[str] | str) -> bool:
+    ps = [paths] if isinstance(paths, str) else list(paths)
+    return bool(ps) and all(str(p).endswith((".csv", ".csv.gz"))
+                            for p in ps)
+
+
 def _read_input(paths: list[str] | str,
                 override_num_blocks: int | None = None,
                 json_row_counter=None) -> ray.data.Dataset:
     """Source dispatch by extension: Parquet (column-pruned — the
-    steady-state format) or NDJSON/+gzip via ``sources.json_source``
-    (the reference's wire format, S4/S5). Both feed the identical
-    parse→enrich→route stages."""
+    steady-state format), NDJSON/+gzip via ``sources.json_source``
+    (the reference's wire format, S4/S5), or CSV/+gzip via
+    ``sources.csv_source`` (tokens as a space-separated string,
+    rebuilt vectorized). All feed the identical parse→enrich→route
+    stages."""
     if _is_json_input(paths):
         from ..sources.json_source import read_sequences_json
         return read_sequences_json(paths, override_num_blocks=override_num_blocks,
                                    counter=json_row_counter)
+    if _is_csv_input(paths):
+        from ..sources.csv_source import read_sequences_csv
+        return read_sequences_csv(paths, override_num_blocks=override_num_blocks,
+                                  counter=json_row_counter)
     return read_parquet_clean(paths, columns=INPUT_COLUMNS,
                                  override_num_blocks=override_num_blocks)
 
@@ -132,7 +144,9 @@ def run_partition(plan: PartitionPlan, out_dir: str | Path,
     shutil.rmtree(part_out, ignore_errors=True)
 
     counter = None
-    if _is_json_input(plan.input_files):
+    if _is_json_input(plan.input_files) or _is_csv_input(plan.input_files):
+        # neither serialization carries row-count metadata — count
+        # during the one streaming pass (see RowCounter docstring)
         from ..sources.json_source import RowCounter
         counter = RowCounter.remote()
 

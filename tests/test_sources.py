@@ -59,3 +59,50 @@ def test_run_job_over_ndjson_matches_parquet(ray_session, tmp_path):
         for k, v in r["sink_counts"].items():
             agg_js[k] = agg_js.get(k, 0) + v
     assert agg_pq == agg_js and sum(agg_pq.values()) > 0
+
+
+def test_csv_source_canonical_schema_and_tokens(ray_session):
+    """CSV(.gz) → canonical schema, token-array byte parity with the
+    Parquet rows, and the zero-token edge case (i % 997) surviving the
+    empty-string round-trip."""
+    from swarm_ray.sources.csv_source import read_sequences_csv
+    from swarm_ray.sources.json_source import CANONICAL_SCHEMA
+
+    files = fixtures.sequences_csv_files("sf0.001")
+    assert files and all(f.endswith(".csv.gz") for f in files)
+    ds = read_sequences_csv(files)
+    assert ds.schema().base_schema == CANONICAL_SCHEMA
+
+    pq_rows = (pd.concat([pd.read_parquet(f) for f in
+                          fixtures.sequences_files("sf0.001")])
+               .sort_values("doc_id").reset_index(drop=True))
+    csv_rows = (ds.to_pandas().sort_values("doc_id")
+                .reset_index(drop=True))
+    assert len(pq_rows) == len(csv_rows)
+    assert (csv_rows["n_tok"] == 0).any()          # the i % 997 rows
+    for x, y in zip(pq_rows["tokens"], csv_rows["tokens"]):
+        assert list(x) == list(y)
+    assert (pq_rows["n_tok"].to_numpy()
+            == csv_rows["n_tok"].to_numpy()).all()
+
+
+def test_run_job_over_csv_matches_parquet(ray_session, tmp_path):
+    """Full checkpointed ingest over the CSV.gz serialization must
+    commit identical per-sink counts to the Parquet-path job."""
+    from swarm_ray.pipelines.flagship import run_job
+
+    pq_files = fixtures.sequences_files("sf0.001")
+    csv_files = fixtures.sequences_csv_files("sf0.001")
+
+    r_pq = run_job(pq_files, tmp_path / "out_pq",
+                   files_per_partition=len(pq_files))
+    r_csv = run_job(csv_files, tmp_path / "out_csv",
+                    files_per_partition=len(csv_files))
+    agg_pq, agg_csv = {}, {}
+    for r in r_pq:
+        for k, v in r["sink_counts"].items():
+            agg_pq[k] = agg_pq.get(k, 0) + v
+    for r in r_csv:
+        for k, v in r["sink_counts"].items():
+            agg_csv[k] = agg_csv.get(k, 0) + v
+    assert agg_pq == agg_csv and sum(agg_pq.values()) > 0
